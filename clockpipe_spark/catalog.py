@@ -1,0 +1,83 @@
+"""Catalog: named access to the engine's tables.
+
+The reference introspects source catalogs (information_schema /
+pg_catalog, adapter/postgres.rs:696-758) and mirrors them into the sink.
+Here the catalog is Spark-native: tables are parquet datasets registered
+as temp views; schemas come from parquet footers (authoritative), and
+``spark.catalog`` is the introspection surface.
+
+Primary / merge keys mirror FIXTURES.md (composite PK handling follows the
+reference's multi-column PK rendering, pipes/postgres.rs:789-802).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# merge keys per table (reference: PK lookup adapter/postgres.rs:741-758)
+PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one named table. Column pruning + predicate pushdown reach the
+    parquet scan because this stays a plain declarative read.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
+    only as a raw long (nanosAsLong); convert to a micros timestamp with
+    the same truncation DuckDB applies when it reads the file.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer div — a double division here would round (ns since
+            # epoch exceeds 2^53) and shift timestamps by ±1 µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every table as a temp view so SQL-shaped operators can
+    refer to them by name."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Introspect a table schema without scanning data (footer read only).
+
+    Mirrors the reference's list_columns_by_tablename
+    (adapter/postgres.rs:696-758) — the Spark-native equivalent is the
+    DataFrame schema itself.
+    """
+    return load_table(spark, sf_dir, name).schema

@@ -1,0 +1,94 @@
+"""Value-cast semantics of the reference, as Catalyst column expressions.
+
+The reference casts every replicated value through a target-type dispatch
+(adapter/clickhouse.rs:126-158) whose per-type behaviors carry
+correctness-critical quirks (SURVEY.md §1.3). Each function here builds a
+*pure column expression* — JVM-side, codegen-friendly, no Python UDFs —
+that reproduces one quirk exactly:
+
+- integers: non-parsing text -> 0           (pgoutput.rs:82-89)
+- reals:    non-parsing text -> 0.0         (pgoutput.rs:91-98)
+- bools:    't'|'1'|'true' -> TRUE else F   (pgoutput.rs:157-163)
+- datetimes: strip sub-second + offset      (pgoutput.rs:220-234)
+- PG array literal '{a,b}' parsing          (pgoutput.rs:183-201)
+- masked columns forced NULL                (adapter/mod.rs:183-185)
+- ObjectId -> hex, BSON Binary -> base64    (mongodb.rs:381, 394-399)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# strict integer literal — Rust's str::parse::<i64> accepts only [+-]digits;
+# '1.5' or '12abc' FAIL and default to 0 (pgoutput.rs:82-89).
+_INT_RE = r"^[+-]?[0-9]+$"
+
+
+def pg_to_int(col: Column) -> Column:
+    """Text -> integer with the reference's zero-default on parse failure."""
+    s = F.trim(col.cast("string"))
+    return F.when(s.rlike(_INT_RE), s.cast("bigint")).otherwise(F.lit(0)).alias("pg_int")
+
+
+def pg_to_real(col: Column) -> Column:
+    """Text -> double; non-parsing text -> 0.0 (pgoutput.rs:91-98).
+
+    Rust's str::parse::<f64> and Spark/DuckDB double casts agree on the
+    accepted grammar for ordinary literals, so try_cast + coalesce is exact.
+    """
+    return F.coalesce(col.cast("string").try_cast("double"), F.lit(0.0))
+
+
+def pg_bool_parse(col: Column) -> Column:
+    """'t' | '1' | 'true' -> TRUE, anything else -> FALSE (pgoutput.rs:157-163)."""
+    return F.lower(F.trim(col.cast("string"))).isin("t", "1", "true")
+
+
+def pg_datetime_trunc(col: Column) -> Column:
+    """Normalize timestamps the way the reference does: drop fractional
+    seconds (and, upstream, the UTC offset — the session is pinned UTC so
+    offsets are already resolved). pgoutput.rs:220-234, tested 599-628."""
+    return F.date_trunc("second", col)
+
+
+def pg_array_parse(col: Column) -> Column:
+    """Parse a PG array literal '{a,b,c}' into array<string>.
+
+    Mirrors pgoutput.rs:183-193: strip braces, split on ','.
+    Empty literal '{}' -> empty array.
+    """
+    inner = F.regexp_replace(F.regexp_replace(col, r"^\{", ""), r"\}$", "")
+    return F.when(inner == "", F.array().cast("array<string>")).otherwise(
+        F.split(inner, ",")
+    )
+
+
+def pg_string_array_parse(col: Column) -> Column:
+    """Parse a quoted-string PG array literal '{"a","b,c"}'.
+
+    Mirrors pgoutput.rs:195-201: strip braces, split on '","', strip the
+    outer quotes. Like the reference, escaped quotes inside elements are
+    NOT handled (tested pgoutput.rs:560-596) — a documented quirk we
+    replicate for parity.
+    """
+    inner = F.regexp_replace(F.regexp_replace(col, r'^\{"', ""), r'"\}$', "")
+    return F.when(col == "{}", F.array().cast("array<string>")).otherwise(
+        F.split(inner, r'","')
+    )
+
+
+def mask_column(dtype: str) -> Column:
+    """A masked column is forced to NULL of the target type *before* the
+    cast matrix runs (adapter/mod.rs:183-185)."""
+    return F.lit(None).cast(dtype)
+
+
+def objectid_hex(col: Column) -> Column:
+    """Mongo ObjectId bytes -> lowercase hex string (mongodb.rs:381)."""
+    return F.lower(F.hex(col))
+
+
+def binary_base64(col: Column) -> Column:
+    """BSON Binary -> base64 string (mongodb.rs:394-399)."""
+    return F.base64(col)

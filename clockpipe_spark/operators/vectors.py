@@ -1,0 +1,58 @@
+"""Vector/embedding primitives: cosine similarity as a pure Catalyst
+expression, plus a random-hyperplane LSH bucketizer (Arrow-vectorized).
+
+The exact path (zip_with + aggregate fold) stays JVM-side in whole-stage
+codegen; LSH bucket assignment uses one pandas UDF doing a single numpy
+matmul per Arrow batch — the canonical vectorized-UDF shape (never
+row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product + left-fold sum — same evaluation order as a
+    plain loop, so it agrees bit-for-bit with other engines' accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos(a, b) = a·b / sqrt(|a|² · |b|²), computed in double."""
+    return dot(a, b) / F.sqrt(l2_norm_sq(a) * l2_norm_sq(b))
+
+
+def hyperplane_lsh_bucketizer(dim: int, n_planes: int = 16, seed: int = 42):
+    """Returns a pandas UDF mapping array<float/double> -> int64 bucket of
+    sign bits against `n_planes` fixed random hyperplanes.
+
+    Deterministic: planes come from a seeded RandomState. Vectorized: one
+    (batch × dim) @ (dim × n_planes) matmul per Arrow batch.
+    """
+    planes = np.random.RandomState(seed).randn(dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) >= 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    return bucket

@@ -1,0 +1,245 @@
+"""Sync-layer operators (SURVEY.md §2.2-2.4) surfaced as oracle-checked
+queries over the events-derived change log (FIXTURES.md §A convention).
+
+Every query here is the batch embodiment of a reference dataflow operator;
+the streaming embodiment (same code paths) lives in
+clockpipe_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clockpipe_spark.catalog import load_table
+from clockpipe_spark.cdc.changelog import CHANGELOG_SQL, changelog_from_events
+from clockpipe_spark.cdc.ops import (
+    align_to_schema,
+    apply_changelog_to_snapshot,
+    apply_masks,
+    keep_last_by_key,
+    replica_state,
+    route_counts,
+)
+from clockpipe_spark.functions.casts import (
+    pg_bool_parse,
+    pg_datetime_trunc,
+    pg_to_int,
+    pg_to_real,
+)
+
+_CLOG_CTE = f"WITH changelog AS ({CHANGELOG_SQL})"
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changelog_from_events(load_table(spark, sf_dir, "events"))
+
+
+def cdc_keep_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — keep-last dedup per PK within a batch (adapter/mod.rs:258-269)."""
+    return _changelog(spark, sf_dir).select("seq", "op", "user_id", "value")
+
+
+CDC_KEEP_LAST_SQL = f"""
+{_CLOG_CTE}
+SELECT seq, op, user_id, value FROM changelog
+"""
+
+
+def cdc_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clog = _changelog(spark, sf_dir)
+    return keep_last_by_key(clog, ["user_id"]).select(
+        "user_id", "seq", "op", F.round("value", 2).alias("value")
+    )
+
+
+CDC_KEEP_LAST_DEDUP_SQL = f"""
+{_CLOG_CTE}
+SELECT user_id, seq, op, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM changelog
+) WHERE rn = 1
+"""
+
+
+def cdc_replica_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-on-read 'FINAL' view: ReplacingMergeTree keep-max-seq per
+    key + delete filtering (SURVEY.md §2.9)."""
+    clog = _changelog(spark, sf_dir)
+    return replica_state(clog, ["user_id"]).select(
+        "user_id",
+        "seq",
+        F.round("value", 2).alias("value"),
+        pg_datetime_trunc(F.col("ts")).alias("ts"),
+    )
+
+
+CDC_REPLICA_SQL = f"""
+{_CLOG_CTE}
+SELECT user_id, seq, round(value, 2) AS value, date_trunc('second', ts) AS ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM changelog
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def cdc_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3 — per-table/per-op routing counters
+    (pipes/postgres.rs:295-420, WriteCounter pipes/mod.rs:23-28)."""
+    return route_counts(_changelog(spark, sf_dir))
+
+
+CDC_ROUTE_SQL = f"""
+{_CLOG_CTE}
+SELECT tbl, op, count(*) AS n_changes FROM changelog GROUP BY tbl, op
+"""
+
+
+def cdc_mask_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — mask_columns forced to NULL before write
+    (adapter/mod.rs:183-185)."""
+    clog = _changelog(spark, sf_dir).select("seq", "user_id", "value", "props")
+    return apply_masks(clog, ["value", "props"])
+
+
+CDC_MASK_SQL = f"""
+{_CLOG_CTE}
+SELECT seq, user_id,
+       CAST(NULL AS DOUBLE)  AS value,
+       CAST(NULL AS VARCHAR) AS props
+FROM changelog
+"""
+
+
+def cdc_align_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — column-alignment projection against a target schema that has
+    one column the source lacks (missing -> typed NULL,
+    adapter/postgres.rs:340-345) and drops one the target lacks."""
+    clog = _changelog(spark, sf_dir)
+    target = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("extra_col", T.StringType()),  # not in source
+        ]
+    )
+    return align_to_schema(clog, target)
+
+
+CDC_ALIGN_SQL = f"""
+{_CLOG_CTE}
+SELECT seq, user_id, value, CAST(NULL AS VARCHAR) AS extra_col FROM changelog
+"""
+
+
+def cdc_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — the per-value cast matrix with the reference's quirk semantics
+    (§1.3): zero-defaults on failed int/real parses, 't|1|true' bool parse,
+    sub-second timestamp truncation. Inputs are strings derived
+    deterministically from events."""
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),  # numeric string
+        F.col("event_type").alias("word_str"),  # non-numeric string
+        F.when(F.col("value") > 100, "t").otherwise("off").alias("bool_str"),
+        "ts",
+    )
+    return src.select(
+        "event_id",
+        pg_to_int(F.col("k_str")).alias("k_int"),
+        pg_to_int(F.col("word_str")).alias("word_int"),  # -> 0 (quirk)
+        pg_to_real(F.col("k_str")).alias("k_real"),
+        pg_to_real(F.col("word_str")).alias("word_real"),  # -> 0.0 (quirk)
+        pg_bool_parse(F.col("bool_str")).alias("flag"),
+        pg_datetime_trunc(F.col("ts")).alias("ts_sec"),
+    )
+
+
+CDC_CAST_SQL = """
+WITH src AS (
+  SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         event_type AS word_str,
+         CASE WHEN value > 100 THEN 't' ELSE 'off' END AS bool_str,
+         ts
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN regexp_matches(trim(k_str), '^[+-]?[0-9]+$')
+            THEN CAST(trim(k_str) AS BIGINT) ELSE 0 END  AS k_int,
+       CASE WHEN regexp_matches(trim(word_str), '^[+-]?[0-9]+$')
+            THEN CAST(trim(word_str) AS BIGINT) ELSE 0 END AS word_int,
+       coalesce(TRY_CAST(k_str AS DOUBLE), 0.0)   AS k_real,
+       coalesce(TRY_CAST(word_str AS DOUBLE), 0.0) AS word_real,
+       lower(trim(bool_str)) IN ('t', '1', 'true') AS flag,
+       date_trunc('second', ts) AS ts_sec
+FROM src
+"""
+
+
+def cdc_apply_to_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2 — upsert+delete merge of the change log into a snapshot.
+
+    Snapshot = first event per user (as of its seq); changes = all later
+    events. Result = final replica. Exercised end-to-end rather than via
+    the helper so the oracle can express the identical semantics."""
+    clog = _changelog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("seq")
+    numbered = clog.withColumn("rn", F.row_number().over(w))
+    snapshot = numbered.filter(F.col("rn") == 1).select("user_id", "value")
+    changes = numbered.filter(F.col("rn") > 1).select("seq", "op", "user_id", "value")
+    return apply_changelog_to_snapshot(snapshot, changes, ["user_id"]).select(
+        "user_id", F.round("value", 2).alias("value")
+    )
+
+
+CDC_APPLY_SQL = f"""
+{_CLOG_CTE},
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn
+  FROM changelog
+),
+snapshot AS (
+  SELECT user_id, value, CAST(-1 AS BIGINT) AS seq, 'I' AS op
+  FROM numbered WHERE rn = 1
+),
+changes AS (
+  SELECT user_id, value, seq, op FROM numbered WHERE rn > 1
+),
+merged AS (
+  SELECT * FROM snapshot UNION ALL SELECT * FROM changes
+)
+SELECT user_id, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn2
+  FROM merged
+) WHERE rn2 = 1 AND op <> 'D'
+"""
+
+
+QUERIES = {
+    "cdc_changelog": cdc_keep_last_per_key,
+    "cdc_keep_last": cdc_keep_last,
+    "cdc_replica_state": cdc_replica_state,
+    "cdc_route_counts": cdc_route_counts,
+    "cdc_mask_columns": cdc_mask_columns,
+    "cdc_align_projection": cdc_align_projection,
+    "cdc_cast_matrix": cdc_cast_matrix,
+    "cdc_apply_to_snapshot": cdc_apply_to_snapshot,
+}
+
+ORACLES = {
+    "cdc_changelog": CDC_KEEP_LAST_SQL,
+    "cdc_keep_last": CDC_KEEP_LAST_DEDUP_SQL,
+    "cdc_replica_state": CDC_REPLICA_SQL,
+    "cdc_route_counts": CDC_ROUTE_SQL,
+    "cdc_mask_columns": CDC_MASK_SQL,
+    "cdc_align_projection": CDC_ALIGN_SQL,
+    "cdc_cast_matrix": CDC_CAST_SQL,
+    "cdc_apply_to_snapshot": CDC_APPLY_SQL,
+}

@@ -1,0 +1,175 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.10).
+
+Three tiers:
+- brute-force cosine top-k (oracle-checked) — correctness baseline; the
+  query side is broadcast so the big side never shuffles.
+- near-dup pair mining at a cosine threshold with metadata blocking
+  (oracle-checked) — blocking on ``label`` is the standard trick that
+  turns an O(n²) all-pairs scan into per-block quadratic cost.
+- hyperplane-LSH ANN top-k (rows-only; recall vs brute force asserted in
+  pytest) — the 100 TB path: bucket-join instead of cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clockpipe_spark.catalog import load_table
+from clockpipe_spark.operators.vectors import (
+    as_double_array,
+    cosine,
+    hyperplane_lsh_bucketizer,
+)
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+
+
+def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: broadcast the query vectors against the full corpus;
+    rank per query with a deterministic tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qe"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("ne"),
+    )
+    pairs = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("ne")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+pairs AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= {_TOP_K}
+"""
+
+
+_NEARDUP_COS = 0.99
+
+
+def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with every vector cloned (ids offset by 1e6) so near-dup
+    mining has guaranteed positives — mirrors textops' doubled corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    clone = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(clone)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with label blocking: only
+    same-label pairs are compared (equi-join on label = the blocking key),
+    then filtered at cosine >= 0.99."""
+    corpus = _doubled_embeddings(spark, sf_dir)
+    a = corpus.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("id_a"),
+        as_double_array(F.col("embedding")).alias("ea"),
+    )
+    b = corpus.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("id_b"),
+        as_double_array(F.col("embedding")).alias("eb"),
+    )
+    pairs = a.join(b, "lbl").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _NEARDUP_COS)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding, label FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM corpus a JOIN corpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {_NEARDUP_COS}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: bucket every vector
+    (one numpy matmul per Arrow batch), then rank only within the query's
+    bucket. The scale path: the cross-join becomes an equi-join on bucket.
+
+    No SQL oracle (hash family is engine-specific); pytest asserts recall
+    against cosine_topk_brute.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    bucketize = hyperplane_lsh_bucketizer(dim, n_planes=8)
+    bucketed = emb.select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("e"),
+        bucketize(F.col("embedding")).alias("bucket"),
+    )
+    queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        "bucket",
+    )
+    pairs = bucketed.join(F.broadcast(queries), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+QUERIES = {
+    "cosine_topk_brute": cosine_topk_brute,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES = {
+    "cosine_topk_brute": COSINE_TOPK_SQL,
+    "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
+    # ann_lsh_topk: rows-only (engine-specific hash family); recall tested in pytest
+}

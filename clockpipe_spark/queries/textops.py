@@ -1,0 +1,308 @@
+"""Text-analysis + deduplication operators over the ``documents`` table —
+the training-data-pipeline layer (SURVEY.md §2.10).
+
+All of these stay in whole-stage codegen: tokenization, shingling,
+fingerprinting and Jaccard are pure built-in expressions (split /
+transform / md5 / joins) — no Python in the hot path. The approximate
+variants (MinHash-LSH, SimHash) live in
+``clockpipe_spark.operators.neardup`` and are surfaced in
+queries_nosql.py-style rows-only entries because their hash families are
+engine-specific (no DuckDB twin).
+
+Scale notes (100 TB): exact-pair Jaccard is quadratic in the worst case —
+the inverted-index join on shingles keeps it output-bound (only docs
+*sharing* a shingle pair up), which holds as long as no shingle is an
+outlier hot key; stop-shingle removal / MinHash-LSH is the designed scale
+path and implemented alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.catalog import load_table
+
+# tokenization shared by every operator here: lower, trim, split on runs of
+# whitespace. Kept identical in the DuckDB oracles.
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language: doc count, token sum/avg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS total_tokens,
+       round(avg(len(regexp_split_to_array(trim(lower(text)), '\\s+'))), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, mean token length,
+    alpha ratio, stopword ratio — the standard LLM-corpus quality gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    stops = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(stops / n_tokens, 4).alias("stopword_ratio"),
+        F.round((n_chars - n_tokens + 1) / n_tokens, 4).alias("avg_token_len"),
+        ((n_tokens >= 5) & (stops / n_tokens >= 0.01)).alias("passes_quality"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(alpha / n_chars, 4) AS alpha_ratio,
+       round(len(list_filter(toks, x -> x IN {_STOP_SQL})) / len(toks), 4)
+           AS stopword_ratio,
+       round((n_chars - len(toks) + 1) / len(toks), 4) AS avg_token_len,
+       (len(toks) >= 5 AND
+        len(list_filter(toks, x -> x IN {_STOP_SQL})) / len(toks) >= 0.01)
+           AS passes_quality
+FROM t
+"""
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "ist", "das"),
+}
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, argmax
+    with fixed precedence (en > es > de). N-gram/stopword heuristic — the
+    standard cheap lang-ID for corpus triage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def marker_hits(markers):
+        # single-arg lambda: PySpark treats 2-arg lambdas as (value, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    pred = (
+        F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), "en")
+        .when(hits["es"] >= hits["de"], "es")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def _marker_sql(markers):
+    return "(" + ", ".join(f"'{m}'" for m in markers) + ")"
+
+
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN {_marker_sql(_LANG_MARKERS['en'])})) AS en_hits,
+         len(list_filter(toks, x -> x IN {_marker_sql(_LANG_MARKERS['es'])})) AS es_hits,
+         len(list_filter(toks, x -> x IN {_marker_sql(_LANG_MARKERS['de'])})) AS de_hits
+  FROM t
+)
+SELECT doc_id, en_hits, es_hits, de_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+            WHEN es_hits >= de_hits THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM h
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 over normalized text plus a
+    coarse length bucket — the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        (F.length(norm) - F.length(norm) % 16).alias("len_bucket"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS fingerprint,
+       length(lower(trim(text))) - length(lower(trim(text))) % 16 AS len_bucket
+FROM documents
+"""
+
+
+# duplicated corpus: every doc appears twice (ids offset by 1_000_000) so
+# dedup operators have true positives to find. Shared with the oracles.
+_DOUBLED_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+
+def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clone = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return docs.unionByName(clone)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: hash-groupBy on the md5 fingerprint, keep the
+    lowest doc_id of each group. One shuffle on a 128-bit key — the
+    canonical 100 TB exact-dedup plan (never a pairwise self-join)."""
+    corpus = _doubled_corpus(spark, sf_dir)
+    fp = corpus.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({_DOUBLED_SQL})
+SELECT md5(lower(trim(text))) AS fp,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+_SHINGLE_K = 3
+_JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(text_col):
+    """Distinct k-word shingles as an array column. Guarded: docs shorter
+    than k tokens contribute no shingles (Spark's sequence() would count
+    DOWN for start>stop, so the when() guard is load-bearing)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (_SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(_SHINGLE_K)]
+        ),
+    )
+    return F.when(n >= _SHINGLE_K, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    explode distinct shingles, self-join on shingle (only co-occurring
+    docs meet), count intersections, Jaccard from |A|+|B|-|A∩B|.
+
+    Output-bound instead of O(n²): cost scales with shingle co-occurrence,
+    not corpus size squared."""
+    corpus = _doubled_corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+NEARDUP_JACCARD_SQL = f"""
+WITH corpus AS ({_DOUBLED_SQL}),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= {_SHINGLE_K}
+                THEN list_transform(
+                       generate_series(1, len(toks) - {_SHINGLE_K - 1}),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END)) AS shingle
+  FROM tok
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_scores": text_quality_scores,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "neardup_jaccard_pairs": neardup_jaccard_pairs,
+}
+
+ORACLES = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality_scores": QUALITY_SQL,
+    "text_lang_id": LANG_ID_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "neardup_jaccard_pairs": NEARDUP_JACCARD_SQL,
+}

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB design point and merely *also* behaves well
+locally:
+
+- AQE on (runtime coalesce, skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE re-plans.
+- Arrow on — every pandas UDF crossing is vectorized.
+- UTC session timezone — replica semantics must not depend on the
+  driver's locale (the reference normalizes timestamps to naive UTC,
+  pgoutput.rs:220-234).
+- shuffle partitions default to the local core count; on a real cluster
+  AQE's coalescing makes the initial number mostly irrelevant as long as
+  it is high enough.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "clockpipe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert (catalog.load_table) with the
+        # same micros truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
