@@ -1,0 +1,77 @@
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Execution is measured with a noop sink (full plan runs, nothing
+collected to the driver) — the same discipline as a cluster benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clockpipe_spark.queries import all_queries
+from clockpipe_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "join_broadcast_brand_volume",
+    "window_top3_orders_per_customer",
+    "topk_orders_by_price",
+    "scalar_json_extract",
+    "cdc_replica_state",
+    "cdc_apply_to_snapshot",
+    "stream_tumbling_hourly",
+    "stream_session_windows",
+    "text_quality_scores",
+    "text_fingerprint",
+    "dedup_exact",
+    "neardup_jaccard_pairs",
+    "cosine_topk_brute",
+    "ann_lsh_topk",
+    "embedding_neardup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("clockpipe-bench")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

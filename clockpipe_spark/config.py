@@ -1,0 +1,72 @@
+"""Pipe configuration, mirroring the reference's JSON config schema
+(config.rs:3-24, 99-185) with the same field names and defaults so a
+clockpipe config file ports directly. Source/sink endpoints become data
+paths here (the harness has no live Postgres/ClickHouse); everything
+else — table lists, mask columns, batch sizes, cadences — keeps its
+reference meaning.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SourceTable:
+    """PostgresSource analog (config.rs:224-234)."""
+
+    table_name: str
+    schema_name: str = "public"
+    skip_copy: bool = False
+    mask_columns: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PipeConfig:
+    """Top-level config (config.rs:3-24) + defaults (config.rs:99-185)."""
+
+    source_type: str = "parquet_cdc"
+    tables: list[SourceTable] = field(default_factory=list)
+    # batching / cadence (reference defaults)
+    copy_batch_size: int = 100_000          # config.rs:181-184
+    peek_changes_limit: int = 65_536        # config.rs:146-149
+    peek_changes_timeout_millis: int = 5_000  # config.rs:151-154
+    sleep_millis_after_sync_iteration: int = 100  # config.rs:171-174
+    sleep_millis_when_peek_failed: int = 5_000    # config.rs:156-159
+    # sink knobs (ReplacingMergeTree analogs, config.rs:112-122)
+    min_age_to_force_merge_seconds: int = 60
+    index_granularity: int = 8192
+
+    @classmethod
+    def from_json(cls, text: str) -> "PipeConfig":
+        raw = json.loads(text)
+        src = raw.get("source", {})
+        tables = [
+            SourceTable(
+                table_name=t["table_name"],
+                schema_name=t.get("schema_name", "public"),
+                skip_copy=t.get("skip_copy", False),
+                mask_columns=t.get("mask_columns", []),
+            )
+            for t in src.get("tables", [])
+        ]
+        kw = {}
+        for key in (
+            "copy_batch_size",
+            "peek_changes_limit",
+            "peek_changes_timeout_millis",
+            "sleep_millis_after_sync_iteration",
+            "sleep_millis_when_peek_failed",
+        ):
+            if key in src:
+                kw[key] = src[key]
+        sink = raw.get("sink", raw.get("target", {}))
+        for key in ("min_age_to_force_merge_seconds", "index_granularity"):
+            if key in sink:
+                kw[key] = sink[key]
+        return cls(
+            source_type=src.get("source_type", "parquet_cdc"),
+            tables=tables,
+            **kw,
+        )

@@ -1,0 +1,224 @@
+"""Approximate near-duplicate detection: MinHash-LSH and SimHash.
+
+Two deliberately different execution styles:
+
+- **MinHash** stays entirely JVM-side: shingle -> xxhash64 -> 32 universal
+  hash functions ((a*h+b) mod p in 32-bit space so nothing overflows
+  int64) -> per-doc min per function (one groupBy with 32 partial-agg
+  mins) -> band hashes -> equi-join on (band, hash). At 100 TB this is
+  the designed dedup path: cost is linear in corpus + candidate pairs,
+  never all-pairs.
+
+- **SimHash** runs in mapInPandas (Arrow batches): per-doc 64-bit
+  signature from md5-derived token hashes (deterministic across runs,
+  unlike Python's builtin hash). Bucketing on 16-bit signature chunks
+  gives candidates; exact Hamming distance via bit_count(xor) filters.
+
+Reference parity note: the reference has no near-dup operator — this is
+SURVEY.md §2.10 north-star scope.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P32 = 4294967311  # smallest prime > 2^32
+_MASK32 = (1 << 32) - 1
+
+
+def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    # a, b < 2^31 so a*h32 + b < 2^63 — Spark runs ANSI mode and a long
+    # overflow inside the agg would abort the job
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(n_hashes)
+    ]
+
+
+def shingle_tokens(text_col, k: int = 3):
+    """Distinct k-word shingles (same tokenization as textops)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = 32
+) -> DataFrame:
+    """(id, minhash array<long>[n_hashes]) — one shuffle (groupBy id).
+
+    h32 = xxhash64(shingle) & MASK32 keeps every (a*h+b) product under
+    2^63, so the universal-hash family runs in plain long arithmetic.
+    """
+    params = _perm_params(n_hashes)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_tokens(F.col(text_col))).alias("shingle"),
+    )
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit(_MASK32))
+    mins = [
+        F.min((h32 * F.lit(a) + F.lit(b)) % F.lit(_P32)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banding + signature-estimated Jaccard filter.
+
+    rows_per_band = n_hashes/n_bands; two docs collide if any band of
+    their signatures matches exactly. est_jaccard = matching-component
+    fraction of the full signatures (an unbiased Jaccard estimator).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes).cache()
+    bands = sig.select(
+        "id",
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("minhash", band * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "minhash", "b.band_idx", "b.band_hash")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.minhash").alias("ma"),
+            F.col("b.minhash").alias("mb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("ma", "mb", lambda x, y: (x == y).cast("int")),
+                lambda eq: eq == 1,
+            )
+        )
+        / F.lit(n_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash int64) via mapInPandas — Arrow batches, numpy bit math,
+    md5-based token hashing for run-to-run determinism."""
+    out_schema = f"{id_col} long, simhash long"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            sigs = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, text in enumerate(pdf[text_col].astype(str)):
+                toks = text.strip().lower().split()
+                if not toks:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for t in set(toks):
+                    h = int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "little"
+                    )
+                    bits = (h & bit_weights) != 0
+                    acc += np.where(bits, 1, -1)
+                sig = np.uint64(0)
+                sig = (bit_weights[acc > 0]).sum(dtype=np.uint64)
+                sigs[row_i] = np.int64(sig)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "simhash": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(compute, out_schema)
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Candidate pairs: docs sharing any 16-bit signature chunk; verified
+    by exact Hamming distance (bit_count of xor) <= max_hamming."""
+    sig = simhash_signatures(docs, id_col, text_col).cache()
+    chunks = sig.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -35,8 +35,19 @@ def l2_norm_sq(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """cos(a, b) = a·b / sqrt(|a|² · |b|²), computed in double."""
+    """cos(a, b) = a·b / sqrt(|a|² · |b|²), computed in double.
+
+    NOTE: evaluates three array folds per call — inside a pair join,
+    precompute each side's norm² once (see cosine_prenormed) so only the
+    dot product runs per pair.
+    """
     return dot(a, b) / F.sqrt(l2_norm_sq(a) * l2_norm_sq(b))
+
+
+def cosine_prenormed(a: Column, b: Column, a_norm_sq: Column, b_norm_sq: Column) -> Column:
+    """Pair-join cosine with per-side norms precomputed before the join —
+    the join output evaluates one fold (the dot) instead of three."""
+    return dot(a, b) / F.sqrt(a_norm_sq * b_norm_sq)
 
 
 def hyperplane_lsh_bucketizer(dim: int, n_planes: int = 16, seed: int = 42):
@@ -56,3 +67,28 @@ def hyperplane_lsh_bucketizer(dim: int, n_planes: int = 16, seed: int = 42):
         return pd.Series(bits @ weights)
 
     return bucket
+
+
+def multitable_lsh_bucketizer(
+    dim: int, n_tables: int = 8, n_bits: int = 4, seed: int = 42
+):
+    """Multi-table hyperplane LSH: array<long> of `n_tables` bucket ids
+    (table index baked into the id). A single wide bucket has vanishing
+    collision probability for moderate-similarity vectors (p^bits); the
+    union over L narrow tables restores recall: 1-(1-p^bits)^L.
+
+    One (batch × dim) @ (dim × tables*bits) matmul per Arrow batch.
+    """
+    planes = np.random.RandomState(seed).randn(dim, n_tables * n_bits)
+    bit_w = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = ((mat @ planes) >= 0).reshape(len(mat), n_tables, n_bits)
+        codes = bits @ bit_w  # (batch, n_tables)
+        table_base = (np.arange(n_tables, dtype=np.int64) + 1) << 32
+        ids = codes + table_base
+        return pd.Series(list(ids))
+
+    return buckets

@@ -1,0 +1,93 @@
+"""Approximate / UDF-backed operators surfaced as queries: MinHash-LSH,
+SimHash, LSH-blocked embedding dedup, multimodal plumbing.
+
+``mm_bytes_meta`` has a genuine DuckDB oracle (octet_length / ascii /
+sha256 over the same utf-8 payload), proving the mapInPandas plumbing
+end-to-end. The hash-family operators are rows-only checked by the
+driver; pytest asserts their recall against the exact operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.catalog import load_table
+from clockpipe_spark.operators.multimodal import (
+    blob_table,
+    extract_bytes_meta,
+    fake_decode_features,
+)
+from clockpipe_spark.operators.neardup import (
+    minhash_lsh_pairs,
+    simhash_neardup_pairs,
+)
+from clockpipe_spark.queries.textops import _doubled_corpus
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the doubled corpus (32 hashes,
+    8 bands, est-Jaccard >= 0.5). The linear-cost twin of
+    neardup_jaccard_pairs."""
+    return minhash_lsh_pairs(_doubled_corpus(spark, sf_dir), threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 2 of 64 bits) over the doubled
+    corpus; signature via mapInPandas. The tight radius keeps output
+    meaningful on this corpus — small-vocab word-salad docs are all
+    bag-of-words-similar, so wider radii match nearly everything."""
+    return simhash_neardup_pairs(_doubled_corpus(spark, sf_dir))
+
+
+def mm_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked: binary payload column ->
+    mapInPandas byte features. DuckDB computes the identical features
+    natively on the same utf-8 payload."""
+    blobs = blob_table(load_table(spark, sf_dir, "documents"))
+    return extract_bytes_meta(blobs)
+
+
+MM_BYTES_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       ascii(substring(text, 1, 1)) AS first_byte,
+       substring(sha256(text), 1, 16) AS sha256_prefix
+FROM documents
+"""
+
+
+def mm_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake decode over the blob table (real Arrow
+    plumbing, stubbed codec — see operators.multimodal docstring)."""
+    blobs = blob_table(load_table(spark, sf_dir, "documents"))
+    return fake_decode_features(blobs)
+
+
+MM_FAKE_DECODE_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) % 640 + 1 AS width,
+       octet_length(encode(text)) % 480 + 1 AS height,
+       round(list_aggregate(
+           list_transform(range(1, octet_length(encode(text)) + 1),
+                          i -> ascii(substring(text, i, 1))),
+           'avg'), 4) AS mean_byte
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "mm_bytes_meta": mm_bytes_meta,
+    "mm_fake_image_features": mm_fake_image_features,
+}
+
+ORACLES = {
+    "mm_bytes_meta": MM_BYTES_META_SQL,
+    # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
+    # families); recall vs exact Jaccard asserted in pytest.
+    # mm_fake_image_features: mean_byte needs per-char ascii in SQL — the
+    # range() expression only matches for pure-ASCII text; verified in
+    # pytest instead to stay robust.
+}

@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 from clockpipe_spark.catalog import load_table
 from clockpipe_spark.operators.vectors import (
     as_double_array,
-    cosine,
-    hyperplane_lsh_bucketizer,
+    cosine_prenormed,
+    l2_norm_sq,
+    multitable_lsh_bucketizer,
 )
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -33,16 +34,16 @@ def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         as_double_array(F.col("embedding")).alias("qe"),
-    )
+    ).withColumn("qn2", l2_norm_sq(F.col("qe")))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         as_double_array(F.col("embedding")).alias("ne"),
-    )
+    ).withColumn("nn2", l2_norm_sq(F.col("ne")))
     pairs = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qe"), F.col("ne")).alias("cos"),
+        cosine_prenormed(F.col("qe"), F.col("ne"), F.col("qn2"), F.col("nn2")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
@@ -94,14 +95,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("lbl"),
         F.col("vec_id").alias("id_a"),
         as_double_array(F.col("embedding")).alias("ea"),
-    )
+    ).withColumn("na2", l2_norm_sq(F.col("ea")))
     b = corpus.select(
         F.col("label").alias("lbl"),
         F.col("vec_id").alias("id_b"),
         as_double_array(F.col("embedding")).alias("eb"),
-    )
+    ).withColumn("nb2", l2_norm_sq(F.col("eb")))
     pairs = a.join(b, "lbl").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na2"), F.col("nb2"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= _NEARDUP_COS)
@@ -126,33 +127,43 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: bucket every vector
-    (one numpy matmul per Arrow batch), then rank only within the query's
-    bucket. The scale path: the cross-join becomes an equi-join on bucket.
+    """Approximate top-k via multi-table hyperplane LSH (8 tables × 4
+    bits): bucket every vector (one numpy matmul per Arrow batch), take
+    the union of same-bucket candidates across tables, rank by exact
+    cosine. The scale path: the cross-join becomes an equi-join on bucket
+    ids; recall comes from the table union (1-(1-p^bits)^tables), not
+    from widening any single bucket.
 
     No SQL oracle (hash family is engine-specific); pytest asserts recall
     against cosine_topk_brute.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    bucketize = hyperplane_lsh_bucketizer(dim, n_planes=8)
+    bucketize = multitable_lsh_bucketizer(dim, n_tables=8, n_bits=4)
     bucketed = emb.select(
         "vec_id",
         as_double_array(F.col("embedding")).alias("e"),
-        bucketize(F.col("embedding")).alias("bucket"),
+        bucketize(F.col("embedding")).alias("buckets"),
+    ).withColumn("n2", l2_norm_sq(F.col("e")))
+    flat = bucketed.select(
+        "vec_id", "e", "n2", F.explode("buckets").alias("bucket")
     )
-    queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = flat.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        F.col("n2").alias("qn2"),
         "bucket",
     )
-    pairs = bucketed.join(F.broadcast(queries), "bucket").filter(
-        F.col("vec_id") != F.col("query_id")
+    cand = (
+        flat.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qe", "qn2", "e", "n2")
+        .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = pairs.select(
+    scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qe"), F.col("e")).alias("cos"),
+        cosine_prenormed(F.col("qe"), F.col("e"), F.col("qn2"), F.col("n2")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (

@@ -1,0 +1,166 @@
+"""The continuous sync pipeline — the reference's IPipe lifecycle
+(initialize -> first_sync -> sync_loop, pipes/mod.rs:11-16) rebuilt on
+Structured Streaming.
+
+Two embodiments share every operator:
+
+- ``ParquetCdcPipe`` — batch-driven micro-iterations with an explicit
+  persisted cursor. Faithful to the reference's peek-then-advance
+  at-least-once protocol (T2, pipes/postgres.rs:487-499): the cursor
+  file is written only AFTER the merge commits, so a crash between
+  write and advance replays the batch; the keyed merge is idempotent,
+  absorbing the duplicates exactly like ReplacingMergeTree does.
+
+- ``run_cdc_stream`` — readStream + foreachBatch + checkpointLocation:
+  Spark's checkpoint commit plays the cursor role with the same
+  post-write ordering. This is the deployment shape for a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.cdc.changelog import changelog_from_events
+from clockpipe_spark.cdc.ops import keep_last_by_key
+from clockpipe_spark.config import PipeConfig
+from clockpipe_spark.streaming.replica import ReplicaStore
+
+
+class ParquetCdcPipe:
+    """Batch micro-iteration pipe over an events parquet acting as the
+    WAL (FIXTURES.md CDC convention: seq = LSN)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_path: str,
+        target_root: str,
+        config: PipeConfig | None = None,
+        keys: Sequence[str] = ("user_id",),
+    ):
+        self.spark = spark
+        self.events_path = events_path
+        self.config = config or PipeConfig()
+        self.keys = list(keys)
+        self.store = ReplicaStore(os.path.join(target_root, "replica"))
+        self.cursor_file = os.path.join(target_root, "cursor.json")
+        os.makedirs(target_root, exist_ok=True)
+
+    # -- offset management (T2) ------------------------------------------
+    def read_cursor(self) -> int:
+        """Last applied seq; -1 = nothing applied (resume-token analog,
+        pipes/mongodb.rs:484-496)."""
+        try:
+            with open(self.cursor_file) as f:
+                return json.load(f)["last_seq"]
+        except FileNotFoundError:
+            return -1
+
+    def advance_cursor(self, last_seq: int) -> None:
+        """Persisted only after a successful merge — peek-then-advance."""
+        tmp = self.cursor_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_seq": last_seq}, f)
+        os.replace(tmp, self.cursor_file)
+
+    # -- lifecycle (pipes/mod.rs:11-16) -----------------------------------
+    def changelog(self) -> DataFrame:
+        return changelog_from_events(self.spark.read.parquet(self.events_path))
+
+    def initialize(self) -> None:
+        """Ping-equivalent: validate source readable + target writable
+        (pipes/postgres.rs:94-108)."""
+        self.changelog().schema  # forces footer read
+        os.makedirs(self.store.root, exist_ok=True)
+
+    def first_sync(self, snapshot: DataFrame | None = None) -> None:
+        """Initial copy (idempotent-guarded, K6): skipped when the target
+        already has a version (pipes/postgres.rs:136-160)."""
+        if self.store.current_version() >= 0:
+            return
+        if snapshot is not None:
+            self.store.write(snapshot)
+
+    def sync_iteration(self) -> dict[str, int]:
+        """One peek->dedup->merge->advance iteration (T1,
+        pipes/postgres.rs:260-517). Returns per-op write counters (A3)."""
+        cursor = self.read_cursor()
+        batch = (
+            self.changelog()
+            .filter(F.col("seq") > cursor)
+            .orderBy("seq")
+            .limit(self.config.peek_changes_limit)  # peek cap (S3)
+        ).cache()
+        n = batch.count()
+        if n == 0:
+            return {}
+        counters = {
+            r["op"]: r["n"]
+            for r in batch.groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        deduped = keep_last_by_key(batch, self.keys, "seq")
+        self.store.merge_changes(
+            self.spark, deduped.select("seq", "op", *self.keys, "value", "ts"), self.keys
+        )
+        last_seq = batch.agg(F.max("seq")).first()[0]
+        batch.unpersist()
+        self.advance_cursor(last_seq)  # only after the write committed
+        return counters
+
+    def sync_loop(self, max_iterations: int | None = None, sleep: bool = False) -> int:
+        """Drain the log in peek-capped iterations; returns iterations
+        run. ``sleep`` applies the reference's 100 ms cadence."""
+        it = 0
+        while max_iterations is None or it < max_iterations:
+            if not self.sync_iteration():
+                break
+            it += 1
+            if sleep:
+                time.sleep(self.config.sleep_millis_after_sync_iteration / 1000)
+        return it
+
+    def run_pipe(self, snapshot: DataFrame | None = None, max_iterations=None) -> int:
+        self.initialize()
+        self.first_sync(snapshot)
+        return self.sync_loop(max_iterations)
+
+
+def run_cdc_stream(
+    spark: SparkSession,
+    events_dir: str,
+    target_root: str,
+    checkpoint_dir: str,
+    keys: Sequence[str] = ("user_id",),
+):
+    """Structured Streaming embodiment: readStream over the events dir,
+    foreachBatch does dedup+merge, the streaming checkpoint commits
+    offsets after each batch (= peek-then-advance).
+
+    Uses availableNow so tests drain the source and stop; a deployment
+    would use trigger(processingTime='100 milliseconds') to match the
+    reference cadence (T1).
+    """
+    store = ReplicaStore(os.path.join(target_root, "replica"))
+    schema = spark.read.parquet(events_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    clog = changelog_from_events(stream)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = keep_last_by_key(batch_df, list(keys), "seq")
+        store.merge_changes(
+            spark, deduped.select("seq", "op", *keys, "value", "ts"), list(keys)
+        )
+
+    return (
+        clog.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

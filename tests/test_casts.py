@@ -1,0 +1,88 @@
+"""Cast-quirk fidelity: the reference's own unit-test vectors
+(FIXTURES.md §B) run through the engine's column expressions.
+
+Sources: datetime truncation pgoutput.rs:598-628; array parse
+pgoutput.rs:560-596; bool parse pgoutput.rs:157-163; numeric defaults
+pgoutput.rs:82-98; ObjectId/Binary mongodb.rs:381, 394-399.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from clockpipe_spark.functions.casts import (
+    binary_base64,
+    mask_column,
+    objectid_hex,
+    pg_bool_parse,
+    pg_datetime_trunc,
+    pg_string_array_parse,
+    pg_to_int,
+    pg_to_real,
+)
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).first()["v"]
+
+
+def test_datetime_truncation(spark):
+    # pgoutput.rs:599-628 regression vectors
+    cases = [
+        ("2025-08-18 05:16:08.490845+00", "2025-08-18 05:16:08"),
+        ("2025-08-18 05:16:08.860455", "2025-08-18 05:16:08"),
+        ("2025-08-17 22:00:00+00", "2025-08-17 22:00:00"),
+    ]
+    for raw, expected in cases:
+        got = _one(
+            spark, pg_datetime_trunc(F.lit(raw).cast("timestamp"))
+        )
+        assert got == datetime.datetime.fromisoformat(expected), raw
+
+
+def test_bool_parse(spark):
+    # pgoutput.rs:157-163: 't'|'1'|'true' TRUE, anything else FALSE
+    for s, expected in [
+        ("t", True), ("1", True), ("true", True),
+        ("f", False), ("0", False), ("false", False),
+        ("yes", False), ("TRUE", True), ("", False),
+    ]:
+        assert _one(spark, pg_bool_parse(F.lit(s))) is expected, s
+
+
+def test_numeric_cast_defaults(spark):
+    # pgoutput.rs:82-98: failed parses default to zero, not NULL
+    assert _one(spark, pg_to_int(F.lit("12abc"))) == 0
+    assert _one(spark, pg_to_int(F.lit("1.5"))) == 0  # Rust i64 parse fails
+    assert _one(spark, pg_to_int(F.lit("-42"))) == -42
+    assert _one(spark, pg_to_real(F.lit("abc"))) == 0.0
+    assert _one(spark, pg_to_real(F.lit("1.5"))) == 1.5
+    assert _one(spark, pg_to_real(F.lit("-2.25e2"))) == -225.0
+
+
+def test_pg_string_array_parse(spark):
+    # pgoutput.rs:560-596: quoted elements, commas inside elements kept
+    raw = (
+        '{"Flower design","Pearl embellishments","Adjustable straps",'
+        '"White stripes on collar, cuffs, and hem","Inner lining",'
+        '"Keyhole with button closure at back"}'
+    )
+    got = _one(spark, pg_string_array_parse(F.lit(raw)))
+    assert len(got) == 6
+    assert got[3] == "White stripes on collar, cuffs, and hem"
+    assert _one(spark, pg_string_array_parse(F.lit("{}"))) == []
+
+
+def test_masking(spark):
+    # adapter/mod.rs:183-185: masked column -> typed NULL regardless of value
+    assert _one(spark, mask_column("double")) is None
+    assert _one(spark, mask_column("string")) is None
+
+
+def test_objectid_and_binary(spark):
+    # mongodb.rs:381 (ObjectId -> 24-char hex), 394-399 (Binary -> base64)
+    oid = bytes.fromhex("507f1f77bcf86cd799439011")
+    assert _one(spark, objectid_hex(F.lit(oid))) == "507f1f77bcf86cd799439011"
+    assert _one(spark, binary_base64(F.lit(b"hello"))) == "aGVsbG8="

@@ -1,0 +1,44 @@
+"""Similarity-search correctness: ANN recall vs brute force, approx
+count-distinct error bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clockpipe_spark.queries.relational import (
+    approx_distinct_users,
+    distinct_users_per_event_type,
+)
+from clockpipe_spark.queries.similarity import ann_lsh_topk, cosine_topk_brute
+
+
+def test_ann_recall_vs_brute(spark, sf_dir):
+    brute = cosine_topk_brute(spark, sf_dir).collect()
+    ann = ann_lsh_topk(spark, sf_dir).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in brute if r["rnk"] == 1}
+    ann_by_q: dict[int, set[int]] = {}
+    for r in ann:
+        ann_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # LSH with 8 planes on random data: expect the true top-1 to be found
+    # for a reasonable share of queries (same-bucket probability rises
+    # with cosine similarity)
+    hits = sum(1 for q, n in top1.items() if n in ann_by_q.get(q, set()))
+    assert hits / len(top1) >= 0.3, f"top-1 recall {hits}/{len(top1)}"
+
+
+def test_ann_excludes_self(spark, sf_dir):
+    ann = ann_lsh_topk(spark, sf_dir).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in ann)
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in distinct_users_per_event_type(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(spark, sf_dir).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.1, (et, n, approx[et])
