@@ -98,6 +98,31 @@ def route_counts(
     return changelog.groupBy(table_col, op_col).agg(F.count("*").alias("n_changes"))
 
 
+def fill_unchanged_toast(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    order_col: str = "seq",
+) -> DataFrame:
+    """T5 — TOAST 'unchanged' backfill (pgoutput.rs:517-551).
+
+    An UPDATE's unchanged TOAST cells arrive as NULL ('u' marker); the
+    reference back-fills them from the old tuple when REPLICA IDENTITY
+    FULL provides it. The set-oriented equivalent: per key in change
+    order, carry the last non-null value forward —
+    last(col, ignorenulls) over an unbounded-preceding frame.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = df
+    for c in value_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled
+
+
 def apply_changelog_to_snapshot(
     snapshot: DataFrame,
     changelog: DataFrame,

@@ -15,11 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 from clockpipe_spark.queries import approximate as _approximate
 from clockpipe_spark.queries import cdc as _cdc
 from clockpipe_spark.queries import relational as _relational
+from clockpipe_spark.queries import relational2 as _relational2
 from clockpipe_spark.queries import similarity as _similarity
 from clockpipe_spark.queries import streamlike as _streamlike
 from clockpipe_spark.queries import textops as _textops
 
-_MODULES = (_relational, _cdc, _textops, _similarity, _streamlike, _approximate)
+_MODULES = (
+    _relational,
+    _relational2,
+    _cdc,
+    _textops,
+    _similarity,
+    _streamlike,
+    _approximate,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -222,8 +222,33 @@ FROM (
 """
 
 
+def cdc_mongo_infer_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo-style dynamic schema: infer field types from the first
+    observed JSON value (first-type-wins, adapter/mongodb.rs:523-559)
+    and project typed columns. The events.props JSON column plays the
+    document collection."""
+    from clockpipe_spark.cdc.mongo_schema import (
+        infer_first_type_wins,
+        project_collection,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"), "props"
+    )
+    schema = infer_first_type_wins(events, "props", "seq")
+    return project_collection(events, schema).drop("props")
+
+
+CDC_MONGO_SQL = """
+SELECT event_id AS seq,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
+    "cdc_mongo_infer_project": cdc_mongo_infer_project,
     "cdc_keep_last": cdc_keep_last,
     "cdc_replica_state": cdc_replica_state,
     "cdc_route_counts": cdc_route_counts,
@@ -235,6 +260,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
+    "cdc_mongo_infer_project": CDC_MONGO_SQL,
     "cdc_keep_last": CDC_KEEP_LAST_DEDUP_SQL,
     "cdc_replica_state": CDC_REPLICA_SQL,
     "cdc_route_counts": CDC_ROUTE_SQL,

@@ -104,7 +104,19 @@ class ParquetCdcPipe:
             r["op"]: r["n"]
             for r in batch.groupBy("op").agg(F.count("*").alias("n")).collect()
         }
-        deduped = keep_last_by_key(batch, self.keys, "seq")
+        # K3: a Truncate wipes state inline; only changes AFTER the last
+        # truncate in this batch survive (pipes/postgres.rs:391-417)
+        if counters.get("T"):
+            t_max = batch.filter(F.col("op") == "T").agg(F.max("seq")).first()[0]
+            self.store.truncate(self.spark)
+            batch_after = batch.filter(F.col("seq") > t_max)
+            if batch_after.isEmpty():
+                last_seq = batch.agg(F.max("seq")).first()[0]
+                batch.unpersist()
+                self.advance_cursor(last_seq)
+                return counters
+            batch = batch_after
+        deduped = keep_last_by_key(batch.filter(F.col("op") != "T"), self.keys, "seq")
         self.store.merge_changes(
             self.spark, deduped.select("seq", "op", *self.keys, "value", "ts"), self.keys
         )

@@ -94,17 +94,31 @@ class ReplicaStore:
         from clockpipe_spark.cdc.ops import keep_last_by_key
 
         changes = changes.withColumn("last_seq", F.col(order_col))
-        data_cols = [c for c in changes.columns if c not in (order_col, op_col)]
-        log = changes.select(order_col, op_col, *data_cols)
+        log = changes.select(
+            order_col, op_col,
+            *[c for c in changes.columns if c not in (order_col, op_col)],
+        )
         state = self.read_raw(spark)
         if state is not None:
             state_as_log = state.withColumn(order_col, F.col("last_seq")).withColumn(
                 op_col, F.when(F.col("__deleted"), "D").otherwise("I")
             ).drop("__deleted")
-            log = log.unionByName(state_as_log.select(*log.columns))
+            # allowMissingColumns = schema evolution (K5): a new source
+            # column appears -> NULL-filled in old state rows; a dropped
+            # column stays in place NULL-filled (docs/postgres/README.md:55-62)
+            log = log.unionByName(state_as_log, allowMissingColumns=True)
+        data_cols = [c for c in log.columns if c not in (order_col, op_col)]
         merged = (
             keep_last_by_key(log, keys, order_col)
             .withColumn("__deleted", F.col(op_col) == "D")
             .select(*data_cols, "__deleted")
         )
         return self.write(merged)
+
+    def truncate(self, spark: SparkSession) -> int | None:
+        """K3 — TRUNCATE propagation: drop all state, keep the schema
+        (pipes/postgres.rs:391-417 applies it inline, not queued)."""
+        state = self.read_raw(spark)
+        if state is None:
+            return None
+        return self.write(state.limit(0))
