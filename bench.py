@@ -35,10 +35,14 @@ HEADLINE = [
     "stream_session_windows",
     "text_quality_scores",
     "text_fingerprint",
+    "text_bpe_token_stats",
+    "text_rolling_hash",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "neardup_jaccard_pairs",
     "cosine_topk_brute",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_neardup_pairs",
 ]
 

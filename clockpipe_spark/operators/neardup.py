@@ -43,9 +43,12 @@ def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def shingle_tokens(text_col, k: int = 3):
-    """Distinct k-word shingles (same tokenization as textops)."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+def shingles_from_tokens(toks, k: int = 3):
+    """Distinct k-word shingles from an already-materialized token array
+    column. IMPORTANT: pass a real column reference, not the split()
+    expression — Catalyst does not eliminate common subexpressions inside
+    higher-order-function lambdas, so an inline split() re-tokenizes the
+    document per element (O(tokens²) per doc, measured 10× slowdown)."""
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -54,6 +57,12 @@ def shingle_tokens(text_col, k: int = 3):
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_tokens(text_col, k: int = 3):
+    """Distinct k-word shingles (same tokenization as textops). Prefer
+    tokenizing into a column first + shingles_from_tokens in hot paths."""
+    return shingles_from_tokens(F.split(F.trim(F.lower(text_col)), r"\s+"), k)
 
 
 def minhash_signatures(
@@ -65,10 +74,11 @@ def minhash_signatures(
     2^63, so the universal-hash family runs in plain long arithmetic.
     """
     params = _perm_params(n_hashes)
-    sh = docs.select(
+    toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_tokens(F.col(text_col))).alias("shingle"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
     )
+    sh = toks.select("id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"))
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit(_MASK32))
     mins = [
         F.min((h32 * F.lit(a) + F.lit(b)) % F.lit(_P32)).alias(f"m{i}")
@@ -96,9 +106,11 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(docs, id_col, text_col, n_hashes).cache()
+    # bands carry only (id, band_idx, band_hash) — signatures are joined
+    # back AFTER the candidate pairs are deduped, so the band self-join
+    # never shuffles the 32-long arrays per duplicate candidate
     bands = sig.select(
         "id",
-        "minhash",
         F.explode(
             F.array(
                 *[
@@ -115,7 +127,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "minhash", "b.band_idx", "b.band_hash")
+    ).select("id", "b.band_idx", "b.band_hash")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -125,14 +137,12 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.minhash").alias("ma"),
-            F.col("b.minhash").alias("mb"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.select(F.col("id").alias("doc_a"), F.col("minhash").alias("ma"))
+    sb = sig.select(F.col("id").alias("doc_b"), F.col("minhash").alias("mb"))
+    scored = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
     est = (
         F.size(
             F.filter(
@@ -143,7 +153,7 @@ def minhash_lsh_pairs(
         / F.lit(n_hashes)
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        scored.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )

@@ -69,6 +69,46 @@ def hyperplane_lsh_bucketizer(dim: int, n_planes: int = 16, seed: int = 42):
     return bucket
 
 
+def ivf_assigner(centroids: np.ndarray, nprobe: int = 1):
+    """IVF coarse quantizer: pandas UDF mapping a vector to its `nprobe`
+    nearest centroid ids (by cosine). One matmul per Arrow batch.
+
+    `centroids` is a (K, dim) matrix — at scale it comes from a k-means
+    sample pass; the caller owns that choice (the operator is agnostic).
+    """
+    norms = np.linalg.norm(centroids, axis=1)
+    normed = centroids / np.maximum(norms[:, None], 1e-12)
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
+        sims = mat @ normed.T  # (batch, K)
+        idx = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return assign
+
+
+def kmeans_lite(sample: np.ndarray, k: int, n_iter: int = 5, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means for IVF centroid training on a driver-
+    side sample (spherical: cosine assignment, mean re-centering). At
+    100 TB the sample is a few 100k rows — this exact routine still
+    applies; only the sampling is distributed."""
+    rng = np.random.RandomState(seed)
+    X = sample / np.maximum(np.linalg.norm(sample, axis=1)[:, None], 1e-12)
+    centroids = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(n_iter):
+        sims = X @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                centroids[j] = c / max(np.linalg.norm(c), 1e-12)
+    return centroids
+
+
 def multitable_lsh_bucketizer(
     dim: int, n_tables: int = 8, n_bits: int = 4, seed: int = 42
 ):

@@ -19,12 +19,14 @@ from clockpipe_spark.queries import relational2 as _relational2
 from clockpipe_spark.queries import similarity as _similarity
 from clockpipe_spark.queries import streamlike as _streamlike
 from clockpipe_spark.queries import textops as _textops
+from clockpipe_spark.queries import textops2 as _textops2
 
 _MODULES = (
     _relational,
     _relational2,
     _cdc,
     _textops,
+    _textops2,
     _similarity,
     _streamlike,
     _approximate,

@@ -173,10 +173,66 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: k-means-lite centroids trained on a
+    driver sample, coarse-quantize every vector to its cell (nprobe=1),
+    queries probe their 2 nearest cells; exact cosine rank within the
+    probed cells. The other canonical ANN scale path next to LSH —
+    candidate cost is corpus/K per probe instead of the full corpus.
+
+    Rows-only check (centroids are engine-specific state); recall vs
+    brute force asserted in pytest.
+    """
+    import numpy as np
+
+    from clockpipe_spark.operators.vectors import ivf_assigner, kmeans_lite
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r["embedding"] for r in emb.select("embedding").limit(512).collect()],
+        dtype=np.float64,
+    )
+    k = max(4, min(16, len(sample) // 32))
+    centroids = kmeans_lite(sample, k)
+
+    assign1 = ivf_assigner(centroids, nprobe=1)
+    corpus = emb.select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("e"),
+        F.element_at(assign1(F.col("embedding")), 1).alias("cell"),
+    ).withColumn("n2", l2_norm_sq(F.col("e")))
+
+    assign2 = ivf_assigner(centroids, nprobe=2)
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array(F.col("embedding")).alias("qe"),
+            F.explode(assign2(F.col("embedding"))).alias("cell"),
+        )
+        .withColumn("qn2", l2_norm_sq(F.col("qe")))
+    )
+    cand = corpus.join(F.broadcast(queries), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_prenormed(F.col("qe"), F.col("e"), F.col("qn2"), F.col("n2")).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
 QUERIES = {
     "cosine_topk_brute": cosine_topk_brute,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES = {

@@ -209,33 +209,22 @@ _SHINGLE_K = 3
 _JACCARD_THRESHOLD = 0.5
 
 
-def _shingles(text_col):
-    """Distinct k-word shingles as an array column. Guarded: docs shorter
-    than k tokens contribute no shingles (Spark's sequence() would count
-    DOWN for start>stop, so the when() guard is load-bearing)."""
-    toks = _tokens(text_col)
-    n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), n - (_SHINGLE_K - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(_SHINGLE_K)]
-        ),
-    )
-    return F.when(n >= _SHINGLE_K, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join:
     explode distinct shingles, self-join on shingle (only co-occurring
     docs meet), count intersections, Jaccard from |A|+|B|-|A∩B|.
 
     Output-bound instead of O(n²): cost scales with shingle co-occurrence,
-    not corpus size squared."""
+    not corpus size squared. Tokens are materialized as a column before
+    shingling (see operators.neardup.shingles_from_tokens: inline split()
+    inside a lambda re-tokenizes per element)."""
+    from clockpipe_spark.operators.neardup import shingles_from_tokens
+
     corpus = _doubled_corpus(spark, sf_dir)
-    sh = corpus.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), _SHINGLE_K)).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")

@@ -9,7 +9,11 @@ from clockpipe_spark.queries.relational import (
     approx_distinct_users,
     distinct_users_per_event_type,
 )
-from clockpipe_spark.queries.similarity import ann_lsh_topk, cosine_topk_brute
+from clockpipe_spark.queries.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk_brute,
+)
 
 
 def test_ann_recall_vs_brute(spark, sf_dir):
@@ -24,6 +28,19 @@ def test_ann_recall_vs_brute(spark, sf_dir):
     # with cosine similarity)
     hits = sum(1 for q, n in top1.items() if n in ann_by_q.get(q, set()))
     assert hits / len(top1) >= 0.3, f"top-1 recall {hits}/{len(top1)}"
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    brute = cosine_topk_brute(spark, sf_dir).collect()
+    ivf = ann_ivf_topk(spark, sf_dir).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in brute if r["rnk"] == 1}
+    by_q: dict[int, set[int]] = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n in top1.items() if n in by_q.get(q, set()))
+    # nprobe=2 of ~8-16 cells: the true top-1 should usually be probed
+    assert hits / len(top1) >= 0.3, f"IVF top-1 recall {hits}/{len(top1)}"
+    assert all(r["neighbor_id"] != r["query_id"] for r in ivf)
 
 
 def test_ann_excludes_self(spark, sf_dir):

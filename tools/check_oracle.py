@@ -11,6 +11,7 @@ import sys
 import traceback
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -29,6 +30,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = col.round(6)
         elif pd.api.types.is_datetime64_any_dtype(col):
             out[c] = pd.to_datetime(col).dt.tz_localize(None)
+        elif len(col) and isinstance(col.iloc[0], (list, tuple, np.ndarray)):
+            out[c] = col.map(
+                lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
+            )
         else:
             out[c] = col
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
