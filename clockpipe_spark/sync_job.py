@@ -1,0 +1,164 @@
+"""Config-driven multi-table sync job — the reference's end-to-end
+product shape (main.rs:27-49 -> pipes/postgres.rs:748-769): read a JSON
+config, snapshot each configured table (with masking and the idempotent
+skip guard), then drain the change log with per-table routing into one
+replica store per table.
+
+Source endpoints are parquet directories in this harness; the operator
+chain (align -> mask -> cast -> merge) is the deployment-real part and
+is shared verbatim with the streaming embodiment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.cdc.changelog import changelog_from_events
+from clockpipe_spark.cdc.ops import apply_masks, keep_last_by_key
+from clockpipe_spark.config import PipeConfig
+from clockpipe_spark.streaming.replica import ReplicaStore
+
+
+class SyncJob:
+    """initialize -> first_sync -> sync_loop over MULTIPLE tables
+    (IPipe lifecycle, pipes/mod.rs:11-16) with group-by-table routing
+    (A2, pipes/postgres.rs:295-420) and per-table/op write counters
+    (A3, WriteCounter pipes/mod.rs:23-28)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipeConfig,
+        source_dir: str,
+        target_root: str,
+        changelog_fn: Callable[[SparkSession], DataFrame] | None = None,
+        keys: tuple[str, ...] = ("user_id",),
+    ):
+        self.spark = spark
+        self.config = config
+        self.source_dir = source_dir
+        self.target_root = target_root
+        self.keys = list(keys)
+        self._changelog_fn = changelog_fn
+        self.cursor_file = os.path.join(target_root, "cursor.json")
+        os.makedirs(target_root, exist_ok=True)
+        self.stores: dict[str, ReplicaStore] = {}
+
+    def store_for(self, table: str) -> ReplicaStore:
+        if table not in self.stores:
+            self.stores[table] = ReplicaStore(
+                os.path.join(self.target_root, table)
+            )
+        return self.stores[table]
+
+    # -- lifecycle ---------------------------------------------------------
+    def initialize(self) -> None:
+        """Ping both ends (T7, pipes/postgres.rs:94-108): source paths
+        must be readable, target root writable."""
+        for t in self.config.tables:
+            path = os.path.join(self.source_dir, f"{t.table_name}.parquet")
+            if not t.skip_copy and not os.path.exists(path):
+                raise FileNotFoundError(f"source table missing: {path}")
+        os.makedirs(self.target_root, exist_ok=True)
+
+    def first_sync(self) -> dict[str, int]:
+        """Snapshot copy per configured table: skip_copy / non-empty
+        target guards (K6, pipes/postgres.rs:136-160), masking applied
+        before write (P2). Returns rows copied per table."""
+        copied: dict[str, int] = {}
+        for t in self.config.tables:
+            store = self.store_for(t.table_name)
+            if t.skip_copy or store.current_version() >= 0:
+                copied[t.table_name] = 0
+                continue
+            df = self.spark.read.parquet(
+                os.path.join(self.source_dir, f"{t.table_name}.parquet")
+            )
+            df = apply_masks(df, t.mask_columns)
+            state = df.withColumn("last_seq", F.lit(-1).cast("bigint")).withColumn(
+                "__deleted", F.lit(False)
+            )
+            store.write(state)
+            copied[t.table_name] = store.read(self.spark).count()
+        return copied
+
+    # -- change loop --------------------------------------------------------
+    def changelog(self) -> DataFrame:
+        if self._changelog_fn is not None:
+            return self._changelog_fn(self.spark)
+        events = self.spark.read.parquet(os.path.join(self.source_dir, "events.parquet"))
+        # normalize the nanos ts like catalog.load_table
+        from pyspark.sql import types as T
+
+        if isinstance(events.schema["ts"].dataType, T.LongType):
+            events = events.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return changelog_from_events(events)
+
+    def read_cursor(self) -> int:
+        try:
+            with open(self.cursor_file) as f:
+                return json.load(f)["last_seq"]
+        except FileNotFoundError:
+            return -1
+
+    def advance_cursor(self, last_seq: int) -> None:
+        tmp = self.cursor_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_seq": last_seq}, f)
+        os.replace(tmp, self.cursor_file)
+
+    def sync_iteration(self) -> dict[tuple[str, str], int]:
+        """peek -> route per table -> dedup -> merge each table's store ->
+        advance (after ALL tables committed). Returns (table, op) -> n
+        counters, the reference's per-iteration log line."""
+        cursor = self.read_cursor()
+        batch = (
+            self.changelog()
+            .filter(F.col("seq") > cursor)
+            .orderBy("seq")
+            .limit(self.config.peek_changes_limit)
+        ).cache()
+        if batch.isEmpty():
+            batch.unpersist()
+            return {}
+        counters = {
+            (r["tbl"], r["op"]): r["n"]
+            for r in batch.groupBy("tbl", "op").agg(F.count("*").alias("n")).collect()
+        }
+        tables = sorted({t for t, _ in counters})
+        for tbl in tables:
+            part = batch.filter(F.col("tbl") == tbl)
+            deduped = keep_last_by_key(part, self.keys, "seq")
+            self.store_for(tbl).merge_changes(
+                self.spark,
+                deduped.select("seq", "op", *self.keys, "value", "ts"),
+                self.keys,
+            )
+        last_seq = batch.agg(F.max("seq")).first()[0]
+        batch.unpersist()
+        self.advance_cursor(last_seq)
+        return counters
+
+    def sync_loop(self, max_iterations: int | None = None, sleep: bool = False) -> int:
+        it = 0
+        while max_iterations is None or it < max_iterations:
+            if not self.sync_iteration():
+                break
+            it += 1
+            if sleep:
+                time.sleep(self.config.sleep_millis_after_sync_iteration / 1000)
+        return it
+
+    def run(self, max_iterations: int | None = None) -> dict:
+        self.initialize()
+        copied = self.first_sync()
+        iterations = self.sync_loop(max_iterations)
+        return {"copied": copied, "iterations": iterations}
