@@ -16,6 +16,7 @@ from clockpipe_spark.queries import approximate as _approximate
 from clockpipe_spark.queries import cdc as _cdc
 from clockpipe_spark.queries import relational as _relational
 from clockpipe_spark.queries import relational2 as _relational2
+from clockpipe_spark.queries import relational3 as _relational3
 from clockpipe_spark.queries import similarity as _similarity
 from clockpipe_spark.queries import streamlike as _streamlike
 from clockpipe_spark.queries import textops as _textops
@@ -24,6 +25,7 @@ from clockpipe_spark.queries import textops2 as _textops2
 _MODULES = (
     _relational,
     _relational2,
+    _relational3,
     _cdc,
     _textops,
     _textops2,

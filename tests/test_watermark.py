@@ -1,0 +1,73 @@
+"""Watermark semantics: events older than the watermark are dropped —
+the late-data contract the reference lacks entirely (T6)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from clockpipe_spark.streaming.windows import tumbling_counts
+
+
+def _events(spark, rows, start_id=0):
+    return spark.createDataFrame(
+        [
+            (start_id + i, datetime.datetime(2024, 1, 1, h, m), 1, "click", 1.0, None)
+            for i, (h, m) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _wait_batches(q, n, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(done) >= n:
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_late_event_beyond_watermark_dropped(spark, tmp_path):
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # file 1 exists before the stream starts: events at 10:00-12:00.
+    # watermark after this batch = 12:00 - 1h = 11:00
+    _events(spark, [(10, 0), (11, 30), (12, 0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = tumbling_counts(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")  # append only emits FINALIZED windows
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_batches(q, 1), "first batch did not run"
+        # now a LATE file arrives: 08:00 (< watermark 11:00) and 13:00
+        _events(spark, [(8, 0), (13, 0)], start_id=100).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert _wait_batches(q, 2), "second batch did not run"
+        time.sleep(2)  # one more trigger so the final watermark emits windows
+    finally:
+        q.stop()
+
+    emitted = {
+        r["window_start"].hour: r["n"]
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # the late 08:00 event arrived when the watermark was 11:00 -> dropped
+    assert 8 not in emitted
+    # windows whose end <= final watermark (12:00) are finalized
+    assert emitted.get(10) == 1 and emitted.get(11) == 1
