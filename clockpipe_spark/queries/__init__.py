@@ -20,12 +20,14 @@ from clockpipe_spark.queries import relational3 as _relational3
 from clockpipe_spark.queries import similarity as _similarity
 from clockpipe_spark.queries import streamlike as _streamlike
 from clockpipe_spark.queries import textops as _textops
+from clockpipe_spark.queries import timeseries as _timeseries
 from clockpipe_spark.queries import textops2 as _textops2
 
 _MODULES = (
     _relational,
     _relational2,
     _relational3,
+    _timeseries,
     _cdc,
     _textops,
     _textops2,
