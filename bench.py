@@ -35,6 +35,11 @@ HEADLINE = [
     "stream_session_windows",
     "text_quality_scores",
     "text_fingerprint",
+    "asof_last_purchase",
+    "range_join_ship_latency",
+    "stats_percentiles",
+    "udf_zscore_per_user",
+    "grouping_sets_lineitem",
     "text_bpe_token_stats",
     "text_rolling_hash",
     "dedup_exact",

@@ -76,7 +76,29 @@ FROM documents
 """
 
 
+def udf_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map surface with an exact SQL twin: per-user
+    z-score of event values (sample stddev)."""
+    from clockpipe_spark.operators.grouped import zscore_per_group
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "user_str", F.col("user_id").cast("string")
+    )
+    return zscore_per_group(events, "user_str", "value", "event_id").select(
+        "event_id", F.col("user_str").cast("bigint").alias("user_id"), "z"
+    )
+
+
+UDF_ZSCORE_SQL = """
+SELECT event_id, user_id,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
 QUERIES = {
+    "udf_zscore_per_user": udf_zscore_per_user,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "mm_bytes_meta": mm_bytes_meta,
@@ -84,6 +106,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udf_zscore_per_user": UDF_ZSCORE_SQL,
     "mm_bytes_meta": MM_BYTES_META_SQL,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
     # families); recall vs exact Jaccard asserted in pytest.
