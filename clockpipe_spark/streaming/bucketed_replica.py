@@ -1,0 +1,143 @@
+"""Bucketed replica store: hash-partitioned upsert state where a merge
+rewrites ONLY the buckets containing changed keys.
+
+This is the scale-out version of ReplicaStore (same merge semantics:
+version column + tombstones). State is split into N buckets by
+hash(PK) mod N; a micro-batch that touches keys in 3 of 64 buckets
+reads+rewrites 3/64ths of the state instead of all of it. A manifest
+maps bucket -> data file version, and the _CURRENT pointer swap makes
+the whole multi-bucket commit atomic for readers (a crash mid-commit
+leaves the previous manifest current).
+
+This is the minimal transactional core of what Delta/Iceberg provide;
+with those available, `merge_changes` becomes a single `MERGE INTO` on
+a table bucketed/Z-ordered by PK and this file disappears — the
+operator layer above is unchanged either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.cdc.ops import keep_last_by_key
+
+
+class BucketedReplicaStore:
+    def __init__(self, root: str, n_buckets: int = 16):
+        self.root = root
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest / commit protocol ---------------------------------------
+    @property
+    def _current_file(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"manifest_{version:06d}.json")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._current_file) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def read_manifest(self) -> dict[str, str]:
+        v = self.current_version()
+        if v < 0:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict[str, str]) -> int:
+        v = self.current_version() + 1
+        with open(self._manifest_path(v), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._current_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._current_file)
+        return v
+
+    # -- data access --------------------------------------------------------
+    def _bucket_expr(self, keys: Sequence[str]):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.n_buckets))
+
+    def read_raw(self, spark: SparkSession) -> DataFrame | None:
+        manifest = self.read_manifest()
+        if not manifest:
+            return None
+        paths = sorted(set(manifest.values()))
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.read_raw(spark)
+        if raw is None:
+            return None
+        return raw.filter(~raw["__deleted"]).drop("__deleted")
+
+    def _read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame | None:
+        manifest = self.read_manifest()
+        paths = sorted({manifest[str(b)] for b in buckets if str(b) in manifest})
+        if not paths:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def merge_changes(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        keys: Sequence[str],
+        order_col: str = "seq",
+        op_col: str = "op",
+    ) -> int:
+        """Same merge semantics as ReplicaStore.merge_changes, touching
+        only the buckets the batch's keys hash into. The bucket id is
+        always recomputed from the keys (never persisted as data), so
+        bucket membership survives schema evolution and re-reads."""
+        changes = changes.withColumn("last_seq", F.col(order_col))
+        touched = [
+            r["b"]
+            for r in changes.select(
+                self._bucket_expr(keys).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        log = changes.select(
+            order_col, op_col,
+            *[c for c in changes.columns if c not in (order_col, op_col)],
+        )
+        state = self._read_buckets(spark, touched)
+        if state is not None:
+            state_as_log = state.withColumn(order_col, F.col("last_seq")).withColumn(
+                op_col, F.when(F.col("__deleted"), "D").otherwise("I")
+            ).drop("__deleted")
+            log = log.unionByName(state_as_log, allowMissingColumns=True)
+        data_cols = [c for c in log.columns if c not in (order_col, op_col)]
+        merged = (
+            keep_last_by_key(log, keys, order_col)
+            .withColumn("__deleted", F.col(op_col) == "D")
+            .select(*data_cols, "__deleted")
+            .withColumn("__bucket", self._bucket_expr(keys).cast("int"))
+        )
+
+        # write each touched bucket to a fresh path, reuse the rest
+        version = self.current_version() + 1
+        manifest = dict(self.read_manifest())
+        out_dir = os.path.join(self.root, f"v_{version:06d}")
+        (
+            merged.repartition(max(1, len(touched)), "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out_dir)
+        )
+        for b in touched:
+            manifest[str(b)] = os.path.join(out_dir, f"__bucket={b}")
+        return self._commit(manifest)

@@ -37,6 +37,17 @@ def sliding_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """CROSS-batch streaming dedup with TTL'd state — the upgrade over
+    the reference's per-batch-only dedup (SURVEY §2.7 T2 note: its
+    cross-batch duplicates are only absorbed later by the sink's merge).
+    dropDuplicatesWithinWatermark keeps key state only until the
+    watermark passes it: bounded state at 100 TB event volume."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def session_stats(stream: DataFrame, gap: str = "30 minutes",
                   watermark: str = "2 hours") -> DataFrame:
     """Per-user session windows (inactivity gap) — stateful merge windows."""

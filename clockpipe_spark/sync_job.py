@@ -147,10 +147,32 @@ class SyncJob:
         self.advance_cursor(last_seq)
         return counters
 
-    def sync_loop(self, max_iterations: int | None = None, sleep: bool = False) -> int:
+    def sync_loop(
+        self,
+        max_iterations: int | None = None,
+        sleep: bool = False,
+        max_retries: int = 3,
+    ) -> int:
+        """Drain the log. A failed iteration is retried WITHOUT advancing
+        the cursor (T3, pipes/postgres.rs:433-452): the next attempt
+        re-peeks the same batch; the keyed merge makes the replay safe.
+        In deployment the retry backoff is
+        ``sleep_millis_when_peek_failed`` (5000 ms, config.rs:156-159).
+        """
         it = 0
+        failures = 0
         while max_iterations is None or it < max_iterations:
-            if not self.sync_iteration():
+            try:
+                counters = self.sync_iteration()
+            except Exception:
+                failures += 1
+                if failures > max_retries:
+                    raise
+                if sleep:
+                    time.sleep(self.config.sleep_millis_when_peek_failed / 1000)
+                continue  # cursor untouched -> same batch re-peeked
+            failures = 0
+            if not counters:
                 break
             it += 1
             if sleep:

@@ -75,6 +75,41 @@ def test_sync_job_snapshot_idempotent(spark, sf_dir, tmp_path):
     assert first["customer"] > 0 and again["customer"] == 0
 
 
+def test_retry_without_advance(spark, sf_dir, tmp_path):
+    """T3: a write failure leaves the cursor untouched; the retry
+    re-peeks the SAME batch and the final state is unaffected."""
+    cfg = PipeConfig.from_json(CONFIG_JSON)
+    job = SyncJob(spark, cfg, sf_dir, str(tmp_path / "retry"))
+    job.initialize()
+
+    real_iteration = job.sync_iteration
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail the second iteration once
+            raise RuntimeError("injected sink failure")
+        return real_iteration()
+
+    job.sync_iteration = flaky
+    iterations = job.sync_loop()
+    assert calls["n"] >= 3  # iteration 2 ran twice (fail + retry)
+
+    clog = changelog_from_events(load_table(spark, sf_dir, "events"))
+    for tbl in ("t0", "t1"):
+        expected = {
+            r["user_id"]: r["seq"]
+            for r in replica_state(
+                clog.filter(clog["tbl"] == tbl), ["user_id"]
+            ).collect()
+        }
+        got = {
+            r["user_id"]: r["last_seq"]
+            for r in job.store_for(tbl).read(spark).collect()
+        }
+        assert got == expected, tbl
+
+
 def test_cli_run(spark, sf_dir, tmp_path, capsys):
     from clockpipe_spark.__main__ import main
 
