@@ -37,6 +37,10 @@ class PipeConfig:
     # sink knobs (ReplacingMergeTree analogs, config.rs:112-122)
     min_age_to_force_merge_seconds: int = 60
     index_granularity: int = 8192
+    # Spark-native sink layout: 0 = flat versioned store; >0 = hash-
+    # bucketed store where merges rewrite only touched buckets (the
+    # ORDER BY (pk) / index_granularity analog for parquet state)
+    sink_buckets: int = 0
 
     @classmethod
     def from_json(cls, text: str) -> "PipeConfig":
@@ -62,7 +66,7 @@ class PipeConfig:
             if key in src:
                 kw[key] = src[key]
         sink = raw.get("sink", raw.get("target", {}))
-        for key in ("min_age_to_force_merge_seconds", "index_granularity"):
+        for key in ("min_age_to_force_merge_seconds", "index_granularity", "sink_buckets"):
             if key in sink:
                 kw[key] = sink[key]
         return cls(

@@ -89,6 +89,26 @@ class BucketedReplicaStore:
             return None
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def write_snapshot(self, df: DataFrame, keys: Sequence[str]) -> int:
+        """Seed all buckets from a snapshot (first_sync, K6 path). The
+        frame must already carry last_seq/__deleted bookkeeping."""
+        out_dir = os.path.join(self.root, "v_000000_snapshot")
+        bucketed = df.withColumn("__bucket", self._bucket_expr(keys).cast("int"))
+        (
+            bucketed.repartition(self.n_buckets, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out_dir)
+        )
+        # empty buckets produce no directory — only materialized buckets
+        # enter the manifest (absent bucket == empty bucket on read)
+        manifest = {
+            str(b): os.path.join(out_dir, f"__bucket={b}")
+            for b in range(self.n_buckets)
+            if os.path.isdir(os.path.join(out_dir, f"__bucket={b}"))
+        }
+        return self._commit(manifest)
+
     def merge_changes(
         self,
         spark: SparkSession,

@@ -50,11 +50,19 @@ class SyncJob:
         os.makedirs(target_root, exist_ok=True)
         self.stores: dict[str, ReplicaStore] = {}
 
-    def store_for(self, table: str) -> ReplicaStore:
+    def store_for(self, table: str):
         if table not in self.stores:
-            self.stores[table] = ReplicaStore(
-                os.path.join(self.target_root, table)
-            )
+            path = os.path.join(self.target_root, table)
+            if self.config.sink_buckets > 0:
+                from clockpipe_spark.streaming.bucketed_replica import (
+                    BucketedReplicaStore,
+                )
+
+                self.stores[table] = BucketedReplicaStore(
+                    path, n_buckets=self.config.sink_buckets
+                )
+            else:
+                self.stores[table] = ReplicaStore(path)
         return self.stores[table]
 
     # -- lifecycle ---------------------------------------------------------
@@ -84,7 +92,13 @@ class SyncJob:
             state = df.withColumn("last_seq", F.lit(-1).cast("bigint")).withColumn(
                 "__deleted", F.lit(False)
             )
-            store.write(state)
+            if hasattr(store, "write_snapshot"):
+                from clockpipe_spark.catalog import PRIMARY_KEYS
+
+                pk = list(PRIMARY_KEYS.get(t.table_name, df.columns[:1]))
+                store.write_snapshot(state, pk)
+            else:
+                store.write(state)
             copied[t.table_name] = store.read(self.spark).count()
         return copied
 

@@ -75,6 +75,30 @@ def test_sync_job_snapshot_idempotent(spark, sf_dir, tmp_path):
     assert first["customer"] > 0 and again["customer"] == 0
 
 
+def test_sync_job_bucketed_sink(spark, sf_dir, tmp_path):
+    """sink_buckets > 0 routes state through BucketedReplicaStore with
+    identical end results."""
+    cfg_json = json.loads(CONFIG_JSON)
+    cfg_json["sink"]["sink_buckets"] = 8
+    cfg = PipeConfig.from_json(json.dumps(cfg_json))
+    job = SyncJob(spark, cfg, sf_dir, str(tmp_path / "bucketed"))
+    result = job.run()
+    assert result["copied"]["customer"] > 0
+    clog = changelog_from_events(load_table(spark, sf_dir, "events"))
+    for tbl in ("t0", "t3"):
+        expected = {
+            r["user_id"]: r["seq"]
+            for r in replica_state(
+                clog.filter(clog["tbl"] == tbl), ["user_id"]
+            ).collect()
+        }
+        got = {
+            r["user_id"]: r["last_seq"]
+            for r in job.store_for(tbl).read(spark).collect()
+        }
+        assert got == expected, tbl
+
+
 def test_retry_without_advance(spark, sf_dir, tmp_path):
     """T3: a write failure leaves the cursor untouched; the retry
     re-peeks the SAME batch and the final state is unaffected."""
