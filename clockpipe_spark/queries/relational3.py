@@ -75,12 +75,71 @@ GROUP BY event_type
 """
 
 
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW / explode: top-20 most frequent document tokens
+    (deterministic tiebreak on the token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+LATERAL_SQL = r"""
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+def pg_array_literal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 array path as a driver-gated query: build PG-style array
+    literals from part columns, parse with the engine's
+    pg_array_parse, return elements + cardinality."""
+    from clockpipe_spark.functions.casts import pg_array_parse
+
+    part = load_table(spark, sf_dir, "part")
+    literal = F.concat(
+        F.lit("{"), F.col("p_brand"), F.lit(","), F.col("p_type"), F.lit("}")
+    )
+    arr = pg_array_parse(literal)
+    return part.select(
+        "p_partkey",
+        F.size(arr).alias("n_elems"),
+        F.element_at(arr, 1).alias("elem1"),
+        F.element_at(arr, 2).alias("elem2"),
+    )
+
+
+PG_ARRAY_SQL = """
+SELECT p_partkey,
+       len(string_split(p_brand || ',' || p_type, ',')) AS n_elems,
+       string_split(p_brand || ',' || p_type, ',')[1] AS elem1,
+       string_split(p_brand || ',' || p_type, ',')[2] AS elem2
+FROM part
+"""
+
+
 QUERIES = {
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "skew_salted_user_revenue": skew_salted_user_revenue,
+    "lateral_explode_tokens": lateral_explode_tokens,
+    "pg_array_literal_parse": pg_array_literal_parse,
 }
 
 ORACLES = {
     "grouping_sets_lineitem": GROUPING_SETS_SQL,
     "skew_salted_user_revenue": SKEW_SALTED_SQL,
+    "lateral_explode_tokens": LATERAL_SQL,
+    "pg_array_literal_parse": PG_ARRAY_SQL,
 }
