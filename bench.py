@@ -52,6 +52,45 @@ HEADLINE = [
 ]
 
 
+def bench_cdc(spark, sf_dir: str) -> dict[str, float]:
+    """BASELINE.md derived targets, measured: snapshot ingest rate and
+    sustained CDC merge throughput at the reference's 65,536-change peek
+    cap (config.rs:146-149, 181-184)."""
+    import shutil
+    import tempfile
+
+    from clockpipe_spark.config import PipeConfig, SourceTable
+    from clockpipe_spark.sync_job import SyncJob
+
+    target = tempfile.mkdtemp(prefix="clockpipe_bench_")
+    try:
+        cfg = PipeConfig(
+            tables=[SourceTable("customer"), SourceTable("orders")],
+            peek_changes_limit=65_536,
+        )
+        job = SyncJob(spark, cfg, sf_dir, target)
+        job.initialize()
+        t0 = time.perf_counter()
+        copied = job.first_sync()
+        snap_sec = time.perf_counter() - t0
+        snap_rows = sum(copied.values())
+
+        t0 = time.perf_counter()
+        iterations = job.sync_loop()
+        cdc_sec = time.perf_counter() - t0
+        n_events = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).count()
+        return {
+            "snapshot_rows_per_sec": round(snap_rows / snap_sec, 1),
+            "cdc_events_per_sec": round(n_events / cdc_sec, 1),
+            "cdc_iterations": iterations,
+            "cdc_batch_cap": 65_536,
+        }
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -77,6 +116,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc": bench_cdc(spark, sf_dir),
             }
         )
     )

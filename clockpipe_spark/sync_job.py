@@ -140,15 +140,20 @@ class SyncJob:
             .orderBy("seq")
             .limit(self.config.peek_changes_limit)
         ).cache()
-        if batch.isEmpty():
+        # ONE job yields emptiness + per-(table,op) counters + last LSN —
+        # per-iteration fixed cost is what bounds small-batch throughput
+        stats = (
+            batch.groupBy("tbl", "op")
+            .agg(F.count("*").alias("n"), F.max("seq").alias("mx"))
+            .collect()
+        )
+        if not stats:
             batch.unpersist()
             return {}
-        counters = {
-            (r["tbl"], r["op"]): r["n"]
-            for r in batch.groupBy("tbl", "op").agg(F.count("*").alias("n")).collect()
-        }
-        tables = sorted({t for t, _ in counters})
-        for tbl in tables:
+        counters = {(r["tbl"], r["op"]): r["n"] for r in stats}
+        last_seq = max(r["mx"] for r in stats)
+
+        def merge_one(tbl: str) -> None:
             part = batch.filter(F.col("tbl") == tbl)
             deduped = keep_last_by_key(part, self.keys, "seq")
             self.store_for(tbl).merge_changes(
@@ -156,7 +161,15 @@ class SyncJob:
                 deduped.select("seq", "op", *self.keys, "value", "ts"),
                 self.keys,
             )
-        last_seq = batch.agg(F.max("seq")).first()[0]
+
+        # per-table merges are independent Spark jobs on disjoint target
+        # dirs -> submit concurrently (cluster slots stay busy instead of
+        # serializing 4 small jobs)
+        tables = sorted({t for t, _ in counters})
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
+            list(pool.map(merge_one, tables))
         batch.unpersist()
         self.advance_cursor(last_seq)
         return counters
