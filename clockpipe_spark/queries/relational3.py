@@ -130,7 +130,73 @@ FROM part
 """
 
 
+def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / first_value / last_value / percent_rank in one pass over
+    per-customer order history."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(wf).alias("first_orderkey"),
+        F.last("o_orderkey").over(wf).alias("last_orderkey"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+WINDOW_BATTERY_SQL = """
+SELECT o_custkey, o_orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS first_orderkey,
+       last_value(o_orderkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS last_orderkey,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional scalar battery over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt(F.abs(F.col("l_extendedprice"))), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.ceil(F.col("l_quantity")).alias("qty_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+        F.coalesce(
+            F.nullif(F.col("l_linestatus"), F.lit("O")), F.lit("open")
+        ).alias("status_label"),
+    )
+
+
+SCALAR_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(abs(l_extendedprice)), 6) AS sqrt_price,
+       round(ln(l_quantity + 1), 6)         AS log_qty,
+       round(pow(l_discount, 2), 6)         AS disc_sq,
+       CAST(ceil(l_quantity) AS DOUBLE)     AS qty_ceil,
+       CAST(floor(l_tax * 100) AS BIGINT)   AS tax_pct_floor,
+       CAST(sign(l_quantity - 25) AS INT)   AS qty_sign,
+       nullif(l_returnflag, 'N')            AS flag_or_null,
+       coalesce(nullif(l_linestatus, 'O'), 'open') AS status_label
+FROM lineitem
+"""
+
+
 QUERIES = {
+    "window_function_battery": window_function_battery,
+    "scalar_math_battery": scalar_math_battery,
     "grouping_sets_lineitem": grouping_sets_lineitem,
     "skew_salted_user_revenue": skew_salted_user_revenue,
     "lateral_explode_tokens": lateral_explode_tokens,
@@ -138,6 +204,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_function_battery": WINDOW_BATTERY_SQL,
+    "scalar_math_battery": SCALAR_MATH_SQL,
     "grouping_sets_lineitem": GROUPING_SETS_SQL,
     "skew_salted_user_revenue": SKEW_SALTED_SQL,
     "lateral_explode_tokens": LATERAL_SQL,

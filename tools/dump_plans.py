@@ -1,0 +1,39 @@
+"""Regenerate the physical-plan evidence behind PLANS.md: dump
+`.explain("formatted")` for every headline query to plans/ so a reviewer
+can diff plan shapes across rounds.
+
+Usage: python tools/dump_plans.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE
+from clockpipe_spark.queries import all_queries
+from clockpipe_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "plans"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=4)
+    queries = all_queries()
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {out_dir}/{name}.txt")
+
+
+if __name__ == "__main__":
+    main()
