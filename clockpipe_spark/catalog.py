@@ -57,6 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # defensive: the caller's session may not be ours (the driver builds
+    # its own); without this conf any events read aborts with
+    # PARQUET_TYPE_ILLEGAL on the NANOS timestamp column
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
