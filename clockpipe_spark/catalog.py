@@ -59,8 +59,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     # defensive: the caller's session may not be ours (the driver builds
     # its own); without this conf any events read aborts with
-    # PARQUET_TYPE_ILLEGAL on the NANOS timestamp column
+    # PARQUET_TYPE_ILLEGAL on the NANOS timestamp column, and a non-UTC
+    # session timezone would shift the converted events timestamps
+    # relative to the (naive) values every other engine reads
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
