@@ -13,6 +13,19 @@ from dataclasses import dataclass, field
 
 
 @dataclass
+class TableOptions:
+    """Sink table options (docs/clickhouse/README.md; config.rs:112-122).
+    storage_policy/granularity are ClickHouse-specific; their Spark
+    analogs are the state layout knobs (sink_buckets = the PK-layout
+    lever, like ORDER BY + index_granularity)."""
+
+    storage_policy: str | None = None
+    granularity: int = 8192
+    min_age_to_force_merge_seconds: int = 60
+    sink_buckets: int | None = None  # None = inherit global
+
+
+@dataclass
 class SourceTable:
     """PostgresSource analog (config.rs:224-234)."""
 
@@ -20,6 +33,7 @@ class SourceTable:
     schema_name: str = "public"
     skip_copy: bool = False
     mask_columns: list[str] = field(default_factory=list)
+    table_options: TableOptions | None = None  # None = inherit global
 
 
 @dataclass
@@ -42,16 +56,41 @@ class PipeConfig:
     # ORDER BY (pk) / index_granularity analog for parquet state)
     sink_buckets: int = 0
 
+    def options_for(self, table: "SourceTable") -> TableOptions:
+        """Table-specific options inherit from global when blank
+        (docs/clickhouse/README.md; config.rs:259-268)."""
+        opts = table.table_options or TableOptions(
+            min_age_to_force_merge_seconds=self.min_age_to_force_merge_seconds,
+            granularity=self.index_granularity,
+        )
+        if opts.sink_buckets is None:
+            opts.sink_buckets = self.sink_buckets
+        return opts
+
     @classmethod
     def from_json(cls, text: str) -> "PipeConfig":
         raw = json.loads(text)
         src = raw.get("source", {})
+
+        def parse_opts(d):
+            if not d:
+                return None
+            return TableOptions(
+                storage_policy=d.get("storage_policy"),
+                granularity=d.get("granularity", 8192),
+                min_age_to_force_merge_seconds=d.get(
+                    "min_age_to_force_merge_seconds", 60
+                ),
+                sink_buckets=d.get("sink_buckets"),
+            )
+
         tables = [
             SourceTable(
                 table_name=t["table_name"],
                 schema_name=t.get("schema_name", "public"),
                 skip_copy=t.get("skip_copy", False),
                 mask_columns=t.get("mask_columns", []),
+                table_options=parse_opts(t.get("table_options")),
             )
             for t in src.get("tables", [])
         ]

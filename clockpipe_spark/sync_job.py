@@ -53,14 +53,19 @@ class SyncJob:
     def store_for(self, table: str):
         if table not in self.stores:
             path = os.path.join(self.target_root, table)
-            if self.config.sink_buckets > 0:
+            # per-table options inherit from global (config.rs:259-268)
+            src = next(
+                (t for t in self.config.tables if t.table_name == table), None
+            )
+            buckets = self.config.sink_buckets
+            if src is not None:
+                buckets = self.config.options_for(src).sink_buckets
+            if buckets and buckets > 0:
                 from clockpipe_spark.streaming.bucketed_replica import (
                     BucketedReplicaStore,
                 )
 
-                self.stores[table] = BucketedReplicaStore(
-                    path, n_buckets=self.config.sink_buckets
-                )
+                self.stores[table] = BucketedReplicaStore(path, n_buckets=buckets)
             else:
                 self.stores[table] = ReplicaStore(path)
         return self.stores[table]

@@ -75,6 +75,32 @@ def test_sync_job_snapshot_idempotent(spark, sf_dir, tmp_path):
     assert first["customer"] > 0 and again["customer"] == 0
 
 
+def test_table_options_inheritance():
+    from clockpipe_spark.config import TableOptions
+
+    cfg = PipeConfig.from_json(
+        json.dumps(
+            {
+                "source": {
+                    "tables": [
+                        {"table_name": "a"},
+                        {
+                            "table_name": "b",
+                            "table_options": {"sink_buckets": 32, "granularity": 4096},
+                        },
+                    ]
+                },
+                "sink": {"sink_buckets": 8},
+            }
+        )
+    )
+    # blank table options inherit the global sink_buckets
+    assert cfg.options_for(cfg.tables[0]).sink_buckets == 8
+    # table-specific options win (docs/clickhouse/README.md)
+    opts_b = cfg.options_for(cfg.tables[1])
+    assert opts_b.sink_buckets == 32 and opts_b.granularity == 4096
+
+
 def test_sync_job_bucketed_sink(spark, sf_dir, tmp_path):
     """sink_buckets > 0 routes state through BucketedReplicaStore with
     identical end results."""
