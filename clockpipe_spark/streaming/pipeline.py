@@ -143,6 +143,54 @@ class ParquetCdcPipe:
         return self.sync_loop(max_iterations)
 
 
+def run_routed_cdc_stream(
+    spark: SparkSession,
+    events_dir: str,
+    target_root: str,
+    checkpoint_dir: str,
+    keys: Sequence[str] = ("user_id",),
+):
+    """Streaming embodiment of the MULTI-TABLE sync: foreachBatch routes
+    each micro-batch per table (A2) and merges into one store per table
+    — the deployment shape of sync_job.SyncJob. Offsets commit to the
+    checkpoint after the whole batch (all tables) succeeds, matching the
+    batch pipe's advance-after-all-tables ordering."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    stores: dict[str, ReplicaStore] = {}
+
+    def store_for(tbl: str) -> ReplicaStore:
+        if tbl not in stores:
+            stores[tbl] = ReplicaStore(os.path.join(target_root, tbl))
+        return stores[tbl]
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    clog = changelog_from_events(stream)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        tables = [r["tbl"] for r in batch_df.select("tbl").distinct().collect()]
+
+        def merge_one(tbl: str) -> None:
+            part = batch_df.filter(F.col("tbl") == tbl)
+            deduped = keep_last_by_key(part, list(keys), "seq")
+            store_for(tbl).merge_changes(
+                spark, deduped.select("seq", "op", *keys, "value", "ts"), list(keys)
+            )
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(tables)))) as pool:
+            list(pool.map(merge_one, sorted(tables)))
+        batch_df.unpersist()
+
+    return (
+        clog.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_cdc_stream(
     spark: SparkSession,
     events_dir: str,

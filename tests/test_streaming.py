@@ -102,6 +102,31 @@ def test_streaming_pipe_matches_batch(spark, events_dir, tmp_path):
     assert got == _expected_replica(spark, events_dir)
 
 
+def test_routed_streaming_matches_per_table_views(spark, events_dir, tmp_path):
+    """The routed foreachBatch embodiment lands each table's replica on
+    its per-table FINAL view — streaming twin of the SyncJob test."""
+    from clockpipe_spark.streaming.pipeline import run_routed_cdc_stream
+    from clockpipe_spark.streaming.replica import ReplicaStore
+
+    q = run_routed_cdc_stream(
+        spark, events_dir, str(tmp_path / "routed"), str(tmp_path / "rckpt")
+    )
+    q.awaitTermination(180)
+    clog = changelog_from_events(spark.read.parquet(events_dir))
+    for tbl in ("t0", "t1", "t2", "t3"):
+        expected = {
+            r["user_id"]: r["seq"]
+            for r in replica_state(
+                clog.filter(clog["tbl"] == tbl), ["user_id"]
+            ).collect()
+        }
+        store = ReplicaStore(str(tmp_path / "routed" / tbl))
+        got = {
+            r["user_id"]: r["last_seq"] for r in store.read(spark).collect()
+        }
+        assert got == expected, tbl
+
+
 def test_streaming_window_matches_batch_query(spark, sf_dir, events_dir, tmp_path):
     """The watermarked streaming tumbling agg and the batch twin
     (oracle-checked) produce identical rows."""
