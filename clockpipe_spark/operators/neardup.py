@@ -168,20 +168,27 @@ def simhash_signatures(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_weights = 1 << np.arange(64, dtype=np.uint64)
+        # token-hash memo: md5 cost is paid once per DISTINCT token per
+        # worker, not once per (doc, token) occurrence
+        memo: dict[str, np.ndarray] = {}
+
+        def token_bits(t: str) -> np.ndarray:
+            cached = memo.get(t)
+            if cached is None:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                cached = np.where((h & bit_weights) != 0, 1, -1).astype(np.int64)
+                memo[t] = cached
+            return cached
+
         for pdf in batches:
             sigs = np.zeros(len(pdf), dtype=np.int64)
             for row_i, text in enumerate(pdf[text_col].astype(str)):
-                toks = text.strip().lower().split()
+                toks = set(text.strip().lower().split())
                 if not toks:
                     continue
                 acc = np.zeros(64, dtype=np.int64)
-                for t in set(toks):
-                    h = int.from_bytes(
-                        hashlib.md5(t.encode()).digest()[:8], "little"
-                    )
-                    bits = (h & bit_weights) != 0
-                    acc += np.where(bits, 1, -1)
-                sig = np.uint64(0)
+                for t in toks:
+                    acc += token_bits(t)
                 sig = (bit_weights[acc > 0]).sum(dtype=np.uint64)
                 sigs[row_i] = np.int64(sig)
             yield pd.DataFrame({id_col: pdf[id_col].values, "simhash": sigs})

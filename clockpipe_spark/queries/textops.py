@@ -56,12 +56,23 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: token count, mean token length,
     alpha ratio, stopword ratio — the standard LLM-corpus quality gates."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    n_chars = F.length(F.col("text"))
-    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
-    stops = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
-    return docs.select(
+    # materialize tokens/counters once (the split would otherwise be
+    # re-evaluated per referencing expression)
+    staged = docs.select(
+        "doc_id",
+        F.length(F.col("text")).alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).alias("alpha"),
+        _tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "alpha",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*_STOPWORDS))).alias("stops"),
+    )
+    n_tokens, n_chars = F.col("n_tokens"), F.col("n_chars")
+    stops, alpha = F.col("stops"), F.col("alpha")
+    return staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(alpha / n_chars, 4).alias("alpha_ratio"),
@@ -103,8 +114,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: count marker-word hits per language, argmax
     with fixed precedence (en > es > de). N-gram/stopword heuristic — the
     standard cheap lang-ID for corpus triage."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
 
     def marker_hits(markers):
         # single-arg lambda: PySpark treats 2-arg lambdas as (value, index)
