@@ -93,6 +93,8 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = pdf["payload"].map(len)
+            # full precision out of the UDF; rounding happens JVM-side so
+            # the mode matches SQL engines (pandas .round is half-even)
             mean = pdf["payload"].map(
                 lambda b: (sum(b) / len(b)) if len(b) else 0.0
             )
@@ -101,8 +103,11 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"].values,
                     "width": (n % 640 + 1).astype("int32"),
                     "height": (n % 480 + 1).astype("int32"),
-                    "mean_byte": mean.round(4),
+                    "mean_byte": mean,
                 }
             )
 
-    return blobs.select("doc_id", "payload").mapInPandas(run, schema)
+    from pyspark.sql import functions as F
+
+    out = blobs.select("doc_id", "payload").mapInPandas(run, schema)
+    return out.withColumn("mean_byte", F.round("mean_byte", 4))

@@ -108,9 +108,9 @@ QUERIES = {
 ORACLES = {
     "udf_zscore_per_user": UDF_ZSCORE_SQL,
     "mm_bytes_meta": MM_BYTES_META_SQL,
+    "mm_fake_image_features": MM_FAKE_DECODE_SQL,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
     # families); recall vs exact Jaccard asserted in pytest.
-    # mm_fake_image_features: mean_byte needs per-char ascii in SQL — the
-    # range() expression only matches for pure-ASCII text; verified in
-    # pytest instead to stay robust.
+    # mm_fake_image_features oracle is valid because the documents corpus
+    # is pure ASCII (verified at every sf) so per-char ascii() == bytes.
 }
