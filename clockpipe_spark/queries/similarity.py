@@ -228,7 +228,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-math battery per label: mean/min/max L2 norm and the norm
+    of the mean vector (centroid magnitude) — pure fold expressions."""
+    from clockpipe_spark.operators.vectors import l2_norm_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = as_double_array(F.col("embedding"))
+    norms = emb.select(
+        "label",
+        F.sqrt(l2_norm_sq(vec)).alias("nrm"),
+        vec.alias("e"),
+    )
+    per_label = norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+    return per_label
+
+
+EMBEDDING_NORM_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+       round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+       round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+FROM embeddings GROUP BY label
+"""
+
+
 QUERIES = {
+    "embedding_norm_stats": embedding_norm_stats,
     "cosine_topk_brute": cosine_topk_brute,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
@@ -236,6 +270,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "cosine_topk_brute": COSINE_TOPK_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
     # ann_lsh_topk: rows-only (engine-specific hash family); recall tested in pytest
