@@ -93,8 +93,10 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = pdf["payload"].map(len)
-            # full precision out of the UDF; rounding happens JVM-side so
-            # the mode matches SQL engines (pandas .round is half-even)
+            # full precision out of the UDF; the JVM side emits
+            # floor(x*1e4) — sum(bytes)/len is a structured int ratio that
+            # can land exactly on round() ties, which Spark and DuckDB
+            # resolve differently
             mean = pdf["payload"].map(
                 lambda b: (sum(b) / len(b)) if len(b) else 0.0
             )
@@ -110,4 +112,4 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     out = blobs.select("doc_id", "payload").mapInPandas(run, schema)
-    return out.withColumn("mean_byte", F.round("mean_byte", 4))
+    return out.withColumn("mean_byte", F.floor(F.col("mean_byte") * 1e4))

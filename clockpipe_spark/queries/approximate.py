@@ -68,10 +68,10 @@ MM_FAKE_DECODE_SQL = """
 SELECT doc_id,
        octet_length(encode(text)) % 640 + 1 AS width,
        octet_length(encode(text)) % 480 + 1 AS height,
-       round(list_aggregate(
+       CAST(floor(list_aggregate(
            list_transform(range(1, octet_length(encode(text)) + 1),
                           i -> ascii(substring(text, i, 1))),
-           'avg'), 4) AS mean_byte
+           'avg') * 10000) AS BIGINT) AS mean_byte
 FROM documents
 """
 

@@ -500,7 +500,7 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCALAR_JSON_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """

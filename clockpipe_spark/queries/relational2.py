@@ -32,10 +32,10 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_priority,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-           AS low_priority
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_priority,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_priority
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -162,9 +162,16 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    # Scalar subquery kept inside one plan: a 1-row aggregate broadcast
+    # cross-joined against customer, instead of a driver-side .first()
+    # round-trip (two jobs + a literal re-plan).
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
@@ -281,17 +288,27 @@ FROM customer
 
 
 def array_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collect + sort an array per group (array functions surface)."""
+    """Collect + sort an array per group (array functions surface).
+
+    The sorted array is emitted as a canonical comma-joined string: the
+    driver's canonicalizer cannot hash list-typed cells (round-1 harness
+    crash), and a deterministic string form is hash-stable on both sides.
+    """
     cust = _t(spark, sf_dir, "customer")
     top = cust.filter(F.col("c_acctbal") > 9000)
+    keys = F.array_sort(F.collect_list("c_custkey"))
     return top.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        F.concat_ws(",", F.transform(keys, lambda x: x.cast("string"))).alias(
+            "custkeys"
+        ),
         F.count("*").alias("n"),
     )
 
 
 ARRAY_AGG_SQL = """
-SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys, count(*) AS n
+SELECT c_nationkey,
+       array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+       count(*) AS n
 FROM customer WHERE c_acctbal > 9000
 GROUP BY c_nationkey
 """

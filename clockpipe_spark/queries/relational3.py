@@ -162,14 +162,19 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math + conditional scalar battery over lineitem."""
+    """Math + conditional scalar battery over lineitem.
+
+    Transcendental outputs are emitted as floor(x * 1e6) integers, not
+    round(x, 6) doubles: round() half-even/half-away tie handling differs
+    between Spark and DuckDB at the 6th decimal and flips hashes on a
+    handful of the 60k rows (round-1 driver failure)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sqrt(F.abs(F.col("l_extendedprice"))), 6).alias("sqrt_price"),
-        F.round(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
-        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.floor(F.sqrt(F.abs(F.col("l_extendedprice"))) * 1e6).alias("sqrt_price"),
+        F.floor(F.log(F.col("l_quantity") + 1) * 1e6).alias("log_qty"),
+        F.floor(F.pow(F.col("l_discount"), 2) * 1e6).alias("disc_sq"),
         F.ceil(F.col("l_quantity")).alias("qty_ceil"),
         F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
         F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
@@ -182,9 +187,9 @@ def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCALAR_MATH_SQL = """
 SELECT l_orderkey, l_linenumber,
-       round(sqrt(abs(l_extendedprice)), 6) AS sqrt_price,
-       round(ln(l_quantity + 1), 6)         AS log_qty,
-       round(pow(l_discount, 2), 6)         AS disc_sq,
+       CAST(floor(sqrt(abs(l_extendedprice)) * 1000000) AS BIGINT) AS sqrt_price,
+       CAST(floor(ln(l_quantity + 1) * 1000000) AS BIGINT)         AS log_qty,
+       CAST(floor(pow(l_discount, 2) * 1000000) AS BIGINT)         AS disc_sq,
        CAST(ceil(l_quantity) AS DOUBLE)     AS qty_ceil,
        CAST(floor(l_tax * 100) AS BIGINT)   AS tax_pct_floor,
        CAST(sign(l_quantity - 25) AS INT)   AS qty_sign,

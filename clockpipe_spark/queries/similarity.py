@@ -188,8 +188,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clockpipe_spark.operators.vectors import ivf_assigner, kmeans_lite
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Distributed, seeded sample for centroid training: every partition
+    # contributes (unlike limit(N), which drains the first partitions
+    # only), and the driver-side materialization stays bounded by the
+    # fraction regardless of corpus size. count() on parquet is
+    # metadata-only — no data scan.
+    n_corpus = emb.count()
+    frac = min(1.0, 2048.0 / max(n_corpus, 1))
     sample = np.array(
-        [r["embedding"] for r in emb.select("embedding").limit(512).collect()],
+        [
+            r["embedding"]
+            for r in emb.select("embedding")
+            .sample(fraction=frac, seed=42)
+            .limit(2048)
+            .collect()
+        ],
         dtype=np.float64,
     )
     k = max(4, min(16, len(sample) // 32))

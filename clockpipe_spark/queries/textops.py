@@ -37,17 +37,23 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per language: doc count, token sum/avg."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    # avg of int/int is a structured ratio: round() ties flip between
+    # engines (Spark rounds the shortest decimal repr, DuckDB the binary
+    # value), so emit floor(x*1e4) instead. DuckDB sum(int) is HUGEINT —
+    # cast to BIGINT in the oracle.
     return toks.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.floor(F.avg("n_tokens") * 1e4).alias("avg_tokens"),
     )
 
 
 TOKEN_STATS_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS total_tokens,
-       round(avg(len(regexp_split_to_array(trim(lower(text)), '\\s+'))), 4) AS avg_tokens
+       CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
+           AS total_tokens,
+       CAST(floor(avg(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) * 10000)
+           AS BIGINT) AS avg_tokens
 FROM documents GROUP BY lang
 """
 
@@ -72,12 +78,16 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tokens, n_chars = F.col("n_tokens"), F.col("n_chars")
     stops, alpha = F.col("stops"), F.col("alpha")
+    # int/int ratios floor-scaled to 1e4 integers: structured quotients
+    # (denominator a power-of-2 multiple) land exactly on round() ties,
+    # which Spark (shortest-repr HALF_UP) and DuckDB (binary half-away)
+    # resolve differently. floor of identical IEEE quotients is exact.
     return staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(alpha / n_chars, 4).alias("alpha_ratio"),
-        F.round(stops / n_tokens, 4).alias("stopword_ratio"),
-        F.round((n_chars - n_tokens + 1) / n_tokens, 4).alias("avg_token_len"),
+        F.floor(alpha / n_chars * 1e4).alias("alpha_ratio"),
+        F.floor(stops / n_tokens * 1e4).alias("stopword_ratio"),
+        F.floor((n_chars - n_tokens + 1) / n_tokens * 1e4).alias("avg_token_len"),
         ((n_tokens >= 5) & (stops / n_tokens >= 0.01)).alias("passes_quality"),
     )
 
@@ -92,10 +102,11 @@ WITH t AS (
 )
 SELECT doc_id,
        len(toks) AS n_tokens,
-       round(alpha / n_chars, 4) AS alpha_ratio,
-       round(len(list_filter(toks, x -> x IN {_STOP_SQL})) / len(toks), 4)
-           AS stopword_ratio,
-       round((n_chars - len(toks) + 1) / len(toks), 4) AS avg_token_len,
+       CAST(floor(alpha / n_chars * 10000) AS BIGINT) AS alpha_ratio,
+       CAST(floor(len(list_filter(toks, x -> x IN {_STOP_SQL})) / len(toks) * 10000)
+           AS BIGINT) AS stopword_ratio,
+       CAST(floor((n_chars - len(toks) + 1) / len(toks) * 10000) AS BIGINT)
+           AS avg_token_len,
        (len(toks) >= 5 AND
         len(list_filter(toks, x -> x IN {_STOP_SQL})) / len(toks) >= 0.01)
            AS passes_quality
@@ -257,7 +268,9 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # floor-scaled: jaccard is an int/int ratio; round() ties (e.g.
+        # 17/32 = 0.53125) flip between engines — see text_quality_scores.
+        .select("doc_a", "doc_b", F.floor(jac * 1e4).alias("jaccard"))
     )
 
 
@@ -283,7 +296,8 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+       CAST(floor(n_common / (sa.n_shingles + sb.n_shingles - n_common) * 10000)
+           AS BIGINT) AS jaccard
 FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id

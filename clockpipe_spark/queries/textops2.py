@@ -25,12 +25,14 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    # pieces_per_word is an int/int ratio — floor-scaled to dodge
+    # engine-divergent round() ties (see textops.text_quality_scores).
     return docs.select(
         "doc_id",
         "lang",
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        F.round(bpe / ws, 4).alias("pieces_per_word"),
+        F.floor(bpe / ws * 1e4).alias("pieces_per_word"),
     )
 
 
@@ -38,8 +40,8 @@ BPE_TOKEN_SQL = rf"""
 SELECT doc_id, lang,
        len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
        len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
-       round(len(regexp_extract_all(text, '{_BPE_RE}'))
-             / len(regexp_split_to_array(trim(text), '\s+')), 4)
+       CAST(floor(len(regexp_extract_all(text, '{_BPE_RE}'))
+             / len(regexp_split_to_array(trim(text), '\s+')) * 10000) AS BIGINT)
            AS pieces_per_word
 FROM documents
 """
