@@ -103,14 +103,25 @@ def fill_unchanged_toast(
     keys: Sequence[str],
     value_cols: Sequence[str],
     order_col: str = "seq",
+    marker_suffix: str = "__unchanged",
 ) -> DataFrame:
     """T5 — TOAST 'unchanged' backfill (pgoutput.rs:517-551).
 
-    An UPDATE's unchanged TOAST cells arrive as NULL ('u' marker); the
-    reference back-fills them from the old tuple when REPLICA IDENTITY
-    FULL provides it. The set-oriented equivalent: per key in change
-    order, carry the last non-null value forward —
-    last(col, ignorenulls) over an unbounded-preceding frame.
+    The pgoutput 'u' cell marker means "unchanged, payload omitted" — it
+    is NOT the same thing as NULL. Two modes:
+
+    - When a boolean companion column ``<col><marker_suffix>`` exists
+      (the pgoutput decoder emits these), ONLY marked cells are
+      back-filled from the previous row state — a genuine
+      ``UPDATE ... SET col = NULL`` stays NULL, exactly like the
+      reference. A marked cell whose backfill source is itself NULL
+      resolves to NULL (the reference's NULL+warn path). Marker columns
+      are dropped from the output.
+    - Without a marker column, NULL itself is treated as the marker and
+      the last non-null value is carried forward. This conflates
+      SET-to-NULL with unchanged-TOAST — a documented divergence for
+      feeds that arrive already structured without cell markers (same
+      spirit as the SURVEY §2.7 T4 ordering divergence).
     """
     w = (
         Window.partitionBy(*keys)
@@ -118,9 +129,25 @@ def fill_unchanged_toast(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = df
+    markers_to_drop = []
     for c in value_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled
+        marker = c + marker_suffix
+        if marker in df.columns:
+            # Rows with the marker contribute a NULL struct, so the last
+            # non-null struct is the most recent REAL cell — whose payload
+            # may legitimately be NULL (genuine SET col = NULL backfills
+            # as NULL, not as an older resurrected value).
+            real_cell = F.when(
+                ~F.coalesce(F.col(marker), F.lit(False)),
+                F.struct(F.col(c).alias("v")),
+            )
+            filled = filled.withColumn(
+                c, F.last(real_cell, ignorenulls=True).over(w)["v"]
+            )
+            markers_to_drop.append(marker)
+        else:
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled.drop(*markers_to_drop)
 
 
 def apply_changelog_to_snapshot(

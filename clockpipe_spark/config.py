@@ -58,13 +58,20 @@ class PipeConfig:
 
     def options_for(self, table: "SourceTable") -> TableOptions:
         """Table-specific options inherit from global when blank
-        (docs/clickhouse/README.md; config.rs:259-268)."""
+        (docs/clickhouse/README.md; config.rs:259-268).
+
+        Returns a copy: assigning the inherited value into the table's
+        stored TableOptions would make a getter mutate shared state —
+        later changes to the global sink_buckets would silently stop
+        propagating to any table already queried once."""
+        import dataclasses
+
         opts = table.table_options or TableOptions(
             min_age_to_force_merge_seconds=self.min_age_to_force_merge_seconds,
             granularity=self.index_granularity,
         )
         if opts.sink_buckets is None:
-            opts.sink_buckets = self.sink_buckets
+            opts = dataclasses.replace(opts, sink_buckets=self.sink_buckets)
         return opts
 
     @classmethod

@@ -41,8 +41,15 @@ def pg_to_real(col: Column) -> Column:
 
 
 def pg_bool_parse(col: Column) -> Column:
-    """'t' | '1' | 'true' -> TRUE, anything else -> FALSE (pgoutput.rs:157-163)."""
-    return F.lower(F.trim(col.cast("string"))).isin("t", "1", "true")
+    """'t' | '1' | 'true' -> TRUE, anything else (including NULL and
+    untrimmed ' t ') -> FALSE.
+
+    Exact mirror of the reference: it only lowercases (no trim), and a
+    NULL value routes through text_or("false") -> FALSE rather than
+    propagating NULL (pgoutput.rs:157-163, parse_bool + to_bool)."""
+    return F.coalesce(
+        F.lower(col.cast("string")).isin("t", "1", "true"), F.lit(False)
+    )
 
 
 def pg_datetime_trunc(col: Column) -> Column:

@@ -176,7 +176,7 @@ SELECT event_id,
             THEN CAST(trim(word_str) AS BIGINT) ELSE 0 END AS word_int,
        coalesce(TRY_CAST(k_str AS DOUBLE), 0.0)   AS k_real,
        coalesce(TRY_CAST(word_str AS DOUBLE), 0.0) AS word_real,
-       lower(trim(bool_str)) IN ('t', '1', 'true') AS flag,
+       coalesce(lower(bool_str) IN ('t', '1', 'true'), FALSE) AS flag,
        date_trunc('second', ts) AS ts_sec
 FROM src
 """

@@ -89,39 +89,60 @@ class ParquetCdcPipe:
 
     def sync_iteration(self) -> dict[str, int]:
         """One peek->dedup->merge->advance iteration (T1,
-        pipes/postgres.rs:260-517). Returns per-op write counters (A3)."""
+        pipes/postgres.rs:260-517). Returns per-op write counters (A3).
+
+        The peek is a cursor-range predicate (seq in (cursor, cursor+cap])
+        pushed into the parquet scan — NOT a global orderBy(seq).limit(cap),
+        which re-sorts the entire pending tail every iteration and becomes
+        the bottleneck at 100x backlog. Sparse seq (LSN gaps wider than the
+        cap) is handled by one min-seq probe that jumps the window forward;
+        dense logs never pay it. All batch statistics (emptiness, per-op
+        counters, last/truncate seq) come from ONE aggregation job."""
         cursor = self.read_cursor()
-        batch = (
-            self.changelog()
-            .filter(F.col("seq") > cursor)
-            .orderBy("seq")
-            .limit(self.config.peek_changes_limit)  # peek cap (S3)
-        ).cache()
-        n = batch.count()
-        if n == 0:
-            return {}
-        counters = {
-            r["op"]: r["n"]
-            for r in batch.groupBy("op").agg(F.count("*").alias("n")).collect()
-        }
+        cap = self.config.peek_changes_limit  # peek cap (S3)
+        clog = self.changelog()
+        start = cursor
+        for _ in range(2):
+            peeked = clog.filter(
+                (F.col("seq") > start) & (F.col("seq") <= start + cap)
+            ).cache()
+            stats = (
+                peeked.groupBy("op")
+                .agg(F.count("*").alias("n"), F.max("seq").alias("mx"))
+                .collect()
+            )
+            if stats:
+                break
+            peeked.unpersist()
+            nxt = clog.filter(F.col("seq") > cursor).agg(F.min("seq")).first()[0]
+            if nxt is None:
+                return {}
+            start = nxt - 1  # second window contains nxt -> non-empty
+        counters = {r["op"]: r["n"] for r in stats}
+        last_seq = max(r["mx"] for r in stats)
+
         # K3: a Truncate wipes state inline; only changes AFTER the last
         # truncate in this batch survive (pipes/postgres.rs:391-417)
+        live = peeked
         if counters.get("T"):
-            t_max = batch.filter(F.col("op") == "T").agg(F.max("seq")).first()[0]
+            t_max = max(r["mx"] for r in stats if r["op"] == "T")
             self.store.truncate(self.spark)
-            batch_after = batch.filter(F.col("seq") > t_max)
-            if batch_after.isEmpty():
-                last_seq = batch.agg(F.max("seq")).first()[0]
-                batch.unpersist()
-                self.advance_cursor(last_seq)
-                return counters
-            batch = batch_after
-        deduped = keep_last_by_key(batch.filter(F.col("op") != "T"), self.keys, "seq")
-        self.store.merge_changes(
-            self.spark, deduped.select("seq", "op", *self.keys, "value", "ts"), self.keys
-        )
-        last_seq = batch.agg(F.max("seq")).first()[0]
-        batch.unpersist()
+            # rows after the last truncate can't themselves be truncates
+            live = peeked.filter(F.col("seq") > t_max) if last_seq > t_max else None
+        else:
+            t_max = None
+        if live is not None:
+            deduped = keep_last_by_key(
+                live.filter(F.col("op") != "T"), self.keys, "seq"
+            )
+            self.store.merge_changes(
+                self.spark,
+                deduped.select("seq", "op", *self.keys, "value", "ts"),
+                self.keys,
+            )
+        # unpersist the ORIGINAL cached frame — unpersisting a derived
+        # filter would leave the peeked batch pinned for the session
+        peeked.unpersist()
         self.advance_cursor(last_seq)  # only after the write committed
         return counters
 

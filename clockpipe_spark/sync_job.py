@@ -100,8 +100,19 @@ class SyncJob:
             if hasattr(store, "write_snapshot"):
                 from clockpipe_spark.catalog import PRIMARY_KEYS
 
-                pk = list(PRIMARY_KEYS.get(t.table_name, df.columns[:1]))
-                store.write_snapshot(state, pk)
+                # same per-table key resolution as merge_keys_for, so a
+                # bucketed snapshot and later changelog merges hash by the
+                # SAME key columns (snapshot-then-CDC on one table is the
+                # reference's core shape, pipes/postgres.rs first_sync ->
+                # sync_loop)
+                pk = PRIMARY_KEYS.get(t.table_name)
+                if pk is None:
+                    pk = (
+                        self.keys
+                        if all(k in df.columns for k in self.keys)
+                        else df.columns[:1]
+                    )
+                store.write_snapshot(state, list(pk))
             else:
                 store.write(state)
             copied[t.table_name] = store.read(self.spark).count()
@@ -134,37 +145,64 @@ class SyncJob:
             json.dump({"last_seq": last_seq}, f)
         os.replace(tmp, self.cursor_file)
 
+    def merge_keys_for(self, tbl: str, available: list[str]) -> list[str]:
+        """Per-table merge keys: a table's registered PRIMARY KEY wins over
+        the job-level key tuple, so snapshot-then-CDC on the same table
+        hashes state and changes identically (the reference resolves PKs
+        per table, adapter/postgres.rs:741-758). The changelog MUST carry
+        the key columns — a silent fallback would merge by the wrong key
+        and leave stale rows per PK."""
+        from clockpipe_spark.catalog import PRIMARY_KEYS
+
+        keys = list(PRIMARY_KEYS.get(tbl, self.keys))
+        missing = [k for k in keys if k not in available]
+        if missing:
+            raise ValueError(
+                f"changelog for table {tbl!r} lacks merge-key columns {missing}"
+            )
+        return keys
+
     def sync_iteration(self) -> dict[tuple[str, str], int]:
         """peek -> route per table -> dedup -> merge each table's store ->
         advance (after ALL tables committed). Returns (table, op) -> n
-        counters, the reference's per-iteration log line."""
+        counters, the reference's per-iteration log line.
+
+        Peek is a cursor-range predicate pushed to the parquet scan (no
+        global sort over the pending tail — see ParquetCdcPipe); sparse
+        seq gaps wider than the cap are bridged by one min-seq probe."""
         cursor = self.read_cursor()
-        batch = (
-            self.changelog()
-            .filter(F.col("seq") > cursor)
-            .orderBy("seq")
-            .limit(self.config.peek_changes_limit)
-        ).cache()
-        # ONE job yields emptiness + per-(table,op) counters + last LSN —
-        # per-iteration fixed cost is what bounds small-batch throughput
-        stats = (
-            batch.groupBy("tbl", "op")
-            .agg(F.count("*").alias("n"), F.max("seq").alias("mx"))
-            .collect()
-        )
-        if not stats:
+        cap = self.config.peek_changes_limit
+        clog = self.changelog()
+        start = cursor
+        for _ in range(2):
+            batch = clog.filter(
+                (F.col("seq") > start) & (F.col("seq") <= start + cap)
+            ).cache()
+            # ONE job yields emptiness + per-(table,op) counters + last LSN —
+            # per-iteration fixed cost is what bounds small-batch throughput
+            stats = (
+                batch.groupBy("tbl", "op")
+                .agg(F.count("*").alias("n"), F.max("seq").alias("mx"))
+                .collect()
+            )
+            if stats:
+                break
             batch.unpersist()
-            return {}
+            nxt = clog.filter(F.col("seq") > cursor).agg(F.min("seq")).first()[0]
+            if nxt is None:
+                return {}
+            start = nxt - 1  # second window contains nxt -> non-empty
         counters = {(r["tbl"], r["op"]): r["n"] for r in stats}
         last_seq = max(r["mx"] for r in stats)
 
         def merge_one(tbl: str) -> None:
             part = batch.filter(F.col("tbl") == tbl)
-            deduped = keep_last_by_key(part, self.keys, "seq")
+            keys = self.merge_keys_for(tbl, part.columns)
+            deduped = keep_last_by_key(part, keys, "seq")
             self.store_for(tbl).merge_changes(
                 self.spark,
-                deduped.select("seq", "op", *self.keys, "value", "ts"),
-                self.keys,
+                deduped.select("seq", "op", *keys, "value", "ts"),
+                keys,
             )
 
         # per-table merges are independent Spark jobs on disjoint target

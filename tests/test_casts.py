@@ -48,8 +48,11 @@ def test_bool_parse(spark):
         ("t", True), ("1", True), ("true", True),
         ("f", False), ("0", False), ("false", False),
         ("yes", False), ("TRUE", True), ("", False),
+        (" t ", False),  # reference lowercases but never trims
+        (None, False),   # Null -> text_or("false") -> FALSE, not NULL
     ]:
-        assert _one(spark, pg_bool_parse(F.lit(s))) is expected, s
+        got = _one(spark, pg_bool_parse(F.lit(s).cast("string")))
+        assert got is expected, s
 
 
 def test_numeric_cast_defaults(spark):

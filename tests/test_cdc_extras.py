@@ -39,6 +39,34 @@ def test_toast_backfill(spark):
     assert got[(2, 1)] is None
 
 
+def test_toast_backfill_marker_preserves_explicit_null(spark):
+    # with a 'u'-marker companion column, only MARKED cells back-fill;
+    # a genuine UPDATE ... SET col = NULL stays NULL (pgoutput.rs:517-551
+    # distinguishes Unchanged from Null — ADVICE round-1 divergence fix)
+    df = spark.createDataFrame(
+        [
+            (1, 1, "big-value", False),
+            (2, 1, None, True),    # 'u' marker: unchanged TOAST -> backfill
+            (3, 1, None, False),   # explicit SET col = NULL -> stays NULL
+            (4, 1, None, True),    # unchanged after a real NULL -> NULL
+            (5, 1, "fresh", False),
+            (6, 1, None, True),    # backfills the fresh value
+        ],
+        "seq long, user_id long, blob string, blob__unchanged boolean",
+    )
+    out = fill_unchanged_toast(df, ["user_id"], ["blob"])
+    assert "blob__unchanged" not in out.columns  # marker is transport-only
+    got = {r["seq"]: r["blob"] for r in out.collect()}
+    assert got == {
+        1: "big-value",
+        2: "big-value",
+        3: None,
+        4: None,
+        5: "fresh",
+        6: "fresh",
+    }
+
+
 @pytest.fixture
 def truncate_events(spark, tmp_path):
     """Synthetic event log whose 'view' events we re-map to truncates by
