@@ -1,0 +1,240 @@
+"""pgoutput binary-protocol decoder (S4) — the logical-replication wire
+format parsed Spark-side.
+
+The reference decodes raw ``pg_logical_slot_peek_binary_changes`` frames
+row by row (pgoutput.rs:237-554). Here the same parse runs as an
+Arrow-batched ``mapInPandas`` stage: each task decodes its partition's
+frames in bulk Python, so the per-row interpreter cost is amortized per
+batch and the operator scales horizontally with the frame partitioning —
+the Spark-idiomatic shape for a byte-level decoder that built-in
+expressions cannot express.
+
+Wire format mirrored exactly (quirks included, for parity):
+
+- message types B/C/O/R/Y are skipped (return None) — the message-type
+  filter (P4, pgoutput.rs:242-262) happens inside the decode pass;
+- Insert: relid u32 + tuple-type byte + tuple (pgoutput.rs:355-368);
+- Update: relid + optional 'K'|'O' old tuple, then 'N' + new tuple
+  (pgoutput.rs:369-410);
+- Delete: relid + 'K'|'O' + tuple (pgoutput.rs:411-426);
+- Truncate: u32 relation count + 1 flags byte + FIRST relation id only —
+  the reference ignores the remaining relids (pgoutput.rs:427-448);
+- tuple cells: 'n' null / 'u' unchanged-TOAST / 't' u32-len text /
+  'b' u32-len binary; unknown kind raises (pgoutput.rs:271-340);
+- TOAST fill: 'u' cells resolved from the old tuple when present, else
+  NULL (the reference's warn path) (pgoutput.rs:517-551).
+
+All integers are big-endian, as in the protocol.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_SKIPPED = frozenset(b"BCORY")
+_WRITES = frozenset(b"IUDT")
+
+# cell := (kind, text, bin); kind in 'n'/'t'/'b' after TOAST resolution
+Cell = tuple[str, str | None, bytes | None]
+
+
+def _read_tuple(buf: bytes, pos: int) -> tuple[list[Cell], int]:
+    """Tuple reader (pgoutput.rs:271-340): u16 column count then cells."""
+    (count,) = struct.unpack_from(">H", buf, pos)
+    pos += 2
+    cells: list[Cell] = []
+    for _ in range(count):
+        kind = buf[pos : pos + 1]
+        pos += 1
+        if kind == b"n":
+            cells.append(("n", None, None))
+        elif kind == b"u":
+            cells.append(("u", None, None))
+        elif kind in (b"t", b"b"):
+            (length,) = struct.unpack_from(">I", buf, pos)
+            pos += 4
+            raw = buf[pos : pos + length]
+            if len(raw) != length:
+                raise ValueError("truncated tuple cell payload")
+            pos += length
+            if kind == b"t":
+                cells.append(("t", raw.decode("utf-8"), None))
+            else:
+                cells.append(("b", None, raw))
+        else:
+            raise ValueError(
+                f"Unknown column type while reading tuple: 0x{kind.hex()}"
+            )
+    return cells, pos
+
+
+def parse_pg_output(data: bytes) -> dict | None:
+    """Decode one frame. None for skipped message types; a dict with
+    msg_type / relation_id / tuple_type / cells / old_cells for writes.
+    Unknown first bytes raise, like the reference's expect
+    (pgoutput.rs:238-240)."""
+    if not data:
+        raise ValueError("Unknown message type: 0")
+    first = data[0]  # iterating bytes yields ints; _SKIPPED/_WRITES hold ints
+    if first in _SKIPPED:
+        return None
+    if first not in _WRITES:
+        raise ValueError(f"Unknown message type: {first}")
+    msg = chr(first)
+    pos = 1
+
+    if msg == "T":
+        (n_rel,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        if n_rel == 0:
+            raise ValueError("Truncate message with zero relations is invalid")
+        pos += 1  # flags byte eaten, never interpreted (pgoutput.rs:438-440)
+        (relid,) = struct.unpack_from(">I", data, pos)
+        return {
+            "msg_type": "T",
+            "relation_id": relid,
+            "tuple_type": None,
+            "cells": [],
+            "old_cells": [],
+        }
+
+    (relid,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    tuple_type = data[pos : pos + 1].decode()
+    pos += 1
+    if tuple_type not in ("K", "O", "N"):
+        raise ValueError(f"Unknown tuple type: {data[pos - 1]}")
+
+    old_cells: list[Cell] = []
+    if msg == "U" and tuple_type in ("K", "O"):
+        old_cells, pos = _read_tuple(data, pos)
+        new_marker = data[pos : pos + 1].decode()
+        pos += 1
+        if new_marker != "N":
+            raise ValueError(
+                f"Expected 'N' tuple after old tuple in UPDATE, got: {new_marker!r}"
+            )
+        tuple_type = "N"
+
+    cells, pos = _read_tuple(data, pos)
+
+    # TOAST fallback (pgoutput.rs:517-551): 'u' resolved from old tuple
+    # by position, else NULL (the reference's warn path)
+    resolved: list[Cell] = []
+    for i, cell in enumerate(cells):
+        if cell[0] == "u":
+            resolved.append(old_cells[i] if i < len(old_cells) else ("n", None, None))
+        else:
+            resolved.append(cell)
+    return {
+        "msg_type": msg,
+        "relation_id": relid,
+        "tuple_type": tuple_type,
+        "cells": resolved,
+        "old_cells": old_cells,
+    }
+
+
+_DECODED_SCHEMA = (
+    "lsn long, xid long, msg_type string, relation_id long, "
+    "tuple_type string, cell_kinds array<string>, cell_texts array<string>, "
+    "cell_bins array<binary>"
+)
+
+
+def decode_pgoutput(frames: DataFrame) -> DataFrame:
+    """mapInPandas decode stage over (lsn, xid, data binary) frames —
+    the PeekWalChangeResult shape (adapter/postgres.rs:102-107).
+
+    Skipped message types (B/C/O/R/Y) are dropped inside the same pass,
+    so the P4 filter costs no extra scan. Cells come out as three
+    parallel primitive arrays (kind / text / binary per position) — the
+    Arrow-friendly columnar layout (list<struct> object columns don't
+    convert from pandas); downstream projection applies the cast matrix
+    (functions/casts.py) per target schema via cell_texts[i].
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "lsn", "xid", "msg_type", "relation_id", "tuple_type",
+                "cell_kinds", "cell_texts", "cell_bins",
+            )}
+            for lsn, xid, data in zip(pdf["lsn"], pdf["xid"], pdf["data"]):
+                rec = parse_pg_output(bytes(data))
+                if rec is None:
+                    continue
+                out["lsn"].append(lsn)
+                out["xid"].append(xid)
+                out["msg_type"].append(rec["msg_type"])
+                out["relation_id"].append(rec["relation_id"])
+                out["tuple_type"].append(rec["tuple_type"])
+                out["cell_kinds"].append([k for k, _, _ in rec["cells"]])
+                out["cell_texts"].append([t for _, t, _ in rec["cells"]])
+                out["cell_bins"].append([b for _, _, b in rec["cells"]])
+            if out["lsn"]:  # empty frames have untyped columns Arrow rejects
+                yield pd.DataFrame(out)
+
+    return frames.select("lsn", "xid", "data").mapInPandas(run, _DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# frame ENCODER — test-fixture generator (the harness has no live wal2json
+# feed); wire-conformant so decode(encode(x)) == x proves the decoder on
+# arbitrary data, including interleaved skipped frames and TOAST markers.
+
+
+def encode_tuple(cells: list[Cell]) -> bytes:
+    out = [struct.pack(">H", len(cells))]
+    for kind, text, bin_ in cells:
+        if kind == "n":
+            out.append(b"n")
+        elif kind == "u":
+            out.append(b"u")
+        elif kind == "t":
+            raw = text.encode("utf-8")
+            out.append(b"t" + struct.pack(">I", len(raw)) + raw)
+        elif kind == "b":
+            out.append(b"b" + struct.pack(">I", len(bin_)) + bin_)
+        else:
+            raise ValueError(kind)
+    return b"".join(out)
+
+
+def encode_insert(relid: int, cells: list[Cell]) -> bytes:
+    return b"I" + struct.pack(">I", relid) + b"N" + encode_tuple(cells)
+
+
+def encode_update(
+    relid: int, cells: list[Cell], old_cells: list[Cell] | None = None,
+    old_marker: bytes = b"O",
+) -> bytes:
+    body = b"U" + struct.pack(">I", relid)
+    if old_cells is not None:
+        body += old_marker + encode_tuple(old_cells)
+    return body + b"N" + encode_tuple(cells)
+
+
+def encode_delete(relid: int, key_cells: list[Cell]) -> bytes:
+    return b"D" + struct.pack(">I", relid) + b"K" + encode_tuple(key_cells)
+
+
+def encode_truncate(relids: list[int], flags: int = 0) -> bytes:
+    body = b"T" + struct.pack(">I", len(relids)) + struct.pack(">B", flags)
+    for r in relids:
+        body += struct.pack(">I", r)
+    return body
+
+
+def encode_begin() -> bytes:
+    # Begin payload (final LSN + ts + xid) is never read by the reference —
+    # any trailing bytes are legal for the decoder under test
+    return b"B" + b"\x00" * 20
+
+
+def encode_commit() -> bytes:
+    return b"C" + b"\x00" * 25

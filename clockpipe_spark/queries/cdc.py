@@ -246,8 +246,92 @@ FROM events
 """
 
 
+def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — pgoutput binary decode, end to end on the wire format: events
+    are ENCODED into wire-conformant pgoutput frames (Insert/Update/
+    Delete tuples, interleaved Begin/Commit noise, 'u' TOAST markers with
+    old tuples), then DECODED by the mapInPandas byte parser
+    (cdc/pgoutput.py, mirroring pgoutput.rs:237-554) and projected back
+    to typed columns. The DuckDB oracle computes the same projection
+    straight from events — any wire-format bug breaks the match.
+
+    Delete frames carry a key-only 'K' tuple (P6 shape: deletes keep the
+    PK, adapter/mongodb.rs:314-341), so their value decodes as NULL.
+    """
+    from clockpipe_spark.cdc.pgoutput import (
+        decode_pgoutput,
+        encode_begin,
+        encode_commit,
+        encode_delete,
+        encode_insert,
+        encode_update,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = events.select("event_id", "user_id", "value", "event_type")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lsn, xid, data = [], [], []
+            for eid, uid, val, etype in zip(
+                pdf["event_id"], pdf["user_id"], pdf["value"], pdf["event_type"]
+            ):
+                eid, uid = int(eid), int(uid)
+                relid = 16384 + uid % 4
+                cells = [
+                    ("t", str(eid), None),
+                    ("t", str(uid), None),
+                    ("t", repr(float(val)), None),
+                ]
+                if eid % 100 == 0:  # transaction noise the decoder must skip
+                    lsn.append(eid), xid.append(eid), data.append(encode_begin())
+                if etype == "signup":
+                    frame = encode_insert(relid, cells)
+                elif etype == "error":
+                    frame = encode_delete(relid, cells[:2])
+                elif eid % 10 == 0:
+                    # unchanged-TOAST value cell, resolved from old tuple
+                    frame = encode_update(
+                        relid,
+                        cells[:2] + [("u", None, None)],
+                        old_cells=[("n", None, None), ("n", None, None), cells[2]],
+                    )
+                else:
+                    frame = encode_update(relid, cells)
+                lsn.append(eid), xid.append(eid), data.append(frame)
+                if eid % 100 == 0:
+                    lsn.append(eid), xid.append(eid), data.append(encode_commit())
+            yield pd.DataFrame({"lsn": lsn, "xid": xid, "data": data})
+
+    frames = src.mapInPandas(enc, "lsn long, xid long, data binary")
+    decoded = decode_pgoutput(frames)
+    return decoded.select(
+        F.col("lsn").alias("seq"),
+        F.col("msg_type").alias("op"),
+        F.concat(F.lit("t"), (F.col("relation_id") - 16384).cast("string")).alias("tbl"),
+        # get() tolerates the key-only Delete tuples (2 cells) — ANSI mode
+        # makes [] on a missing index an error, not NULL
+        F.get(F.col("cell_texts"), 1).cast("bigint").alias("user_id"),
+        F.get(F.col("cell_texts"), 2).cast("double").alias("value"),
+    )
+
+
+CDC_PGOUTPUT_SQL = """
+SELECT event_id AS seq,
+       CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+            ELSE 'U' END AS op,
+       concat('t', CAST(user_id % 4 AS VARCHAR)) AS tbl,
+       user_id,
+       CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+FROM events
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
+    "cdc_pgoutput_roundtrip": cdc_pgoutput_roundtrip,
     "cdc_mongo_infer_project": cdc_mongo_infer_project,
     "cdc_keep_last": cdc_keep_last,
     "cdc_replica_state": cdc_replica_state,
@@ -260,6 +344,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
+    "cdc_pgoutput_roundtrip": CDC_PGOUTPUT_SQL,
     "cdc_mongo_infer_project": CDC_MONGO_SQL,
     "cdc_keep_last": CDC_KEEP_LAST_DEDUP_SQL,
     "cdc_replica_state": CDC_REPLICA_SQL,
