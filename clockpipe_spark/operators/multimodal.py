@@ -75,13 +75,147 @@ def extract_bytes_meta(blobs: DataFrame) -> DataFrame:
 
 
 def decode_image(blobs: DataFrame) -> DataFrame:
-    """Real image decode — requires PIL, which this container lacks."""
+    """General image decode — requires PIL for JPEG/PNG/etc., which this
+    container lacks; uncompressed BMP has a REAL stdlib decoder below
+    (decode_bmp_features)."""
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; use fake_decode_features for the "
-            "deterministic test path"
+            "general image decode requires PIL; BMP decodes for real via "
+            "decode_bmp_features, and fake_decode_features remains the "
+            "deterministic any-bytes path"
         )
     raise NotImplementedError("wire PIL decode here when the lib is present")
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs, stdlib-only: uncompressed 24-bpp BMP and PCM WAV. These
+# replace the fake decode as the flagship multimodal path — the byte
+# layout parsed here (struct headers, row padding, chunk walking) is the
+# actual on-disk format, not a stand-in.
+
+
+def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal BITMAPFILEHEADER + BITMAPINFOHEADER + 24-bpp pixel array
+    (bottom-up, rows padded to 4 bytes) with every pixel = ``rgb``.
+    Fixture-side encoder for the decode tests/queries."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    pixel_bytes = (bytes(rgb[::-1]) * width + b"\x00" * pad) * height  # BGR order
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixel_bytes), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_bytes), 0, 0, offset)
+    return header + dib + pixel_bytes
+
+
+def decode_bmp_features(blobs: DataFrame) -> DataFrame:
+    """REAL image decode (no PIL): parse the BMP headers with stdlib
+    struct, then aggregate the pixel array — excluding the per-row
+    padding bytes, which is exactly the mistake a naive byte-mean makes.
+    mapInPandas, one Arrow batch at a time."""
+    import struct
+
+    schema = "doc_id long, width int, height int, bpp int, mean_px double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "bpp", "mean_px")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                magic, _file_sz, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP: magic={magic!r}")
+                _dib_sz, width, height, _planes, bpp = struct.unpack_from(
+                    "<IiiHH", data, 14
+                )
+                if bpp != 24:
+                    raise ValueError(f"only 24-bpp supported, got {bpp}")
+                height = abs(height)  # negative = top-down; same pixels
+                row_raw = width * 3
+                stride = row_raw + (4 - row_raw % 4) % 4
+                total = 0
+                for y in range(height):
+                    row = data[offset + y * stride : offset + y * stride + row_raw]
+                    total += sum(row)
+                n_px = row_raw * height
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["bpp"].append(bpp)
+                rows["mean_px"].append(total / n_px if n_px else 0.0)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    out = blobs.select("doc_id", "payload").mapInPandas(run, schema)
+    # floor-scale: mean of equal-pixel fixtures is a structured int ratio
+    return out.withColumn("mean_px", F.floor(F.col("mean_px") * 1e4))
+
+
+def encode_wav(n_samples: int, amplitude: int, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE: fmt chunk (PCM, mono, 16-bit) + data chunk of
+    ``n_samples`` constant-``amplitude`` samples."""
+    import struct
+
+    data = struct.pack(f"<{n_samples}h", *([amplitude] * n_samples))
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_features(blobs: DataFrame) -> DataFrame:
+    """REAL audio decode (no librosa): walk the RIFF chunks with stdlib
+    struct, read fmt (rate/channels/bits) and the PCM data chunk, emit
+    duration + mean |amplitude|. Unknown chunks are skipped by their
+    declared size — the actual container contract."""
+    import struct
+
+    schema = (
+        "doc_id long, sample_rate int, n_samples long, duration_ms long, "
+        "mean_amp double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_samples", "duration_ms", "mean_amp",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE file")
+                pos, rate, samples = 12, 0, b""
+                while pos + 8 <= len(data):
+                    cid, size = struct.unpack_from("<4sI", data, pos)
+                    pos += 8
+                    if cid == b"fmt ":
+                        _fmt, _ch, rate, _bps, _align, bits = struct.unpack_from(
+                            "<HHIIHH", data, pos
+                        )
+                        if bits != 16:
+                            raise ValueError(f"only 16-bit PCM supported, got {bits}")
+                    elif cid == b"data":
+                        samples = data[pos : pos + size]
+                    pos += size + size % 2  # chunks are word-aligned
+                n = len(samples) // 2
+                vals = struct.unpack(f"<{n}h", samples[: n * 2])
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // rate if rate else 0)
+                rows["mean_amp"].append(
+                    sum(abs(v) for v in vals) / n if n else 0.0
+                )
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    out = blobs.select("doc_id", "payload").mapInPandas(run, schema)
+    return out.withColumn("mean_amp", F.floor(F.col("mean_amp") * 1e4))
 
 
 def fake_decode_features(blobs: DataFrame) -> DataFrame:

@@ -76,6 +76,82 @@ FROM documents
 """
 
 
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path: deterministic 24-bpp BMPs are synthesized
+    per document (dimensions from byte length, a constant fill color from
+    doc_id), then decoded by the stdlib-struct BMP parser
+    (operators.multimodal.decode_bmp_features) — headers, row padding and
+    the pixel array are the genuine on-disk format. The oracle computes
+    the same features straight from doc_id/length, so a decoder that
+    misreads the header or miscounts row padding fails the match."""
+    import pandas as pd
+
+    from clockpipe_spark.operators.multimodal import decode_bmp_features, encode_bmp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            n = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            payload = [
+                encode_bmp(
+                    int(nb) % 16 + 1,
+                    int(nb) % 8 + 1,
+                    (int(d) % 256, int(d) * 7 % 256, int(d) * 13 % 256),
+                )
+                for d, nb in zip(pdf["doc_id"], n)
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payload})
+
+    blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
+    return decode_bmp_features(blobs)
+
+
+MM_BMP_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) % 16 + 1 AS width,
+       octet_length(encode(text)) % 8 + 1 AS height,
+       24 AS bpp,
+       CAST(floor((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256)
+                  / 3.0 * 10000) AS BIGINT) AS mean_px
+FROM documents
+"""
+
+
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path: PCM WAVs synthesized per document (sample
+    count from byte length, constant amplitude from doc_id), decoded by
+    the stdlib RIFF-chunk walker (decode_wav_features). Oracle as above."""
+    import pandas as pd
+
+    from clockpipe_spark.operators.multimodal import decode_wav_features, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            n = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            payload = [
+                encode_wav(int(nb) % 500 + 10, int(d) % 128)
+                for d, nb in zip(pdf["doc_id"], n)
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payload})
+
+    blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
+    return decode_wav_features(blobs)
+
+
+MM_WAV_SQL = """
+SELECT doc_id,
+       8000 AS sample_rate,
+       CAST(octet_length(encode(text)) % 500 + 10 AS BIGINT) AS n_samples,
+       CAST((octet_length(encode(text)) % 500 + 10) * 1000 // 8000 AS BIGINT)
+           AS duration_ms,
+       CAST((doc_id % 128) * 10000 AS BIGINT) AS mean_amp
+FROM documents
+"""
+
+
 def udf_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map surface with an exact SQL twin: per-user
     z-score of event values (sample stddev)."""
@@ -103,12 +179,16 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "mm_bytes_meta": mm_bytes_meta,
     "mm_fake_image_features": mm_fake_image_features,
+    "mm_bmp_decode": mm_bmp_decode,
+    "mm_wav_decode": mm_wav_decode,
 }
 
 ORACLES = {
     "udf_zscore_per_user": UDF_ZSCORE_SQL,
     "mm_bytes_meta": MM_BYTES_META_SQL,
     "mm_fake_image_features": MM_FAKE_DECODE_SQL,
+    "mm_bmp_decode": MM_BMP_SQL,
+    "mm_wav_decode": MM_WAV_SQL,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
     # families); recall vs exact Jaccard asserted in pytest.
     # mm_fake_image_features oracle is valid because the documents corpus

@@ -47,8 +47,50 @@ def test_fake_decode_deterministic(spark, sf_dir):
 
 
 def test_real_decode_is_gated(spark, sf_dir):
-    # the codec libs are absent in this container: the real decode hook
-    # must fail loudly, not silently fake
+    # the general (PIL) decode hook must fail loudly, not silently fake;
+    # BMP/WAV have real stdlib decoders tested below
     blobs = blob_table(load_table(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
         decode_image(blobs)
+
+
+def test_bmp_roundtrip_with_row_padding(spark):
+    # width 3 -> raw row 9 bytes -> stride 12: the decoder must skip the
+    # 3 zero padding bytes per row or the mean collapses toward zero
+    from clockpipe_spark.operators.multimodal import decode_bmp_features, encode_bmp
+
+    payload = encode_bmp(3, 2, (10, 20, 33))
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    r = decode_bmp_features(df).collect()[0]
+    assert (r["width"], r["height"], r["bpp"]) == (3, 2, 24)
+    assert r["mean_px"] == int((10 + 20 + 33) / 3 * 10000)
+
+
+def test_bmp_rejects_non_bmp(spark):
+    from clockpipe_spark.operators.multimodal import decode_bmp_features
+
+    df = spark.createDataFrame(
+        [(1, b"PNG\x00" + b"\x00" * 60)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a BMP"):
+        decode_bmp_features(df).collect()
+
+
+def test_wav_roundtrip_and_chunk_walk(spark):
+    import struct
+
+    from clockpipe_spark.operators.multimodal import decode_wav_features, encode_wav
+
+    wav = encode_wav(400, 77, sample_rate=8000)
+    # splice an unknown chunk between fmt and data: the walker must skip
+    # it by declared size (the actual RIFF contract)
+    fmt_end = wav.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 6) + b"junk!!"
+    spliced = wav[:fmt_end] + junk + wav[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    df = spark.createDataFrame([(1, spliced)], "doc_id long, payload binary")
+    r = decode_wav_features(df).collect()[0]
+    assert r["sample_rate"] == 8000
+    assert r["n_samples"] == 400
+    assert r["duration_ms"] == 50
+    assert r["mean_amp"] == 77 * 10000
