@@ -90,26 +90,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = 32,
-    n_bands: int = 8,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Candidate pairs via banding + signature-estimated Jaccard filter.
-
-    rows_per_band = n_hashes/n_bands; two docs collide if any band of
-    their signatures matches exactly. est_jaccard = matching-component
-    fraction of the full signatures (an unbiased Jaccard estimator).
-    """
+def band_hashes(sig: DataFrame, n_hashes: int = 32, n_bands: int = 8) -> DataFrame:
+    """(id, band_idx, band_hash) rows from a minhash-signature frame —
+    the LSH banding step, shared by the batch pair-miner and the
+    cross-batch streaming filter. Payload-free: only the 3 columns
+    travel through the candidate join."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes).cache()
-    # bands carry only (id, band_idx, band_hash) — signatures are joined
-    # back AFTER the candidate pairs are deduped, so the band self-join
-    # never shuffles the 32-long arrays per duplicate candidate
-    bands = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -129,6 +116,41 @@ def minhash_lsh_pairs(
         ).alias("b"),
     ).select("id", "b.band_idx", "b.band_hash")
 
+
+def minhash_est_jaccard(ma, mb, n_hashes: int):
+    """Signature-estimated Jaccard: matching-component fraction."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(ma, mb, lambda x, y: (x == y).cast("int")),
+                lambda eq: eq == 1,
+            )
+        )
+        / F.lit(n_hashes)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banding + signature-estimated Jaccard filter.
+
+    rows_per_band = n_hashes/n_bands; two docs collide if any band of
+    their signatures matches exactly. est_jaccard = matching-component
+    fraction of the full signatures (an unbiased Jaccard estimator).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes).cache()
+    # bands carry only (id, band_idx, band_hash) — signatures are joined
+    # back AFTER the candidate pairs are deduped, so the band self-join
+    # never shuffles the 32-long arrays per duplicate candidate
+    bands = band_hashes(sig, n_hashes, n_bands)
+
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -143,15 +165,7 @@ def minhash_lsh_pairs(
     sa = sig.select(F.col("id").alias("doc_a"), F.col("minhash").alias("ma"))
     sb = sig.select(F.col("id").alias("doc_b"), F.col("minhash").alias("mb"))
     scored = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("ma", "mb", lambda x, y: (x == y).cast("int")),
-                lambda eq: eq == 1,
-            )
-        )
-        / F.lit(n_hashes)
-    )
+    est = minhash_est_jaccard(F.col("ma"), F.col("mb"), n_hashes)
     return (
         scored.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
