@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from clockpipe_spark.queries import approximate as _approximate
 from clockpipe_spark.queries import cdc as _cdc
 from clockpipe_spark.queries import llmprep as _llmprep
+from clockpipe_spark.queries import llmprep2 as _llmprep2
 from clockpipe_spark.queries import relational as _relational
 from clockpipe_spark.queries import relational2 as _relational2
 from clockpipe_spark.queries import relational3 as _relational3
@@ -36,6 +37,7 @@ _MODULES = (
     _streamlike,
     _approximate,
     _llmprep,
+    _llmprep2,
 )
 
 
