@@ -166,10 +166,225 @@ FROM per_doc
 """
 
 
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+# Shared regexes — kept inside the Java-regex ∩ RE2 dialect intersection
+# (character classes, bounded repeats, \b, non-capturing groups) so Spark
+# and DuckDB behave identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction battery: emails, phone numbers, IPv4 addresses ->
+    <EMAIL>/<PHONE>/<IP> placeholders, plus per-doc hit counts.
+
+    The fixture corpus is PII-free word soup, so the query first injects
+    deterministic doc_id-derived PII spans (identically in the oracle) —
+    the redaction regexes then provably fire on every row.
+
+    Plan shape: pure regexp_replace / regexp_extract_all projections —
+    map-side only, zero shuffle, whole-stage codegen. At 100 TB this is
+    embarrassingly parallel; the only cost is the regex engine itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7"),
+    )
+    def hits(pat):
+        return F.size(F.regexp_extract_all(aug, F.lit(pat), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        hits(_PII_EMAIL).alias("n_emails"),
+        hits(_PII_PHONE).alias("n_phones"),
+        hits(_PII_IP).alias("n_ips"),
+        F.length(redacted).alias("redacted_len"),
+        redacted.alias("redacted_text"),
+    )
+
+
+PII_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         substr(text, 1, 80)
+           || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example.com or 555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ips,
+       CAST(length(
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+           '\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS INT) AS redacted_len,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+         '\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted_text
+FROM aug
+"""
+
+
+# --------------------------------------------------------------------------
+# Document chunking with overlap
+# --------------------------------------------------------------------------
+_CHUNK_W = 50   # tokens per chunk
+_CHUNK_S = 40   # stride (overlap = W - S = 10)
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: fixed W-token chunks every S
+    tokens (W=50, S=40 -> 10-token overlap); tail chunks may be short.
+    One row per (doc, chunk).
+
+    Plan shape: per-row sequence(1, n, S) + transform + explode — all
+    map-side array arithmetic, zero shuffle; output partitioning
+    inherits the scan's. At 100 TB the fanout is bounded (~n_tokens/S
+    rows per doc) and never concentrates on a key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_S))
+    chunked = toks.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        F.col("toks"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_start"), _CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.size(piece).alias("chunk_len"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), {_CHUNK_S})) AS chunk_start,
+         generate_subscripts(generate_series(1, greatest(len(toks), 1), {_CHUNK_S}), 1) - 1
+           AS chunk_idx
+  FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(len(list_slice(toks, chunk_start, chunk_start + {_CHUNK_W - 1})) AS INT)
+         AS chunk_len,
+       array_to_string(list_slice(toks, chunk_start, chunk_start + {_CHUNK_W - 1}), ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check
+# --------------------------------------------------------------------------
+_CONTAM_K = 5  # gram width
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag corpus documents sharing any
+    5-gram with a held-out 'benchmark' set (doc_id % 50 == 0 — a
+    deterministic stand-in for a real eval suite).
+
+    Plan shape: the benchmark side is tiny by construction, so its
+    distinct-gram set BROADCASTS; the corpus streams through one explode
+    + broadcast inner join + hash agg, then a broadcast-joinable left
+    join restores zero-hit docs. The corpus never self-joins and never
+    shuffles on gram — only the final per-doc count aggregates.
+    At 100 TB: benchmark grams ~1e6 rows << 8 GB broadcast limit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("toks"), (F.col("doc_id") % 50 == 0).alias("is_bench")
+    )
+    grams = toks.select(
+        "doc_id", "is_bench",
+        F.explode(_grams(F.col("toks"), _CONTAM_K)).alias("gram"),
+    )
+    bench_grams = grams.filter("is_bench").select("gram").distinct()
+    corpus = toks.filter(~F.col("is_bench"))
+    hit_counts = (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        corpus.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(hit_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         doc_id % 50 = 0 AS is_bench
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_bench,
+         unnest(list_transform(generate_series(1, len(toks) - {_CONTAM_K - 1}),
+                i -> array_to_string(list_slice(toks, i, i + {_CONTAM_K - 1}), ' ')))
+           AS gram
+  FROM toks
+  WHERE len(toks) >= {_CONTAM_K}
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_contaminated_grams
+  FROM grams g JOIN bench b USING (gram)
+  WHERE NOT g.is_bench
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(coalesce(h.n_contaminated_grams, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(h.n_contaminated_grams, 0) > 0 AS contaminated
+FROM toks t LEFT JOIN hits h USING (doc_id)
+WHERE NOT t.is_bench
+"""
+
+
 QUERIES = {
     "text_repetition_stats": text_repetition_stats,
+    "text_pii_redact": text_pii_redact,
+    "doc_chunk_overlap": doc_chunk_overlap,
+    "benchmark_contamination": benchmark_contamination,
 }
 
 ORACLES = {
     "text_repetition_stats": REPETITION_SQL,
+    "text_pii_redact": PII_SQL,
+    "doc_chunk_overlap": CHUNK_SQL,
+    "benchmark_contamination": CONTAM_SQL,
 }

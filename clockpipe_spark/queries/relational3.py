@@ -190,7 +190,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(floor(sqrt(abs(l_extendedprice)) * 1000000) AS BIGINT) AS sqrt_price,
        CAST(floor(ln(l_quantity + 1) * 1000000) AS BIGINT)         AS log_qty,
        CAST(floor(pow(l_discount, 2) * 1000000) AS BIGINT)         AS disc_sq,
-       CAST(ceil(l_quantity) AS DOUBLE)     AS qty_ceil,
+       CAST(ceil(l_quantity) AS BIGINT)     AS qty_ceil,
        CAST(floor(l_tax * 100) AS BIGINT)   AS tax_pct_floor,
        CAST(sign(l_quantity - 25) AS INT)   AS qty_sign,
        nullif(l_returnflag, 'N')            AS flag_or_null,
