@@ -72,6 +72,9 @@ class PipeConfig:
         )
         if opts.sink_buckets is None:
             opts = dataclasses.replace(opts, sink_buckets=self.sink_buckets)
+        else:
+            # copy even when nothing is inherited — callers may mutate
+            opts = dataclasses.replace(opts)
         return opts
 
     @classmethod

@@ -84,11 +84,20 @@ _TOP_TERMS = 5
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per language by an integer tf-idf
-    score: tf(lang, term) * n_docs * 1e6 // df(term) — the rational form
-    of tf * N/df, kept in exact 64-bit arithmetic so ranking ties are
-    engine-stable (ln-based idf differs by ulps between libms)."""
+    score: tf(lang, term) * 1e6 // df(term) — the rational form of
+    tf/df, kept in exact 64-bit arithmetic so ranking ties are
+    engine-stable (ln-based idf differs by ulps between libms).
+
+    The earlier tf * n_docs * 1e6 form overflowed int64 once
+    tf * n_docs exceeded ~9.2e12 — a ceiling a 100 TB corpus clears
+    easily. n_docs is constant per dataset, and floor(C*x) is monotone
+    in x, so dropping it preserves the ranking exactly while decoupling
+    the overflow bound from corpus size. Remaining documented bound:
+    per-(lang, term) token count must stay below 9.2e12 (int64 max /
+    1e6) — ~600× the total token count of a 100 TB English web corpus's
+    most common term per shard-language, checked by the ANSI-mode
+    overflow error rather than silently wrapping."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # metadata-only on parquet
     tokens = docs.select(
         "doc_id", "lang", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
     )
@@ -97,7 +106,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure int64 arithmetic end to end: double division + cast would
     # truncate in Spark but ROUND in DuckDB; `div` sidesteps the cast
     scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "score", F.expr(f"tf * {n_docs}L * 1000000L div df")
+        "score", F.expr("tf * 1000000L div df")
     )
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "term")
     return (
@@ -117,8 +126,7 @@ tf AS (SELECT lang, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
 scored AS (
   SELECT lang, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-         CAST(CAST(tf AS BIGINT) * (SELECT count(*) FROM documents) * 1000000
-              // CAST(df AS BIGINT) AS BIGINT) AS score
+         CAST(CAST(tf AS BIGINT) * 1000000 // CAST(df AS BIGINT) AS BIGINT) AS score
   FROM tf JOIN df USING (term)
 )
 SELECT lang, term, tf, df, score, rnk
@@ -134,6 +142,23 @@ _SAMPLE_PCT = 20
 _KNUTH = 2654435761  # Knuth multiplicative hash constant
 
 
+def sample_hash_residue(id_col: str = "doc_id"):
+    """(id * KNUTH) mod 2^32 mod 100, computed overflow-free for ANY
+    int64 id, negative included.
+
+    The naive ``doc_id * 2654435761`` wraps int64 once doc_id exceeds
+    ~3.5e9 (ANSI mode aborts the job; DuckDB promotes to HUGEINT — the
+    engines diverge exactly when ids get big). Split the reduced 32-bit
+    id into 16-bit halves: (d_hi*K mod 2^16)*2^16 + d_lo*K ≡ d*K
+    (mod 2^32), and every intermediate stays below 2^48. pmod handles
+    negative ids identically in both engines (SQL % keeps the dividend's
+    sign; Python-style pmod does not)."""
+    return F.expr(
+        f"pmod(pmod(pmod({id_col}, 4294967296) div 65536 * {_KNUTH}, 65536) * 65536"
+        f" + pmod({id_col}, 4294967296) % 65536 * {_KNUTH}, 4294967296) % 100"
+    )
+
+
 def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: keep ~20% of docs per language
     via a multiplicative-hash residue on doc_id. Unlike rand()-based
@@ -142,14 +167,20 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike limit() it samples every partition. Returns the sampled rows;
     per-lang proportions are the pytest assertion."""
     docs = load_table(spark, sf_dir, "documents")
-    residue = (F.col("doc_id") * _KNUTH) % 4294967296 % 100
-    return docs.filter(residue < _SAMPLE_PCT).select("doc_id", "lang", "source")
+    return docs.filter(sample_hash_residue("doc_id") < _SAMPLE_PCT).select(
+        "doc_id", "lang", "source"
+    )
 
 
 SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT *, (doc_id % 4294967296 + 4294967296) % 4294967296 AS d32
+  FROM documents
+)
 SELECT doc_id, lang, source
-FROM documents
-WHERE (doc_id * {_KNUTH}) % 4294967296 % 100 < {_SAMPLE_PCT}
+FROM d
+WHERE ((d32 // 65536 * {_KNUTH}) % 65536 * 65536
+       + d32 % 65536 * {_KNUTH}) % 4294967296 % 100 < {_SAMPLE_PCT}
 """
 
 

@@ -131,19 +131,34 @@ class StreamingNearDup:
         # intra-batch chains (A~B, B~C): admission is transitive by id
         # order only at threshold collisions within the same band family;
         # keep semantics simple and deterministic — drop every id that
-        # matched ANY earlier/admitted doc
-        admitted_sig = sig.join(dup_ids, "id", "left_anti").cache()
+        # matched ANY earlier/admitted doc.
+        # Replay safety (at-least-once foreachBatch): a re-delivered batch
+        # must not re-append state rows for ids already admitted — the
+        # anti-join against history makes the state append idempotent.
+        admitted_sig = (
+            sig.join(dup_ids, "id", "left_anti")
+            .join(hist_sigs.select("id"), "id", "left_anti")
+            .cache()
+        )
         admitted_sig.write.mode("append").parquet(self.sigs_dir)
         band_hashes(admitted_sig, self.n_hashes, self.n_bands).write.mode(
             "append"
         ).parquet(self.bands_dir)
 
+        # Admitted output = everything that matched nothing. Docs too short
+        # to shingle (< 3 tokens) have NO signature row — they cannot
+        # near-duplicate anything, so they are admitted unconditionally
+        # (anti-join on dup_ids keeps them; the old semi-join on
+        # admitted_sig silently dropped them). They carry no state.
         out = docs.join(
-            admitted_sig.select(F.col("id").alias(id_col)), id_col, "left_semi"
-        )
+            dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        admitted_sig.unpersist()
         sig.unpersist()
         bands.unpersist()
         return out
 
     def admitted_ids(self) -> DataFrame:
-        return self._history(self.sigs_dir, _SIGS_SCHEMA).select("id")
+        # distinct() guards against duplicate state rows from any history
+        # written before the replay-idempotence anti-join existed
+        return self._history(self.sigs_dir, _SIGS_SCHEMA).select("id").distinct()

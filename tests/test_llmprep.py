@@ -65,3 +65,38 @@ def test_quantize_codes_in_range_and_extremes(spark, sf_dir):
             assert 0 <= r[c] <= 255
         # dim-count x 255 is the hard ceiling of the checksum
         assert 0 <= r["code_sum"] <= 255 * 4096
+
+
+def test_sample_hash_residue_negative_and_huge_ids(spark):
+    """The 16-bit-split Knuth hash must equal (id mod 2^32)*K mod 2^32
+    mod 100 for ANY int64 id — negative and > 3.5e9 ids overflowed the
+    naive doc_id * K form (ADVICE r2)."""
+    import duckdb
+
+    from clockpipe_spark.queries.llmprep import _KNUTH, sample_hash_residue
+
+    ids = [-1, -3, -(2**33) - 7, -(2**62) + 99, 0, 1, 42,
+           2**31, 2**32 - 1, 2**33 + 12345, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["res"]
+        for r in df.select(
+            "doc_id", sample_hash_residue("doc_id").alias("res")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == ((i % 2**32) * _KNUTH) % 2**32 % 100, i
+
+    # DuckDB twin (the oracle's expression) agrees on the same ids
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    rows = con.execute(f"""
+        WITH d AS (SELECT doc_id,
+                   (doc_id % 4294967296 + 4294967296) % 4294967296 AS d32
+                   FROM t)
+        SELECT doc_id, ((d32 // 65536 * {_KNUTH}) % 65536 * 65536
+               + d32 % 65536 * {_KNUTH}) % 4294967296 % 100 FROM d
+    """).fetchall()
+    for i, res in rows:
+        assert res == got[i], i

@@ -81,3 +81,32 @@ def test_streaming_foreachbatch_integration(spark, tmp_path):
     admitted = {r["id"] for r in dedup.admitted_ids().collect()}
     assert 3 not in admitted  # near-copy of doc 1, later batch -> dropped
     assert {1, 2, 4} <= admitted
+
+
+def test_short_docs_are_admitted_not_dropped(spark, dedup):
+    """Docs with < 3 tokens produce no shingles hence no signature row;
+    the filter's contract is to admit non-duplicates, so they must pass
+    through (ADVICE r2: the old semi-join silently dropped them)."""
+    out = dedup.process_batch(
+        _df(spark, [(1, DOC_A), (2, "hi"), (3, "ok then"), (4, "")])
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3, 4}
+    # unsignable docs carry no state (nothing to match later batches on)
+    assert {r["id"] for r in dedup.admitted_ids().collect()} == {1}
+    # and they are admitted again on a later delivery (no sig -> no dup)
+    out2 = dedup.process_batch(_df(spark, [(5, "hi")]))
+    assert {r["doc_id"] for r in out2.collect()} == {5}
+
+
+def test_replay_does_not_duplicate_state(spark, dedup):
+    """At-least-once replay: re-processing the same batch must neither
+    re-append state rows nor self-match previously admitted docs."""
+    batch = _df(spark, [(1, DOC_A), (2, DOC_B)])
+    assert dedup.process_batch(batch).count() == 2
+    n_state = dedup._history(dedup.sigs_dir, "id long, minhash array<long>").count()
+    # replay the identical batch: rows re-admitted (downstream dedups by
+    # id), but state row count is unchanged
+    assert dedup.process_batch(batch).count() == 2
+    n_state2 = dedup._history(dedup.sigs_dir, "id long, minhash array<long>").count()
+    assert n_state2 == n_state == 2
+    assert sorted(r["id"] for r in dedup.admitted_ids().collect()) == [1, 2]

@@ -99,6 +99,9 @@ def test_table_options_inheritance():
     # table-specific options win (docs/clickhouse/README.md)
     opts_b = cfg.options_for(cfg.tables[1])
     assert opts_b.sink_buckets == 32 and opts_b.granularity == 4096
+    # always a copy — caller mutation must not alias per-table state
+    opts_b.sink_buckets = 99
+    assert cfg.options_for(cfg.tables[1]).sink_buckets == 32
 
 
 def test_sync_job_bucketed_sink(spark, sf_dir, tmp_path):
