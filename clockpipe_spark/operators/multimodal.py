@@ -114,8 +114,12 @@ def decode_bmp_features(blobs: DataFrame) -> DataFrame:
     """REAL image decode (no PIL): parse the BMP headers with stdlib
     struct, then aggregate the pixel array — excluding the per-row
     padding bytes, which is exactly the mistake a naive byte-mean makes.
-    mapInPandas, one Arrow batch at a time."""
+    mapInPandas, one Arrow batch at a time; the pixel sum is a single
+    numpy reduction over a (height, stride) view, not a per-byte Python
+    loop — same integer total, ~50x cheaper at real image sizes."""
     import struct
+
+    import numpy as np
 
     schema = "doc_id long, width int, height int, bpp int, mean_px double"
 
@@ -135,10 +139,15 @@ def decode_bmp_features(blobs: DataFrame) -> DataFrame:
                 height = abs(height)  # negative = top-down; same pixels
                 row_raw = width * 3
                 stride = row_raw + (4 - row_raw % 4) % 4
-                total = 0
-                for y in range(height):
-                    row = data[offset + y * stride : offset + y * stride + row_raw]
-                    total += sum(row)
+                need = stride * height
+                buf = data[offset : offset + need]
+                if len(buf) < need:  # truncated file: missing bytes sum as 0,
+                    buf += b"\x00" * (need - len(buf))  # matching slice semantics
+                total = int(
+                    np.frombuffer(buf, dtype=np.uint8)
+                    .reshape(height, stride)[:, :row_raw]
+                    .sum(dtype=np.int64)
+                ) if height else 0
                 n_px = row_raw * height
                 rows["doc_id"].append(int(doc_id))
                 rows["width"].append(width)
@@ -178,6 +187,8 @@ def decode_wav_features(blobs: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = {
                 k: []
@@ -203,14 +214,19 @@ def decode_wav_features(blobs: DataFrame) -> DataFrame:
                         samples = data[pos : pos + size]
                     pos += size + size % 2  # chunks are word-aligned
                 n = len(samples) // 2
-                vals = struct.unpack(f"<{n}h", samples[: n * 2])
+                # one vectorized |x| sum over the PCM buffer — same integer
+                # total as the per-sample loop (int64 accumulator, no
+                # overflow: |int16| <= 32768)
+                abs_sum = int(
+                    np.abs(
+                        np.frombuffer(samples, dtype="<i2", count=n).astype(np.int64)
+                    ).sum()
+                ) if n else 0
                 rows["doc_id"].append(int(doc_id))
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(n)
                 rows["duration_ms"].append(n * 1000 // rate if rate else 0)
-                rows["mean_amp"].append(
-                    sum(abs(v) for v in vals) / n if n else 0.0
-                )
+                rows["mean_amp"].append(abs_sum / n if n else 0.0)
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)
 
@@ -225,6 +241,8 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
     schema = "doc_id long, width int, height int, mean_byte double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             n = pdf["payload"].map(len)
             # full precision out of the UDF; the JVM side emits
@@ -232,7 +250,9 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
             # can land exactly on round() ties, which Spark and DuckDB
             # resolve differently
             mean = pdf["payload"].map(
-                lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                lambda b: (
+                    int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)) / len(b)
+                ) if len(b) else 0.0
             )
             yield pd.DataFrame(
                 {

@@ -41,47 +41,38 @@ _MODULES = (
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
-# order.  This list pins that window so it carries maximal evidence: every
-# SURVEY §2 operator query, one representative per §2.10 LLM-pipeline
-# family, and one query per relational/scalar family — redundant
-# twice-green battery variants sort after position 50.
+# order.  This list pins that window so it carries maximal evidence.
+#
+# Round-4 rotation: 15 slots whose queries are double-green in
+# CORRECTNESS_r02+r03 (evidence persists in git) are swapped for the 15
+# queries that have never had a driver row in any round (ANN, dedup-LSH/
+# SimHash, embedding stats, multimodal meta, streaming session/sliding
+# windows, the text battery).  At least one canary per SURVEY §2 family
+# stays in-window; tests/test_registry_window.py guards the composition.
+_GATE_WINDOW = 50
+
 _PRIORITY = (
-    # §2.9 relational / scalar — one representative per family
+    # §2.9 relational / scalar — one canary per family
     "q1_pricing_summary",          # hash agg + CASE agg
     "q3_shipping_priority",        # multi-join + topk
-    "q6_revenue_forecast",         # filter agg
-    "join_broadcast_brand_volume", # broadcast join
-    "join_semi_customers_with_orders",  # semi join
-    "agg_rollup_lineitem",         # rollup
-    "agg_cube_orders",             # cube
-    "grouping_sets_lineitem",      # grouping sets
+    "q6_revenue_forecast",         # filter agg (flagship entry())
+    "agg_rollup_lineitem",         # rollup/cube/grouping-sets canary
     "pivot_status_by_priority",    # pivot
-    "window_function_battery",     # lead/first/last/percent_rank
-    "window_frame_moving_avg",     # window frames
-    "ntile_customer_quartiles",    # ntile
+    "window_frame_moving_avg",     # window funcs + frames canary
     "topk_orders_by_price",        # sort / top-k / limit
     "setop_union_segments",        # set ops
-    "scalar_json_extract",         # JSON scalars
-    "scalar_date_parts",           # date scalars
-    "scalar_string_funcs",         # string scalars
-    "scalar_math_battery",         # math scalars
+    "scalar_math_battery",         # scalar battery canary (math)
     "pg_array_literal_parse",      # §2.8 pg quirk functions
     "array_agg_per_nation",        # array functions
-    "subquery_in_filter",          # subqueries
-    "skew_salted_user_revenue",    # skew salting
-    "asof_last_purchase",          # as-of join
-    "range_join_ship_latency",     # range join
-    # §2 CDC operator queries (P1-P6, A1-A3, K1/K2, S4-S7)
-    "cdc_changelog",
-    "cdc_pgoutput_roundtrip",
-    "cdc_mongo_infer_project",
-    "cdc_keep_last",
-    "cdc_replica_state",
-    "cdc_route_counts",
-    "cdc_mask_columns",
-    "cdc_align_projection",
-    "cdc_cast_matrix",
-    "cdc_apply_to_snapshot",
+    "asof_last_purchase",          # subquery/as-of/range/skew canary
+    # §2 CDC operator queries (canaries: S4, P1-P4, A1, K1/K2, FINAL)
+    "cdc_changelog",               # P4 message-type filter
+    "cdc_pgoutput_roundtrip",      # S4 pgoutput decode + TOAST
+    "cdc_keep_last",               # A1 keep-last dedup
+    "cdc_replica_state",           # FINAL dedup-on-read view
+    "cdc_align_projection",        # P1 alignment (P2 masking: double-green r2+r3, rotated out)
+    "cdc_cast_matrix",             # P3 cast matrix
+    "cdc_apply_to_snapshot",       # K1/K2 upsert+delete
     # §2.10 LLM-pipeline families — one representative each
     "dedup_exact",
     "neardup_jaccard_pairs",
@@ -100,7 +91,28 @@ _PRIORITY = (
     "text_pii_redact",
     "doc_chunk_overlap",
     "benchmark_contamination",
+    # never-driver-checked until round 4 — rotated in
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup_pairs",
+    "embedding_norm_stats",
+    "mm_bytes_meta",
+    "mm_fake_image_features",
+    "stream_session_windows",
+    "stream_sliding_30m",
+    "text_bpe_token_stats",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_rolling_hash",
+    "text_token_stats",
 )
+
+if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)
+    raise AssertionError(
+        f"_PRIORITY must pin exactly {_GATE_WINDOW} entries, got {len(_PRIORITY)}"
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

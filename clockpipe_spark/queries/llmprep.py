@@ -90,9 +90,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The earlier tf * n_docs * 1e6 form overflowed int64 once
     tf * n_docs exceeded ~9.2e12 — a ceiling a 100 TB corpus clears
-    easily. n_docs is constant per dataset, and floor(C*x) is monotone
-    in x, so dropping it preserves the ranking exactly while decoupling
-    the overflow bound from corpus size. Remaining documented bound:
+    easily. n_docs is constant per dataset and floor(C*x) is monotone
+    in x, so dropping it preserves an engine-stable deterministic
+    ranking while decoupling the overflow bound from corpus size (the
+    coarser 1e6 floor can merge near-tie scores the old n_docs*1e6
+    scale separated, letting the term-asc tiebreak reorder those — not
+    exact equivalence with the old formula, but both engines agree). Remaining documented bound:
     per-(lang, term) token count must stay below 9.2e12 (int64 max /
     1e6) — ~600× the total token count of a 100 TB English web corpus's
     most common term per shard-language, checked by the ANSI-mode

@@ -316,7 +316,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     + broadcast inner join + hash agg, then a broadcast-joinable left
     join restores zero-hit docs. The corpus never self-joins and never
     shuffles on gram — only the final per-doc count aggregates.
-    At 100 TB: benchmark grams ~1e6 rows << 8 GB broadcast limit."""
+
+    Broadcastability rests on the benchmark being a genuinely small
+    EXTERNAL table (real eval suites are ~1e6 grams << the 8 GB
+    broadcast limit). The doc_id % 50 stand-in used here selects 2% of
+    the corpus — that only models a small benchmark at fixture scale;
+    at 100 TB the stand-in's gram set would be terabytes, so a real
+    deployment swaps in the external suite, not the modulo filter."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", _tokens(F.col("text")).alias("toks"), (F.col("doc_id") % 50 == 0).alias("is_bench")

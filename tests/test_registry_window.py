@@ -1,0 +1,91 @@
+"""Guard the CORRECTNESS-gate window composition.
+
+The driver checks the FIRST 50 registry entries; queries/__init__.py pins
+that window via ``_PRIORITY``.  Round 2 lost three CDC queries from the
+gate because a registry edit silently shifted the window — these tests make
+that failure mode loud (VERDICT r3 "Next round" #6, ADVICE r3 #4).
+
+No SparkSession needed: this only inspects registry composition.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from clockpipe_spark.queries import _GATE_WINDOW, _PRIORITY, all_oracles, all_queries
+
+# At least one in-window canary per SURVEY §2 family.  Each entry maps a
+# family to the registry names that can represent it; the test asserts the
+# window intersects every set.
+_FAMILY_CANARIES = {
+    "S4 pgoutput decode": {"cdc_pgoutput_roundtrip"},
+    "P1 alignment": {"cdc_align_projection"},
+    "P3 cast matrix": {"cdc_cast_matrix"},
+    "P4 message-type filter": {"cdc_changelog", "cdc_pgoutput_roundtrip"},
+    "A1 keep-last dedup": {"cdc_keep_last"},
+    "K1/K2 upsert+delete": {"cdc_apply_to_snapshot"},
+    "FINAL dedup-on-read": {"cdc_replica_state"},
+    "hash agg": {"q1_pricing_summary"},
+    "joins": {"q3_shipping_priority", "join_broadcast_brand_volume"},
+    "rollup/cube/grouping sets": {"agg_rollup_lineitem", "agg_cube_orders",
+                                  "grouping_sets_lineitem"},
+    "pivot": {"pivot_status_by_priority"},
+    "window functions": {"window_frame_moving_avg", "window_function_battery",
+                         "ntile_customer_quartiles"},
+    "sort/top-k": {"topk_orders_by_price"},
+    "set ops": {"setop_union_segments"},
+    "scalar battery": {"scalar_math_battery", "scalar_string_funcs",
+                       "scalar_date_parts", "scalar_json_extract"},
+    "pg quirk functions (§2.8)": {"pg_array_literal_parse", "cdc_cast_matrix"},
+    "array functions": {"array_agg_per_nation"},
+    "as-of/range/subquery/skew joins": {"asof_last_purchase",
+                                        "range_join_ship_latency",
+                                        "subquery_in_filter",
+                                        "skew_salted_user_revenue"},
+    "watermark windows (T6)": {"stream_tumbling_hourly",
+                               "stream_session_windows",
+                               "stream_sliding_30m"},
+    # §2.10 LLM-pipeline families
+    "exact dedup": {"dedup_exact"},
+    "near-dup (LSH/SimHash/Jaccard)": {"dedup_minhash_lsh", "dedup_simhash",
+                                       "neardup_jaccard_pairs"},
+    "similarity search": {"cosine_topk_brute", "ann_lsh_topk", "ann_ivf_topk"},
+    "text quality": {"text_quality_scores", "text_repetition_stats"},
+    "multimodal": {"mm_bmp_decode", "mm_wav_decode", "mm_bytes_meta"},
+    "sequence packing": {"pack_sequences_greedy"},
+    "tf-idf": {"tfidf_top_terms"},
+    "sampling": {"sample_stratified_hash"},
+    "quantization": {"embedding_int8_quantize"},
+    "UDF surface": {"udf_zscore_per_user"},
+    "PII redaction": {"text_pii_redact"},
+    "chunking": {"doc_chunk_overlap"},
+    "contamination": {"benchmark_contamination"},
+}
+
+
+def test_window_is_exactly_priority():
+    assert list(all_queries())[:_GATE_WINDOW] == list(_PRIORITY)
+
+
+def test_window_size_pinned():
+    assert _GATE_WINDOW == 50
+    assert len(_PRIORITY) == _GATE_WINDOW
+    assert len(set(_PRIORITY)) == _GATE_WINDOW, "duplicate names in _PRIORITY"
+
+
+def test_every_family_has_in_window_canary():
+    window = set(_PRIORITY)
+    missing = [fam for fam, names in _FAMILY_CANARIES.items()
+               if not (names & window)]
+    assert not missing, f"families with no in-window canary: {missing}"
+
+
+def test_priority_names_all_registered():
+    registered = set(all_queries())
+    assert set(_PRIORITY) <= registered
+
+
+def test_oracles_subset_of_queries():
+    assert set(all_oracles()) <= set(all_queries())
