@@ -97,20 +97,23 @@ def bench_cdc(spark, sf_dir: str) -> dict[str, float]:
 
 
 def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
-    """Flat vs bucketed replica store, 10× past the 1M-key point where
-    PLANS.md's round-1 table stopped: seed n_keys of state across the 4
-    routed tables, then drain the sf change log through both layouts.
+    """Flat vs bucketed (merge-on-read) replica store, 10x past the
+    1M-key point where PLANS.md's round-1 table stopped: seed n_keys of
+    state across the 4 routed tables, then drain the sf change log in 8
+    micro-batches (cap 12,500) through both layouts.
 
     The flat store rewrites the full state every merge (the known scale
-    killer); the bucketed store rewrites only buckets containing batch
-    keys. The fixture's live keys (1500) hash into ~31% of the 1024
-    buckets/table, so the bucketed drain rewrites ~3x fewer state rows
-    per iteration. Wall-clock on local[32] NVMe still favors flat below
-    ~50M keys — per-merge fixed costs (listing + committing ~330 bucket
-    dirs ≈ 2-3 s) dominate while full rewrites stream at >2M rows/s
-    locally; state_rows_rewritten is the metric that transfers to a
-    cluster, where state I/O is remote and the rewrite volume is the
-    bottleneck. Both are reported."""
+    killer -- its drain cost scales with merge count x state size). The
+    bucketed store appends a keep-last delta per merge (cost O(batch),
+    independent of state size) and auto-compacts the delta log into only
+    the touched buckets every compact_every=8 batches -- so the measured
+    drain INCLUDES one full compaction cycle per table: steady-state
+    cost, not an append-only best case. Any residual delta log is folded
+    by an explicit compact() afterwards, timed separately, so both
+    layouts finish fully compacted. state_rows_rewritten (appends +
+    compaction rewrites) is the metric that transfers to a cluster,
+    where state I/O is remote; drain_sec shows the same design also wins
+    wall-clock on local[32] NVMe at 10M keys."""
     import shutil
     import tempfile
 
@@ -119,6 +122,7 @@ def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
     from clockpipe_spark.config import PipeConfig, SourceTable
     from clockpipe_spark.sync_job import SyncJob
 
+    CAP = 12_500  # 100k events -> exactly 8 micro-batches
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     seed = (
         spark.range(n_keys)
@@ -130,30 +134,42 @@ def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
             F.lit(False).alias("__deleted"),
         )
     )
-    out: dict[str, float | int] = {"seeded_keys": n_keys, "buckets_per_table": 1024}
-    # measured touched-bucket fraction of the real changelog (per table,
-    # per 65_536-cap iteration) -> state rows each layout rewrites
+    out: dict[str, float | int] = {
+        "seeded_keys": n_keys,
+        "buckets_per_table": 1024,
+        "batch_cap": CAP,
+        "compact_every": 8,
+    }
+    # rewrite-volume accounting from the real changelog: per-(batch,
+    # table) distinct keys = delta rows appended; per-table distinct
+    # buckets = buckets the one compaction cycle rewrites
     clog = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         .select(
-            (F.col("event_id") / 65_536).cast("int").alias("it"),
+            (F.col("event_id") / CAP).cast("int").alias("it"),
             F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string")).alias("tbl"),
+            F.col("user_id"),
             F.pmod(F.xxhash64("user_id"), F.lit(1024)).alias("bucket"),
         )
     )
-    touched = (
-        clog.groupBy("it", "tbl")
-        .agg(F.count_distinct("bucket").alias("n_buckets"))
-        .agg(F.sum("n_buckets").alias("total"))
+    appended = clog.select("it", "tbl", "user_id").distinct().count()
+    comp_buckets = (
+        clog.groupBy("tbl")
+        .agg(F.count_distinct("bucket").alias("n"))
+        .agg(F.sum("n").alias("total"))
         .first()["total"]
     )
     n_iter_tables = clog.select("it", "tbl").distinct().count()
     out["flat_state_rows_rewritten"] = n_iter_tables * (n_keys // 4)
-    out["bucketed_state_rows_rewritten"] = int(touched * (n_keys // 4) / 1024)
+    out["bucketed_rows_appended"] = appended
+    out["bucketed_rows_compacted"] = int(comp_buckets * (n_keys // 4) / 1024)
+    out["bucketed_state_rows_rewritten"] = (
+        out["bucketed_rows_appended"] + out["bucketed_rows_compacted"]
+    )
     for label, buckets in (("flat", 0), ("bucketed", 1024)):
         target = tempfile.mkdtemp(prefix=f"clockpipe_state10x_{label}_")
         try:
-            cfg = PipeConfig(peek_changes_limit=65_536, sink_buckets=buckets)
+            cfg = PipeConfig(peek_changes_limit=CAP, sink_buckets=buckets)
             job = SyncJob(spark, cfg, sf_dir, target)
             for i in range(4):
                 store = job.store_for(f"t{i}")
@@ -165,10 +181,23 @@ def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
             t0 = time.perf_counter()
             job.sync_loop()
             sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for i in range(4):  # fold any residual delta log
+                store = job.store_for(f"t{i}")
+                if hasattr(store, "compact"):
+                    store.compact(spark)
+            final_compact = time.perf_counter() - t0
             out[f"{label}_events_per_sec"] = round(n_events / sec, 1)
             out[f"{label}_drain_sec"] = round(sec, 2)
+            if buckets:
+                out["bucketed_final_compact_sec"] = round(final_compact, 2)
         finally:
             shutil.rmtree(target, ignore_errors=True)
+    out["bucketed_speedup_vs_flat"] = round(
+        out["flat_drain_sec"]
+        / (out["bucketed_drain_sec"] + out["bucketed_final_compact_sec"]),
+        2,
+    )
     return out
 
 

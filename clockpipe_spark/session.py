@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # bucketed-state reads pass hundreds of explicit bucket-dir paths;
+        # the default threshold (32) launches a distributed listing JOB per
+        # read, ~1.1 s of fixed cost per merge on local[32] where serial
+        # driver-side listing is microseconds/dir. On real object storage
+        # with 10k+ dirs per read, lower this again.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "2048")
         .config("spark.ui.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert (catalog.load_table) with the

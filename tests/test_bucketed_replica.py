@@ -1,5 +1,6 @@
-"""Bucketed replica store: merge correctness == flat store, and merges
-rewrite only touched buckets."""
+"""Bucketed replica store: merge correctness == flat store through both
+the merge-on-read (append + compaction) and rewrite paths, and
+compaction rewrites only touched buckets."""
 
 from __future__ import annotations
 
@@ -10,7 +11,7 @@ from pyspark.sql import functions as F
 from clockpipe_spark.cdc.changelog import changelog_from_events
 from clockpipe_spark.cdc.ops import replica_state
 from clockpipe_spark.catalog import load_table
-from clockpipe_spark.streaming.bucketed_replica import BucketedReplicaStore
+from clockpipe_spark.streaming.bucketed_replica import _DELTAS, BucketedReplicaStore
 
 
 def _clog(spark, rows):
@@ -19,55 +20,123 @@ def _clog(spark, rows):
     )
 
 
+def _final_view(store, spark):
+    return {
+        r["user_id"]: (r["last_seq"], round(r["value"], 6))
+        for r in store.read(spark).collect()
+    }
+
+
 def test_bucketed_matches_final_view(spark, sf_dir, tmp_path):
     clog = changelog_from_events(load_table(spark, sf_dir, "events")).select(
         "seq", "op", "user_id", "value"
     )
-    store = BucketedReplicaStore(str(tmp_path / "b"), n_buckets=8)
-    # three uneven micro-batches
-    for lo, hi in [(0, 300), (300, 700), (700, 10_000_000)]:
-        store.merge_changes(
-            spark,
-            clog.filter((F.col("seq") >= lo) & (F.col("seq") < hi)),
-            ["user_id"],
-        )
-    got = {
-        r["user_id"]: (r["last_seq"], round(r["value"], 6))
-        for r in store.read(spark).collect()
-    }
     expected = {
         r["user_id"]: (r["seq"], round(r["value"], 6))
         for r in replica_state(clog, ["user_id"]).collect()
     }
-    assert got == expected
+    batches = [(0, 300), (300, 700), (700, 10_000_000)]
+    for mode, compact_every in (("rewrite", 8), ("auto", 2), ("append", 8)):
+        store = BucketedReplicaStore(
+            str(tmp_path / f"b_{mode}"), n_buckets=8, compact_every=compact_every
+        )
+        for lo, hi in batches:
+            store.merge_changes(
+                spark,
+                clog.filter((F.col("seq") >= lo) & (F.col("seq") < hi)),
+                ["user_id"],
+                mode=mode,
+            )
+        assert _final_view(store, spark) == expected, mode
+        # explicit compaction folds deltas without changing the view
+        store.compact(spark)
+        assert store.read_manifest().get(_DELTAS, []) == []
+        assert _final_view(store, spark) == expected, f"{mode} post-compact"
 
 
-def test_only_touched_buckets_rewritten(spark, tmp_path):
-    store = BucketedReplicaStore(str(tmp_path / "b2"), n_buckets=8)
-    # seed many keys across all buckets
+def test_append_leaves_base_untouched(spark, tmp_path):
+    store = BucketedReplicaStore(str(tmp_path / "b1"), n_buckets=8, compact_every=100)
     seed = _clog(spark, [(i, "I", i, float(i)) for i in range(64)])
-    store.merge_changes(spark, seed, ["user_id"])
+    store.merge_changes(spark, seed, ["user_id"], mode="rewrite")
     m1 = store.read_manifest()
-    # update ONE key -> exactly one bucket path should change
+    # MOR append: base bucket paths unchanged, one delta recorded
     store.merge_changes(spark, _clog(spark, [(100, "U", 7, 700.0)]), ["user_id"])
     m2 = store.read_manifest()
-    changed = [b for b in m1 if m1[b] != m2.get(b)]
-    assert len(changed) == 1
-    # untouched buckets literally reuse the old files
-    untouched = [b for b in m1 if b not in changed]
-    assert all(m1[b] == m2[b] for b in untouched)
-    # and the updated value is visible
+    assert all(m1[b] == m2[b] for b in m1 if b != _DELTAS and not b.startswith("__"))
+    deltas = m2[_DELTAS]
+    assert len(deltas) == 1 and len(deltas[0]["buckets"]) == 1
     got = {r["user_id"]: r["value"] for r in store.read(spark).collect()}
     assert got[7] == 700.0 and got[6] == 6.0
 
 
+def test_compaction_rewrites_only_touched_buckets(spark, tmp_path):
+    store = BucketedReplicaStore(str(tmp_path / "b2"), n_buckets=8, compact_every=100)
+    seed = _clog(spark, [(i, "I", i, float(i)) for i in range(64)])
+    store.merge_changes(spark, seed, ["user_id"], mode="rewrite")
+    m1 = store.read_manifest()
+    # update ONE key -> compaction must change exactly one bucket path
+    store.merge_changes(spark, _clog(spark, [(100, "U", 7, 700.0)]), ["user_id"])
+    store.compact(spark)
+    m2 = store.read_manifest()
+    data_buckets = [b for b in m1 if not b.startswith("__")]
+    changed = [b for b in data_buckets if m1[b] != m2.get(b)]
+    assert len(changed) == 1
+    # untouched buckets literally reuse the old files
+    assert all(m1[b] == m2[b] for b in data_buckets if b not in changed)
+    got = {r["user_id"]: r["value"] for r in store.read(spark).collect()}
+    assert got[7] == 700.0 and got[6] == 6.0
+
+
+def test_auto_compaction_threshold(spark, tmp_path):
+    store = BucketedReplicaStore(str(tmp_path / "b3"), n_buckets=4, compact_every=3)
+    for i in range(3):
+        store.merge_changes(
+            spark, _clog(spark, [(i, "I", i, float(i))]), ["user_id"]
+        )
+    # third append hits compact_every -> delta log folded into base
+    m = store.read_manifest()
+    assert m.get(_DELTAS, []) == []
+    assert {r["user_id"] for r in store.read(spark).collect()} == {0, 1, 2}
+    # delta files from before compaction survive for older readers
+    assert any(f.startswith("d_") for f in os.listdir(store.root))
+
+
 def test_bucketed_delete_and_replay(spark, tmp_path):
-    store = BucketedReplicaStore(str(tmp_path / "b3"), n_buckets=4)
-    store.merge_changes(
-        spark, _clog(spark, [(1, "I", 1, 1.0), (2, "I", 2, 2.0)]), ["user_id"]
+    for mode in ("rewrite", "append"):
+        store = BucketedReplicaStore(
+            str(tmp_path / f"b4_{mode}"), n_buckets=4, compact_every=100
+        )
+        store.merge_changes(
+            spark, _clog(spark, [(1, "I", 1, 1.0), (2, "I", 2, 2.0)]),
+            ["user_id"], mode=mode,
+        )
+        store.merge_changes(
+            spark, _clog(spark, [(3, "D", 1, 0.0)]), ["user_id"], mode=mode
+        )
+        assert {r["user_id"] for r in store.read(spark).collect()} == {2}, mode
+        # replay an OLD pre-delete insert: tombstone must win
+        store.merge_changes(
+            spark, _clog(spark, [(1, "I", 1, 1.0)]), ["user_id"], mode=mode
+        )
+        assert {r["user_id"] for r in store.read(spark).collect()} == {2}, mode
+        # and still after folding everything into the base
+        store.compact(spark)
+        assert {r["user_id"] for r in store.read(spark).collect()} == {2}, mode
+
+
+def test_snapshot_then_mor_appends(spark, tmp_path):
+    store = BucketedReplicaStore(str(tmp_path / "b5"), n_buckets=8, compact_every=100)
+    snap = spark.range(100).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 1.0).alias("value"),
+        F.lit(-1).cast("bigint").alias("last_seq"),
+        F.lit(False).alias("__deleted"),
     )
-    store.merge_changes(spark, _clog(spark, [(3, "D", 1, 0.0)]), ["user_id"])
-    assert {r["user_id"] for r in store.read(spark).collect()} == {2}
-    # replay an OLD pre-delete insert: tombstone must win
-    store.merge_changes(spark, _clog(spark, [(1, "I", 1, 1.0)]), ["user_id"])
-    assert {r["user_id"] for r in store.read(spark).collect()} == {2}
+    store.write_snapshot(snap, ["user_id"])
+    store.merge_changes(spark, _clog(spark, [(5, "U", 3, 33.0), (6, "D", 4, 0.0)]),
+                        ["user_id"])
+    got = {r["user_id"]: r["value"] for r in store.read(spark).collect()}
+    assert len(got) == 99 and got[3] == 33.0 and 4 not in got
+    store.compact(spark)
+    got2 = {r["user_id"]: r["value"] for r in store.read(spark).collect()}
+    assert got2 == got
