@@ -99,3 +99,70 @@ def objectid_hex(col: Column) -> Column:
 def binary_base64(col: Column) -> Column:
     """BSON Binary -> base64 string (mongodb.rs:394-399)."""
     return F.base64(col)
+
+
+# ---------------------------------------------------------------------------
+# BSON cast-table tail (adapter/mongodb.rs:355-514). The reference
+# renders BSON values into ClickHouse literals with per-target match
+# arms; each arm below is the equivalent pure column expression. The
+# reference's to_array dispatches on the FIRST element's BSON type
+# (mongodb.rs:446-449) — Spark arrays are schema-typed, so that dispatch
+# happens once at inference time (cdc/mongo_schema.py first-type-wins)
+# and each arm is its own expression here.
+
+
+def mongo_decimal128(col: Column) -> Column:
+    """Decimal128 participates in numeric casts via its decimal string
+    rendering (mongodb.rs:359 to_integer, 368 to_real); a non-parsing
+    value falls through to the zero-default `_` arm (361, 370)."""
+    return F.coalesce(
+        col.cast("string").try_cast("decimal(38,10)"),
+        F.lit(0).cast("decimal(38,10)"),
+    )
+
+
+def mongo_epoch_seconds(ms: Column) -> Column:
+    """BSON DateTime millis -> epoch seconds for to_date/to_datetime
+    (mongodb.rs:408-431): Rust's i64 division truncates toward zero, so
+    -1500 ms is -1 s, not floor's -2. Spark's % follows the dividend's
+    sign, making (ms - ms % 1000) / 1000 the exact truncating division."""
+    ms = ms.cast("bigint")
+    return ((ms - ms % 1000) / 1000).cast("bigint")
+
+
+def mongo_datetime_str(ms: Column) -> Column:
+    """BSON DateTime millis -> '%Y-%m-%d %H:%M:%S' string, the to_string
+    arm (mongodb.rs:382-388): chrono formats the millisecond-precise
+    instant, which floors sub-second digits away."""
+    return F.date_format(F.timestamp_millis(ms.cast("bigint")), "yyyy-MM-dd HH:mm:ss")
+
+
+def mongo_timestamp_str(secs: Column) -> Column:
+    """BSON Timestamp (epoch seconds) -> '%Y-%m-%d %H:%M:%S' string
+    (to_string arm mongodb.rs:389-395 and to_time mongodb.rs:434-448)."""
+    return F.date_format(F.timestamp_seconds(secs.cast("bigint")), "yyyy-MM-dd HH:mm:ss")
+
+
+def mongo_array_int(col: Column) -> Column:
+    """Int32/Int64-headed array: each element as i64, non-parsing
+    elements -> 0 (mongodb.rs:449-456 as_i64().map_or("0", ..))."""
+    return F.transform(col, lambda x: F.coalesce(x.try_cast("bigint"), F.lit(0)))
+
+
+def mongo_array_double(col: Column) -> Column:
+    """Double-headed array: each element as f64, non-parsing -> 0.0
+    (mongodb.rs:457-464)."""
+    return F.transform(col, lambda x: F.coalesce(x.try_cast("double"), F.lit(0.0)))
+
+
+def mongo_array_string(col: Column) -> Column:
+    """String-headed array: non-string elements render as ' ' — a single
+    space, the reference's unwrap_or placeholder (mongodb.rs:465-481)."""
+    return F.transform(col, lambda x: F.coalesce(x, F.lit(" ")))
+
+
+def mongo_string_array(col: Column) -> Column:
+    """to_string_array FILTERS non-string elements out (filter_map,
+    mongodb.rs:484-494) instead of substituting a placeholder — the one
+    behavioral difference from the string-headed to_array arm."""
+    return F.filter(col, lambda x: x.isNotNull())

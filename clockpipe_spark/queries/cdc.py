@@ -23,6 +23,14 @@ from clockpipe_spark.cdc.ops import (
     route_counts,
 )
 from clockpipe_spark.functions.casts import (
+    mongo_array_double,
+    mongo_array_int,
+    mongo_array_string,
+    mongo_datetime_str,
+    mongo_decimal128,
+    mongo_epoch_seconds,
+    mongo_string_array,
+    mongo_timestamp_str,
     pg_bool_parse,
     pg_datetime_trunc,
     pg_to_int,
@@ -329,8 +337,86 @@ FROM events
 """
 
 
+def cdc_mongo_bson_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BSON cast-table tail battery (adapter/mongodb.rs:355-514): the
+    Decimal128 numeric arm, epoch-millis truncating division, DateTime/
+    Timestamp '%Y-%m-%d %H:%M:%S' rendering, and the three typed-array
+    arms (int/double zero-default, string ' '-placeholder vs filtering).
+
+    Inputs are synthesized from integer columns so both engines build
+    byte-identical strings (double->string rendering differs between
+    engines — the round-1 hash lesson). Array outputs stringify via
+    concat_ws (the driver's hasher can't take list columns), and the
+    double arm emits x*10 as bigint for the same reason. All arms are
+    pure column expressions — zero shuffle beyond the final sort."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = ((F.col("event_id") % 1_000_000) * 3_600_123 + 999).cast("bigint")
+    dec_in = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("."),
+        F.lpad((F.col("event_id") % 10_000).cast("string"), 4, "0"),
+    )
+    arr = F.array(F.col("user_id").cast("string"), F.lit("2.5"), F.lit("x"))
+    sarr = F.array(F.col("user_id").cast("string"), F.lit(None).cast("string"))
+    return (
+        ev.select(
+            "event_id",
+            F.round(mongo_decimal128(dec_in).cast("double"), 6).alias("dec_val"),
+            mongo_epoch_seconds(ms).alias("epoch_s"),
+            mongo_datetime_str(ms).alias("dt_str"),
+            mongo_timestamp_str((F.col("event_id") % 2_000_000_000)).alias("ts_str"),
+            F.concat_ws(
+                ",", F.transform(mongo_array_int(arr), lambda x: x.cast("string"))
+            ).alias("arr_int"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    mongo_array_double(arr),
+                    lambda x: (x * 10).cast("bigint").cast("string"),
+                ),
+            ).alias("arr_dbl_x10"),
+            F.concat_ws(",", mongo_array_string(sarr)).alias("arr_str"),
+            F.concat_ws(",", mongo_string_array(sarr)).alias("arr_filtered"),
+        )
+        .orderBy("event_id")
+    )
+
+
+CDC_BSON_CASTS_SQL = """
+SELECT event_id,
+       ROUND(CAST(COALESCE(
+           TRY_CAST(CAST(user_id AS VARCHAR) || '.' ||
+                    lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                    AS DECIMAL(38,10)), 0) AS DOUBLE), 6) AS dec_val,
+       CAST((ms - ms % 1000) / 1000 AS BIGINT) AS epoch_s,
+       strftime(epoch_ms(ms), '%Y-%m-%d %H:%M:%S') AS dt_str,
+       strftime(epoch_ms((event_id % 2000000000) * 1000),
+                '%Y-%m-%d %H:%M:%S') AS ts_str,
+       array_to_string(list_transform(arr,
+           x -> CAST(CASE WHEN regexp_matches(x, '^[+-]?[0-9]+$')
+                          THEN CAST(x AS BIGINT) ELSE 0 END AS VARCHAR)), ',')
+         AS arr_int,
+       array_to_string(list_transform(arr,
+           x -> CAST(CAST(COALESCE(TRY_CAST(x AS DOUBLE), 0.0) * 10 AS BIGINT)
+                     AS VARCHAR)), ',') AS arr_dbl_x10,
+       array_to_string(list_transform(sarr, x -> COALESCE(x, ' ')), ',')
+         AS arr_str,
+       array_to_string(list_filter(sarr, x -> x IS NOT NULL), ',')
+         AS arr_filtered
+FROM (
+  SELECT event_id, user_id,
+         CAST((event_id % 1000000) * 3600123 + 999 AS BIGINT) AS ms,
+         [CAST(user_id AS VARCHAR), '2.5', 'x'] AS arr,
+         [CAST(user_id AS VARCHAR), NULL] AS sarr
+  FROM events
+)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
+    "cdc_mongo_bson_casts": cdc_mongo_bson_casts,
     "cdc_pgoutput_roundtrip": cdc_pgoutput_roundtrip,
     "cdc_mongo_infer_project": cdc_mongo_infer_project,
     "cdc_keep_last": cdc_keep_last,
@@ -344,6 +430,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
+    "cdc_mongo_bson_casts": CDC_BSON_CASTS_SQL,
     "cdc_pgoutput_roundtrip": CDC_PGOUTPUT_SQL,
     "cdc_mongo_infer_project": CDC_MONGO_SQL,
     "cdc_keep_last": CDC_KEEP_LAST_DEDUP_SQL,

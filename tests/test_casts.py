@@ -15,6 +15,14 @@ from pyspark.sql import functions as F
 from clockpipe_spark.functions.casts import (
     binary_base64,
     mask_column,
+    mongo_array_double,
+    mongo_array_int,
+    mongo_array_string,
+    mongo_datetime_str,
+    mongo_decimal128,
+    mongo_epoch_seconds,
+    mongo_string_array,
+    mongo_timestamp_str,
     objectid_hex,
     pg_bool_parse,
     pg_datetime_trunc,
@@ -89,3 +97,56 @@ def test_objectid_and_binary(spark):
     oid = bytes.fromhex("507f1f77bcf86cd799439011")
     assert _one(spark, objectid_hex(F.lit(oid))) == "507f1f77bcf86cd799439011"
     assert _one(spark, binary_base64(F.lit(b"hello"))) == "aGVsbG8="
+
+
+def test_mongo_decimal128(spark):
+    # mongodb.rs:359, 368: Decimal128 renders via its decimal string;
+    # the `_` arm zero-defaults anything non-numeric (361, 370)
+    from decimal import Decimal
+
+    assert _one(spark, mongo_decimal128(F.lit("123.4500"))) == Decimal("123.45")
+    assert _one(spark, mongo_decimal128(F.lit("-0.0000000001"))) == Decimal("-1E-10")
+    assert _one(spark, mongo_decimal128(F.lit("NaN"))) == Decimal(0)
+    assert _one(spark, mongo_decimal128(F.lit("abc"))) == Decimal(0)
+
+
+def test_mongo_epoch_seconds_truncates_toward_zero(spark):
+    # mongodb.rs:408-431: Rust i64 division truncates toward zero —
+    # -1500 ms is -1 s (floor would give -2)
+    for ms, want in [(1500, 1), (999, 0), (-1500, -1), (-999, 0), (0, 0),
+                     (1755500000123, 1755500000)]:
+        assert _one(spark, mongo_epoch_seconds(F.lit(ms))) == want, ms
+
+
+def test_mongo_datetime_and_timestamp_str(spark):
+    # mongodb.rs:382-395: '%Y-%m-%d %H:%M:%S', sub-second floored away
+    assert (
+        _one(spark, mongo_datetime_str(F.lit(1700000000999)))
+        == "2023-11-14 22:13:20"
+    )
+    # pre-epoch: chrono formats the floored instant (-1 ms -> :59)
+    assert (
+        _one(spark, mongo_datetime_str(F.lit(-1))) == "1969-12-31 23:59:59"
+    )
+    assert (
+        _one(spark, mongo_timestamp_str(F.lit(1700000000)))
+        == "2023-11-14 22:13:20"
+    )
+    assert _one(spark, mongo_timestamp_str(F.lit(0))) == "1970-01-01 00:00:00"
+
+
+def test_mongo_typed_arrays(spark):
+    # mongodb.rs:449-464: int/double-headed arrays zero-default
+    # non-parsing elements
+    arr = F.array(F.lit("1"), F.lit("2.5"), F.lit("x"), F.lit("-3"))
+    assert _one(spark, mongo_array_int(arr)) == [1, 0, 0, -3]
+    assert _one(spark, mongo_array_double(arr)) == [1.0, 2.5, 0.0, -3.0]
+    # mongodb.rs:465-481: string-headed array renders non-strings as ' '
+    sarr = F.array(F.lit("a"), F.lit(None).cast("string"), F.lit("b"))
+    assert _one(spark, mongo_array_string(sarr)) == ["a", " ", "b"]
+    # mongodb.rs:484-494: to_string_array FILTERS non-strings instead
+    assert _one(spark, mongo_string_array(sarr)) == ["a", "b"]
+    # empty array stays [] in every arm (mongodb.rs:478, 493)
+    empty = F.array().cast("array<string>")
+    assert _one(spark, mongo_array_int(empty)) == []
+    assert _one(spark, mongo_string_array(empty)) == []
