@@ -8,16 +8,23 @@ corpus. A streaming corpus needs dedup against accumulated history —
 this operator is that state layer.
 
 100 TB design:
-- State is two append-only parquet logs: ``bands`` (id, band_idx,
+- State is three append-only parquet logs: ``bands`` (id, band_idx,
   band_hash — 3 narrow columns, the only thing the candidate join ever
-  shuffles) and ``sigs`` (id, minhash) consulted only for the surviving
-  candidate pairs. Appending a batch is a blind write — no rewrite of
-  history (contrast: the replica store's merge path).
-- The per-batch probe is an equi-join of the batch's band hashes against
-  the band log — linear in batch size + collisions, never all-pairs.
-  At scale the band log would be bucketed by band_hash so the probe
-  co-locates without a full shuffle of history; the append-only layout
-  is what makes that bucketing possible.
+  shuffles), ``sigs`` (id, minhash) consulted only for the surviving
+  candidate pairs, and ``shorts`` (id, text_hash) for docs too short to
+  shingle. Appending a batch is a blind write — no rewrite of history
+  (contrast: the replica store's merge path).
+- The band log is BUCKETED on disk by ``pmod(band_hash,
+  n_band_buckets)`` (hive-partitioned ``band_bucket=K`` dirs), so the
+  per-batch probe lists and reads ONLY the buckets the batch's band
+  hashes fall into — file-level pruning before any row is scanned, the
+  same economics as partition pruning on a 100 TB table. The probe
+  itself is an equi-join of the batch's band hashes against those
+  buckets — linear in batch size + collisions, never all-pairs.
+- Docs with < 3 tokens produce no shingles, hence no MinHash signature;
+  they route through an EXACT dedup keyed on xxhash64(lower(trim(
+  text))) against the ``shorts`` log (ADVICE r3: unconditional
+  admission re-admitted exact copies of short docs forever).
 - Admission ordering inside a batch follows the id order (lowest id of a
   colliding pair wins), matching the batch pair-miner's keep-lowest
   convention.
@@ -27,7 +34,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clockpipe_spark.operators.neardup import (
@@ -38,6 +45,7 @@ from clockpipe_spark.operators.neardup import (
 
 _BANDS_SCHEMA = "id long, band_idx int, band_hash long"
 _SIGS_SCHEMA = "id long, minhash array<long>"
+_SHORTS_SCHEMA = "id long, text_hash long"
 
 
 class StreamingNearDup:
@@ -50,28 +58,51 @@ class StreamingNearDup:
         n_hashes: int = 32,
         n_bands: int = 8,
         threshold: float = 0.5,
+        n_band_buckets: int = 64,
     ):
         self.spark = spark
         self.bands_dir = os.path.join(root, "bands")
         self.sigs_dir = os.path.join(root, "sigs")
+        self.shorts_dir = os.path.join(root, "shorts")
         self.n_hashes = n_hashes
         self.n_bands = n_bands
         self.threshold = threshold
+        self.n_band_buckets = n_band_buckets
         os.makedirs(root, exist_ok=True)
 
-    def _history(self, path: str, schema: str) -> DataFrame:
-        """Snapshot of the state log AS OF NOW: the parquet file list is
-        resolved eagerly, so the (lazy) downstream plan cannot pick up
-        rows this very batch appends later — otherwise a re-evaluation
-        after the state write would match every doc against itself."""
+    def _files(self, path: str) -> list[str]:
         files = []
         for dirpath, _dirs, names in os.walk(path):
             files.extend(
                 os.path.join(dirpath, n) for n in names if n.endswith(".parquet")
             )
+        return sorted(files)
+
+    def _band_files(self, buckets: list[int] | None) -> list[str]:
+        """Band-log files for the given bucket ids (None = all). Files in
+        ``band_bucket=K`` dirs prune by K; loose files (pre-bucketing
+        state layouts) are always included for backward compatibility."""
+        files = self._files(self.bands_dir)
+        if buckets is None:
+            return files
+        allowed = {f"band_bucket={b}" + os.sep for b in buckets}
+        return [
+            f
+            for f in files
+            if "band_bucket=" not in f or any(a in f for a in allowed)
+        ]
+
+    def _history_df(self, files: list[str], schema: str) -> DataFrame:
+        """Snapshot of a state log AS OF NOW: the parquet file list is
+        resolved eagerly, so the (lazy) downstream plan cannot pick up
+        rows this very batch appends later — otherwise a re-evaluation
+        after the state write would match every doc against itself."""
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*sorted(files))
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def _history(self, path: str, schema: str) -> DataFrame:
+        return self._history_df(self._files(path), schema)
 
     def process_batch(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -82,7 +113,19 @@ class StreamingNearDup:
         sig = minhash_signatures(docs, id_col, text_col, self.n_hashes).cache()
         bands = band_hashes(sig, self.n_hashes, self.n_bands).cache()
 
-        hist_bands = self._history(self.bands_dir, _BANDS_SCHEMA)
+        # file-level pruning: only band-log buckets the batch hashes into
+        # are listed/read (≤ n_band_buckets values — a bounded collect)
+        probe_buckets = [
+            r["b"]
+            for r in bands.select(
+                F.pmod(F.col("band_hash"), F.lit(self.n_band_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        hist_bands = self._history_df(self._band_files(probe_buckets), _BANDS_SCHEMA)
         hist_sigs = self._history(self.sigs_dir, _SIGS_SCHEMA)
 
         # candidates vs history: new id on the left, any admitted id right
@@ -128,6 +171,36 @@ class StreamingNearDup:
         )
         dup_ids = scored.select(F.col("new_id").alias("id")).distinct()
 
+        # Docs too short to shingle (< 3 tokens) have NO signature row —
+        # they cannot near-duplicate anything, so they route through an
+        # EXACT dedup on the normalized text hash instead (shorts log).
+        shorts = (
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.xxhash64(F.lower(F.trim(F.col(text_col)))).alias("text_hash"),
+            )
+            .join(sig.select("id"), "id", "left_anti")
+            .cache()
+        )
+        hist_shorts = self._history(self.shorts_dir, _SHORTS_SCHEMA)
+        short_vs_hist = (
+            shorts.alias("n")
+            .join(
+                hist_shorts.alias("h"),
+                (F.col("n.text_hash") == F.col("h.text_hash"))
+                # replay safety, as for bands
+                & (F.col("n.id") != F.col("h.id")),
+            )
+            .select(F.col("n.id").alias("id"))
+        )
+        w = Window.partitionBy("text_hash").orderBy("id")
+        short_intra = (
+            shorts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select("id")
+        )
+        dup_short_ids = short_vs_hist.unionByName(short_intra).distinct()
+
         # intra-batch chains (A~B, B~C): admission is transitive by id
         # order only at threshold collisions within the same band family;
         # keep semantics simple and deterministic — drop every id that
@@ -141,19 +214,28 @@ class StreamingNearDup:
             .cache()
         )
         admitted_sig.write.mode("append").parquet(self.sigs_dir)
-        band_hashes(admitted_sig, self.n_hashes, self.n_bands).write.mode(
-            "append"
-        ).parquet(self.bands_dir)
+        (
+            band_hashes(admitted_sig, self.n_hashes, self.n_bands)
+            .withColumn(
+                "band_bucket",
+                F.pmod(F.col("band_hash"), F.lit(self.n_band_buckets)).cast("int"),
+            )
+            .write.mode("append")
+            .partitionBy("band_bucket")
+            .parquet(self.bands_dir)
+        )
+        admitted_shorts = (
+            shorts.join(dup_short_ids, "id", "left_anti")
+            .join(hist_shorts.select("id"), "id", "left_anti")
+        )
+        admitted_shorts.write.mode("append").parquet(self.shorts_dir)
 
-        # Admitted output = everything that matched nothing. Docs too short
-        # to shingle (< 3 tokens) have NO signature row — they cannot
-        # near-duplicate anything, so they are admitted unconditionally
-        # (anti-join on dup_ids keeps them; the old semi-join on
-        # admitted_sig silently dropped them). They carry no state.
+        all_dup = dup_ids.unionByName(dup_short_ids).distinct()
         out = docs.join(
-            dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+            all_dup.withColumnRenamed("id", id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)
         admitted_sig.unpersist()
+        shorts.unpersist()
         sig.unpersist()
         bands.unpersist()
         return out
@@ -161,4 +243,6 @@ class StreamingNearDup:
     def admitted_ids(self) -> DataFrame:
         # distinct() guards against duplicate state rows from any history
         # written before the replay-idempotence anti-join existed
-        return self._history(self.sigs_dir, _SIGS_SCHEMA).select("id").distinct()
+        sig_ids = self._history(self.sigs_dir, _SIGS_SCHEMA).select("id")
+        short_ids = self._history(self.shorts_dir, _SHORTS_SCHEMA).select("id")
+        return sig_ids.unionByName(short_ids).distinct()

@@ -83,19 +83,74 @@ def test_streaming_foreachbatch_integration(spark, tmp_path):
     assert {1, 2, 4} <= admitted
 
 
-def test_short_docs_are_admitted_not_dropped(spark, dedup):
+def test_short_docs_route_through_exact_dedup(spark, dedup):
     """Docs with < 3 tokens produce no shingles hence no signature row;
-    the filter's contract is to admit non-duplicates, so they must pass
-    through (ADVICE r2: the old semi-join silently dropped them)."""
+    they route through an exact-hash dedup on lower(trim(text)) against
+    the shorts log (ADVICE r3: unconditional admission re-admitted exact
+    copies of short docs forever)."""
     out = dedup.process_batch(
         _df(spark, [(1, DOC_A), (2, "hi"), (3, "ok then"), (4, "")])
     )
     assert {r["doc_id"] for r in out.collect()} == {1, 2, 3, 4}
-    # unsignable docs carry no state (nothing to match later batches on)
-    assert {r["id"] for r in dedup.admitted_ids().collect()} == {1}
-    # and they are admitted again on a later delivery (no sig -> no dup)
-    out2 = dedup.process_batch(_df(spark, [(5, "hi")]))
-    assert {r["doc_id"] for r in out2.collect()} == {5}
+    # short docs now carry exact-hash state
+    assert {r["id"] for r in dedup.admitted_ids().collect()} == {1, 2, 3, 4}
+    # an exact copy (case/whitespace-insensitive) in a later batch is
+    # dropped; a genuinely new short doc passes
+    out2 = dedup.process_batch(_df(spark, [(5, "hi"), (6, " HI "), (7, "yo")]))
+    assert {r["doc_id"] for r in out2.collect()} == {7}
+
+
+def test_short_doc_intra_batch_keeps_lowest_id(spark, dedup):
+    out = dedup.process_batch(_df(spark, [(1, "hi"), (2, "hi"), (3, "yo")]))
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_short_doc_replay_idempotent(spark, dedup):
+    batch = _df(spark, [(1, "hi"), (2, DOC_A)])
+    assert dedup.process_batch(batch).count() == 2
+    n1 = dedup._history(dedup.shorts_dir, "id long, text_hash long").count()
+    # same batch re-delivered: rows re-admitted, state unchanged
+    assert dedup.process_batch(batch).count() == 2
+    n2 = dedup._history(dedup.shorts_dir, "id long, text_hash long").count()
+    assert n1 == n2 == 1
+
+
+def test_band_log_probe_prunes_buckets(spark, dedup):
+    """The band log is hive-bucketed by pmod(band_hash, n_band_buckets);
+    a probe must list only the buckets the batch's hashes fall into."""
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.operators.neardup import band_hashes, minhash_signatures
+
+    dedup.process_batch(_df(spark, [(1, DOC_A), (2, DOC_B)]))
+    dedup.process_batch(_df(spark, [(3, DOC_C)]))
+    all_files = dedup._band_files(None)
+    assert all_files and all("band_bucket=" in f for f in all_files)
+
+    probe = _df(spark, [(9, DOC_A_NEAR)])
+    bands = band_hashes(
+        minhash_signatures(probe, "doc_id", "text", dedup.n_hashes),
+        dedup.n_hashes,
+        dedup.n_bands,
+    )
+    buckets = sorted(
+        r["b"]
+        for r in bands.select(
+            F.pmod(F.col("band_hash"), F.lit(dedup.n_band_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    probe_files = dedup._band_files(buckets)
+    allowed = {f"band_bucket={b}" for b in buckets}
+    assert probe_files, "probe of a near-copy must hit its twin's buckets"
+    assert all(any(a in f for a in allowed) for f in probe_files)
+    # pruning is real: unrelated docs' buckets are not read
+    assert len(probe_files) < len(all_files)
+    # and the pruned probe still catches the duplicate end-to-end
+    assert dedup.process_batch(probe).count() == 0
 
 
 def test_replay_does_not_duplicate_state(spark, dedup):
