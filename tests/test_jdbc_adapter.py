@@ -1,0 +1,172 @@
+"""JdbcPostgresSource contract tests with mocked reader/sql_runner seams
+(no JDBC driver in this container; the seams are the network boundary)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from clockpipe_spark.sources.jdbc_adapter import JdbcPostgresSource, PgColumn
+
+
+_COLS_SCHEMA = (
+    "column_index int, column_name string, data_type string, length int, "
+    "nullable boolean, is_primary_key boolean, comment string"
+)
+
+
+class FakeDB:
+    """reader/sql_runner pair backed by canned result sets, recording
+    every SQL and option dict it sees."""
+
+    def __init__(self, spark, results):
+        self.spark = spark
+        self.results = results  # list of (substring, rows, schema)
+        self.queries: list[str] = []
+        self.read_options: list[dict] = []
+        self.ddl: list[str] = []
+
+    def reader(self, options):
+        self.read_options.append(options)
+        sql = options.get("query", "")
+        self.queries.append(sql)
+        if "query" not in options:  # snapshot dbtable read
+            return self.spark.createDataFrame([], "id long")
+        for substr, rows, schema in self.results:
+            if substr in sql:
+                return self.spark.createDataFrame(rows, schema)
+        return self.spark.createDataFrame([], "x string")
+
+    def sql_runner(self, sql):
+        self.ddl.append(sql)
+
+
+_ORDERS_COLUMNS = [
+    (1, "o_orderkey", "int8", 0, False, True, "pk"),
+    (2, "o_custkey", "int4", 0, False, False, ""),
+    (3, "o_comment", "varchar", 79, True, False, ""),
+    (4, "o_totalprice", "numeric", 0, True, False, ""),
+]
+
+
+def _source(spark, results, **kw):
+    db = FakeDB(spark, results)
+    src = JdbcPostgresSource(
+        spark,
+        "jdbc:postgresql://db:5432/app",
+        reader=db.reader,
+        sql_runner=db.sql_runner,
+        **kw,
+    )
+    return src, db
+
+
+def test_list_columns_maps_types_and_renumbers(spark):
+    # reference renumbers ordinals from 1 even with gaps
+    # (adapter/postgres.rs:748-755) — feed gapped ordinals
+    gapped = [(10, *r[1:]) for r in _ORDERS_COLUMNS]
+    src, db = _source(spark, [("information_schema.columns", gapped, _COLS_SCHEMA)])
+    cols = src.list_columns("orders")
+    assert [c.column_index for c in cols] == [1, 2, 3, 4]
+    assert cols[0] == PgColumn(1, "o_orderkey", "int8", 0, False, True, "pk")
+    assert "table_schema = 'public'" in db.queries[0]
+    schema = src.spark_schema("orders")
+    assert schema["o_orderkey"].dataType == T.LongType()
+    assert schema["o_custkey"].dataType == T.IntegerType()
+    assert schema["o_comment"].dataType == T.StringType()  # varchar fallback
+    assert schema["o_totalprice"].dataType == T.DecimalType(38, 10)
+    assert src.primary_key("orders") == ["o_orderkey"]
+
+
+def test_estimate_row_count_uses_reltuples(spark):
+    src, db = _source(
+        spark, [("reltuples", [(1_500_000,)], "estimate bigint")]
+    )
+    assert src.estimate_row_count("orders") == 1_500_000
+    assert "pg_class" in db.queries[0] and "relname = 'orders'" in db.queries[0]
+
+
+def test_snapshot_partitions_on_integral_pk(spark):
+    src, db = _source(
+        spark,
+        [
+            ("information_schema.columns", _ORDERS_COLUMNS, _COLS_SCHEMA),
+            ("min(o_orderkey)", [(1, 6_000_000)], "lo long, hi long"),
+        ],
+        num_partitions=16,
+    )
+    src.snapshot("orders")
+    opts = db.read_options[-1]
+    assert opts["dbtable"] == "public.orders"
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("1", "6000000")
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_snapshot_falls_back_serial_without_integral_pk(spark):
+    # PK is varchar -> no partition options (single-stream read, like
+    # the reference's one COPY)
+    cols = [(1, "k", "varchar", 32, False, True, "")]
+    src, db = _source(spark, [("information_schema.columns", cols, _COLS_SCHEMA)])
+    src.snapshot("dim")
+    opts = db.read_options[-1]
+    assert opts["dbtable"] == "public.dim"
+    assert "partitionColumn" not in opts
+    # empty table with integral PK also falls back
+    src2, db2 = _source(
+        spark,
+        [
+            ("information_schema.columns", _ORDERS_COLUMNS, _COLS_SCHEMA),
+            ("min(o_orderkey)", [(None, None)], "lo long, hi long"),
+        ],
+    )
+    src2.snapshot("orders")
+    assert "partitionColumn" not in db2.read_options[-1]
+
+
+def test_setup_publication_from_scratch(spark):
+    # nothing exists: create publication for all tables, then slot
+    # (pipes/postgres.rs:521-612 step 1 + 3; step 2 no-ops because the
+    # fresh publication query still returns the canned empty set -> the
+    # adapter re-adds, matching the reference's idempotent ALTER loop)
+    src, db = _source(spark, [])
+    issued = src.setup_publication("pub", "slot1", ["orders", "customer"])
+    assert issued[0] == (
+        "CREATE PUBLICATION pub FOR TABLE public.orders, public.customer"
+    )
+    assert issued[-1] == (
+        "SELECT pg_create_logical_replication_slot('slot1', 'pgoutput')"
+    )
+    assert db.ddl == issued
+
+
+def test_setup_publication_adds_only_missing_tables(spark):
+    results = [
+        ("pg_publication WHERE", [("pub",)], "name string"),
+        (
+            "pg_publication_tables",
+            [("public", "orders")],
+            "schema_name string, table_name string",
+        ),
+        ("pg_replication_slots", [("slot1", "reserved")],
+         "slot_name string, wal_status string"),
+    ]
+    src, db = _source(spark, results)
+    issued = src.setup_publication("pub", "slot1", ["orders", "customer"])
+    # publication + slot exist; only the missing table is added
+    assert issued == ["ALTER PUBLICATION pub ADD TABLE public.customer"]
+
+
+def test_identifier_validation_blocks_injection(spark):
+    src, _ = _source(spark, [])
+    with pytest.raises(ValueError):
+        src.list_columns("orders; DROP TABLE x")
+    with pytest.raises(ValueError):
+        src.setup_publication("pub", "bad-slot", ["orders"])
+
+
+def test_setup_publication_requires_tables(spark):
+    src, _ = _source(spark, [])
+    with pytest.raises(ValueError):
+        src.setup_publication("pub", "slot1", [])
