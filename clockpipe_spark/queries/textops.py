@@ -305,6 +305,59 @@ WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= {_JACCARD_THRESHO
 """
 
 
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters + canonical doc: connected components over the
+    exact-Jaccard pair graph, cluster_id = smallest doc_id in the
+    component, is_canonical marks the one doc a dedup pass would keep.
+
+    The component step is iterative min-label propagation
+    (operators/components.py — O(diameter) rounds, two shuffle joins
+    per round); the pair graph here is the exact oracle baseline, so
+    the oracle below can mirror it with a recursive CTE. At 100 TB the
+    edge input swaps to the LSH pair miner (dedup_minhash_lsh) with the
+    component step unchanged."""
+    from clockpipe_spark.operators.components import connected_components
+
+    corpus = _doubled_corpus(spark, sf_dir).select("doc_id")
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        corpus, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            (F.col("id") == F.col("lbl")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE
+raw_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({NEARDUP_JACCARD_SQL})
+),
+edges AS (
+  SELECT a, b FROM raw_edges UNION SELECT b, a FROM raw_edges
+),
+nodes AS (
+  SELECT doc_id FROM ({_DOUBLED_SQL})
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id,
+       min(lbl) AS cluster_id,
+       (min(lbl) = id) AS is_canonical
+FROM reach
+GROUP BY id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -312,6 +365,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "dedup_exact": dedup_exact,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "dedup_cluster_assign": dedup_cluster_assign,
 }
 
 ORACLES = {
@@ -321,4 +375,5 @@ ORACLES = {
     "text_fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "neardup_jaccard_pairs": NEARDUP_JACCARD_SQL,
+    "dedup_cluster_assign": DEDUP_CLUSTER_SQL,
 }

@@ -1,0 +1,53 @@
+"""Connected components: min-label propagation over a pair graph."""
+
+from __future__ import annotations
+
+from clockpipe_spark.operators.components import connected_components
+
+
+def _cc(spark, n_vertices, edge_rows):
+    vertices = spark.createDataFrame([(i,) for i in n_vertices], "id long")
+    edges = spark.createDataFrame(edge_rows or [], "src long, dst long")
+    out = connected_components(vertices, edges)
+    return {r["id"]: r["lbl"] for r in out.collect()}
+
+
+def test_chain_converges_to_min(spark):
+    # 1-2-3-4 chain needs multiple propagation rounds; 9 is isolated
+    got = _cc(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_two_components_and_direction_irrelevant(spark):
+    # edges in arbitrary direction; two separate clusters
+    got = _cc(spark, [1, 2, 3, 10, 11, 12], [(2, 1), (3, 2), (12, 10), (11, 12)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [5, 6, 7], [])
+    assert got == {5: 5, 6: 6, 7: 7}
+
+
+def test_cycle(spark):
+    got = _cc(spark, [1, 2, 3], [(1, 2), (2, 3), (3, 1)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cluster_assign_query_semantics(spark, sf_dir):
+    """Registry query: every doc labeled, cluster_id <= doc_id, exactly
+    one canonical doc per cluster, and every near-dup pair lands in the
+    same cluster."""
+    from clockpipe_spark.queries.textops import (
+        dedup_cluster_assign,
+        neardup_jaccard_pairs,
+    )
+
+    out = dedup_cluster_assign(spark, sf_dir).collect()
+    lbl = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert all(c <= d for d, c in lbl.items())
+    canon = [r["doc_id"] for r in out if r["is_canonical"]]
+    assert sorted(canon) == sorted(set(lbl.values()))
+    pairs = neardup_jaccard_pairs(spark, sf_dir).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    assert all(lbl[p["doc_a"]] == lbl[p["doc_b"]] for p in pairs)
