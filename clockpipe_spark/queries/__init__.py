@@ -19,6 +19,7 @@ from clockpipe_spark.queries import llmprep2 as _llmprep2
 from clockpipe_spark.queries import relational as _relational
 from clockpipe_spark.queries import relational2 as _relational2
 from clockpipe_spark.queries import relational3 as _relational3
+from clockpipe_spark.queries import relational4 as _relational4
 from clockpipe_spark.queries import similarity as _similarity
 from clockpipe_spark.queries import streamlike as _streamlike
 from clockpipe_spark.queries import textops as _textops
@@ -29,6 +30,7 @@ _MODULES = (
     _relational,
     _relational2,
     _relational3,
+    _relational4,
     _timeseries,
     _cdc,
     _textops,
