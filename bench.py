@@ -43,6 +43,15 @@ HEADLINE = [
     # measured 4.7 s of Python overhead, not an engine path (VERDICT r1).
     # The query + oracle remain in the registry.
     "grouping_sets_lineitem",
+    # round-4 additions: the TPC-H completion's distinctive plan shapes
+    # (EXISTS semi, double aggregation, semi+anti self-join) and the C4
+    # filter battery. dedup_cluster_assign stays OUT of the headline: its
+    # iterative component loop re-runs the jaccard miner — correctness-
+    # gated, not a throughput path.
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "text_c4_filters",
     "cdc_pgoutput_roundtrip",
     "mm_bmp_decode",
     "text_bpe_token_stats",
