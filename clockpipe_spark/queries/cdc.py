@@ -414,9 +414,78 @@ ORDER BY event_id
 """
 
 
+def cdc_changestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo change-stream event decode end-to-end: synthesize real
+    change-stream envelopes (operationType / ns / documentKey /
+    fullDocument JSON) from the events fixture, then decode them with
+    cdc/mongo_changestream.decode_change_events. Exercises every decode
+    rule: I/U keep the UpdateLookup post-image, D keeps the key only,
+    'replace' events drop (the reference's `_ => {}` arm,
+    pipes/mongodb.rs:412), and the unconfigured 'audit' collection is
+    filtered (P5). The oracle is the pure-relational equivalent — the
+    decode IS a filter+map, so no JSON on the DuckDB side.
+
+    Event-type mapping here: signup->insert, error->delete,
+    view->replace (dropped), click/purchase->update; user_id % 10 == 0
+    routes to the unconfigured collection."""
+    from clockpipe_spark.cdc.mongo_changestream import decode_change_events
+
+    ev = load_table(spark, sf_dir, "events")
+    op_raw = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "view", "replace")
+        .otherwise("update")
+    )
+    coll = F.when(F.col("user_id") % 10 == 0, "audit").otherwise(
+        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string"))
+    )
+    raw = ev.select(
+        F.col("event_id").alias("seq"),
+        F.to_json(
+            F.struct(
+                F.struct(F.lit("8262").alias("_data")).alias("_id"),
+                op_raw.alias("operationType"),
+                F.struct(F.lit("app").alias("db"), coll.alias("coll")).alias("ns"),
+                F.to_json(F.struct(F.col("user_id"))).alias("documentKey"),
+                F.to_json(F.struct(F.col("user_id"), F.col("value"))).alias(
+                    "fullDocument"
+                ),
+                F.col("event_id").alias("clusterTime"),
+            )
+        ).alias("event_json"),
+    )
+    decoded = decode_change_events(raw, ["t0", "t1", "t2", "t3"])
+    return decoded.select(
+        "seq",
+        "op",
+        "collection",
+        F.get_json_object("key_json", "$.user_id").cast("bigint").alias("key_id"),
+        F.round(
+            F.get_json_object("doc_json", "$.value").cast("double"), 6
+        ).alias("doc_value"),
+    ).orderBy("seq")
+
+
+CDC_CHANGESTREAM_SQL = """
+SELECT event_id AS seq,
+       CASE event_type WHEN 'signup' THEN 'I'
+                       WHEN 'error' THEN 'D'
+                       ELSE 'U' END AS op,
+       concat('t', CAST(user_id % 4 AS VARCHAR)) AS collection,
+       user_id AS key_id,
+       CASE WHEN event_type <> 'error' THEN round(value, 6) END AS doc_value
+FROM events
+WHERE user_id % 10 <> 0
+  AND event_type <> 'view'
+ORDER BY seq
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
     "cdc_mongo_bson_casts": cdc_mongo_bson_casts,
+    "cdc_changestream_decode": cdc_changestream_decode,
     "cdc_pgoutput_roundtrip": cdc_pgoutput_roundtrip,
     "cdc_mongo_infer_project": cdc_mongo_infer_project,
     "cdc_keep_last": cdc_keep_last,
@@ -431,6 +500,7 @@ QUERIES = {
 ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
     "cdc_mongo_bson_casts": CDC_BSON_CASTS_SQL,
+    "cdc_changestream_decode": CDC_CHANGESTREAM_SQL,
     "cdc_pgoutput_roundtrip": CDC_PGOUTPUT_SQL,
     "cdc_mongo_infer_project": CDC_MONGO_SQL,
     "cdc_keep_last": CDC_KEEP_LAST_DEDUP_SQL,
