@@ -267,3 +267,112 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
 
     out = blobs.select("doc_id", "payload").mapInPandas(run, schema)
     return out.withColumn("mean_byte", F.floor(F.col("mean_byte") * 1e4))
+
+
+def encode_bmp_gradient(width: int, height: int) -> bytes:
+    """24-bpp BMP whose pixel at storage position (x, y) has
+    B=G=R = (x*7 + y*13) % 256 — position-dependent content so resize
+    grids are verifiable (a constant fill would hide sampling bugs)."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = (x * 7 + y * 13) % 256
+            row += bytes((v, v, v))
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixel_bytes = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixel_bytes), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_bytes), 0, 0, offset)
+    return header + dib + pixel_bytes
+
+
+def resize_bmp_features(blobs: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """REAL image resize (the mandate's resize stage): nearest-neighbor
+    downsample of the decoded 24-bpp pixel array inside the Arrow batch.
+    The NN grid is the classic floor map src = (dst * src_dim) // dst_dim
+    over STORAGE row order (BMP bottom-up orientation does not matter to
+    the feature definition — it is a deterministic function of the
+    stored array). Output mean is exact integer math
+    (sum * 10000 // count), so an oracle can replay it bit-for-bit.
+    numpy fancy-indexing — no per-pixel Python loop."""
+    import struct
+
+    import numpy as np
+
+    schema = "doc_id long, out_w int, out_h int, mean_px_x10000 long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "out_w", "out_h", "mean_px_x10000")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                magic, _sz, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP: magic={magic!r}")
+                _d, width, height, _p, bpp = struct.unpack_from("<IiiHH", data, 14)
+                if bpp != 24:
+                    raise ValueError(f"only 24-bpp supported, got {bpp}")
+                height = abs(height)
+                row_raw = width * 3
+                stride = row_raw + (4 - row_raw % 4) % 4
+                px = (
+                    np.frombuffer(data, dtype=np.uint8, count=stride * height,
+                                  offset=offset)
+                    .reshape(height, stride)[:, :row_raw]
+                    .reshape(height, width, 3)
+                )
+                ys = (np.arange(out_h) * height) // out_h
+                xs = (np.arange(out_w) * width) // out_w
+                resized = px[np.ix_(ys, xs)]
+                total = int(resized.sum(dtype=np.int64))
+                rows["doc_id"].append(int(doc_id))
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["mean_px_x10000"].append(total * 10000 // (out_w * out_h * 3))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return blobs.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def sample_frames(
+    blobs: DataFrame, frame_bytes: int = 32, every: int = 3
+) -> DataFrame:
+    """REAL frame sampling (the mandate's video stage): the payload is a
+    sequence of fixed-size frames; emit every Nth frame's byte-mean —
+    one OUTPUT ROW PER SAMPLED FRAME (UDTF shape via mapInPandas, the
+    same fan-out a video pipeline's keyframe extractor has). Tail bytes
+    short of a full frame are dropped, as a real container reader does.
+    Exact integer means (sum * 10000 // frame_bytes) for oracle parity;
+    numpy reshape per payload, no per-byte loop."""
+    import numpy as np
+
+    schema = "doc_id long, frame_idx int, mean_byte_x10000 long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "mean_byte_x10000")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = len(data) // frame_bytes
+                if n_frames == 0:
+                    continue
+                arr = (
+                    np.frombuffer(data, dtype=np.uint8, count=n_frames * frame_bytes)
+                    .reshape(n_frames, frame_bytes)
+                )
+                for f in range(0, n_frames, every):
+                    total = int(arr[f].sum(dtype=np.int64))
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(f)
+                    rows["mean_byte_x10000"].append(total * 10000 // frame_bytes)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return blobs.select("doc_id", "payload").mapInPandas(run, schema)

@@ -173,6 +173,101 @@ WINDOW w AS (PARTITION BY user_id)
 """
 
 
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize path (mandate stage 3): gradient BMPs — pixel (x, y)
+    is (x*7 + y*13) % 256, so the nearest-neighbor grid is verifiable;
+    a constant fill would hide sampling bugs — synthesized per doc, then
+    NN-downsampled to 4x3 by operators.multimodal.resize_bmp_features.
+    The oracle replays the exact integer math: src = (dst*src_dim) //
+    dst_dim grid, sum * 10000 // count mean."""
+    import pandas as pd
+
+    from clockpipe_spark.operators.multimodal import (
+        encode_bmp_gradient,
+        resize_bmp_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            n = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            payload = [
+                encode_bmp_gradient(int(nb) % 16 + 1, int(nb) % 8 + 1)
+                for nb in n
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payload})
+
+    blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
+    return resize_bmp_features(blobs, out_w=4, out_h=3)
+
+
+MM_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 16 + 1 AS w,
+         octet_length(encode(text)) % 8 + 1 AS h
+  FROM documents
+)
+SELECT doc_id, 4 AS out_w, 3 AS out_h,
+       CAST(list_sum(flatten(
+         list_transform(generate_series(0, 2), y ->
+           list_transform(generate_series(0, 3), x ->
+             (((x * w) // 4) * 7 + ((y * h) // 3) * 13) % 256))))
+         * 10000 // 12 AS BIGINT) AS mean_px_x10000
+FROM dims
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-sampling path (mandate stage 4): per doc a byte
+    pattern payload[i] = (doc_id + i*7) % 256 of n_bytes = len%200+40
+    frames into 32-byte frames, every 3rd frame's exact integer byte
+    mean — one output row per sampled frame (the UDTF fan-out a
+    keyframe extractor has). The oracle replays the same byte formula
+    per sampled frame."""
+    import pandas as pd
+
+    from clockpipe_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            n = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            payload = [
+                bytes((int(d) + i * 7) % 256 for i in range(int(nb) % 200 + 40))
+                for d, nb in zip(pdf["doc_id"], n)
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payload})
+
+    blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
+    return sample_frames(blobs, frame_bytes=32, every=3).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+WITH sizes AS (
+  SELECT doc_id,
+         (octet_length(encode(text)) % 200 + 40) // 32 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+  FROM sizes WHERE n_frames > 0
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(list_sum(list_transform(
+              generate_series(frame_idx * 32, frame_idx * 32 + 31),
+              i -> (doc_id + i * 7) % 256)) * 10000 // 32 AS BIGINT)
+         AS mean_byte_x10000
+FROM frames
+WHERE frame_idx % 3 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "udf_zscore_per_user": udf_zscore_per_user,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -181,6 +276,8 @@ QUERIES = {
     "mm_fake_image_features": mm_fake_image_features,
     "mm_bmp_decode": mm_bmp_decode,
     "mm_wav_decode": mm_wav_decode,
+    "mm_image_resize": mm_image_resize,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {
@@ -189,6 +286,8 @@ ORACLES = {
     "mm_fake_image_features": MM_FAKE_DECODE_SQL,
     "mm_bmp_decode": MM_BMP_SQL,
     "mm_wav_decode": MM_WAV_SQL,
+    "mm_image_resize": MM_RESIZE_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
     # families); recall vs exact Jaccard asserted in pytest.
     # mm_fake_image_features oracle is valid because the documents corpus

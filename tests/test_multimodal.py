@@ -94,3 +94,44 @@ def test_wav_roundtrip_and_chunk_walk(spark):
     assert r["n_samples"] == 400
     assert r["duration_ms"] == 50
     assert r["mean_amp"] == 77 * 10000
+
+
+def test_resize_bmp_nearest_neighbor(spark):
+    """2x2 gradient resized to 1x1 must sample exactly pixel (0,0):
+    value (0*7+0*13)%256 = 0 -> mean 0; resized to 2x2 it's identity."""
+    from clockpipe_spark.operators.multimodal import (
+        encode_bmp_gradient,
+        resize_bmp_features,
+    )
+
+    blob = spark.createDataFrame(
+        [(1, bytearray(encode_bmp_gradient(2, 2)))], "doc_id long, payload binary"
+    )
+    one = resize_bmp_features(blob, out_w=1, out_h=1).first()
+    assert (one["out_w"], one["out_h"], one["mean_px_x10000"]) == (1, 1, 0)
+    # identity resize: mean over all 4 pixels (0, 7, 13, 20) = 10 exactly
+    ident = resize_bmp_features(blob, out_w=2, out_h=2).first()
+    assert ident["mean_px_x10000"] == (0 + 7 + 13 + 20) * 10000 // 4
+
+
+def test_sample_frames_every_nth_and_tail_drop(spark):
+    """70 bytes of i%256 at frame_bytes=32: frames 0,1 complete (tail of
+    6 bytes dropped); every=2 samples frame 0 only. Frame 0 mean =
+    sum(0..31)/32 = 15.5."""
+    from clockpipe_spark.operators.multimodal import sample_frames
+
+    payload = bytes(i % 256 for i in range(70))
+    blob = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sample_frames(blob, frame_bytes=32, every=2).collect()
+    assert [(r["frame_idx"], r["mean_byte_x10000"]) for r in rows] == [(0, 155000)]
+    # every=1 also yields frame 1: mean = sum(32..63)/32 = 47.5
+    rows = sorted(
+        (r["frame_idx"], r["mean_byte_x10000"])
+        for r in sample_frames(blob, frame_bytes=32, every=1).collect()
+    )
+    assert rows == [(0, 155000), (1, 475000)]
+    # payload shorter than one frame -> no rows
+    tiny = spark.createDataFrame([(2, bytearray(b"abc"))], "doc_id long, payload binary")
+    assert sample_frames(tiny, frame_bytes=32).count() == 0
