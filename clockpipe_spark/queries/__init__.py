@@ -57,7 +57,8 @@ _PRIORITY = (
     # §2.9 relational / scalar — one canary per family
     "q1_pricing_summary",          # hash agg + CASE agg
     "q3_shipping_priority",        # multi-join + topk
-    "q6_revenue_forecast",         # filter agg (flagship entry())
+    "q13_customer_distribution",   # r4-new: left-join double agg (q6 is
+                                   # double-green AND smoke-checked by entry())
     "agg_rollup_lineitem",         # rollup/cube/grouping-sets canary
     "pivot_status_by_priority",    # pivot
     "window_frame_moving_avg",     # window funcs + frames canary
@@ -80,14 +81,15 @@ _PRIORITY = (
     "neardup_jaccard_pairs",
     "cosine_topk_brute",
     "text_quality_scores",
-    "text_repetition_stats",
+    "text_c4_filters",             # r4-new (repetition_stats: double-green)
     "mm_bmp_decode",
-    "mm_wav_decode",
+    "mm_image_resize",             # r4-new (wav_decode: double-green)
     "pack_sequences_greedy",
     "tfidf_top_terms",
     "sample_stratified_hash",
     "embedding_int8_quantize",
-    "stream_tumbling_hourly",
+    "cdc_mongo_bson_casts",        # r4-new (tumbling: double-green; the
+                                   # watermark family keeps session+sliding)
     "udf_zscore_per_user",
     # corpus hygiene (llmprep2)
     "text_pii_redact",
