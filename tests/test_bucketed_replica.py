@@ -140,3 +140,26 @@ def test_snapshot_then_mor_appends(spark, tmp_path):
     store.compact(spark)
     got2 = {r["user_id"]: r["value"] for r in store.read(spark).collect()}
     assert got2 == got
+
+
+def test_schema_evolution_through_deltas(spark, tmp_path):
+    """K5 through the MOR path: a delta carrying a NEW column unions
+    losslessly with the old base (NULL-filled), and compaction folds it
+    into the rewritten buckets."""
+    store = BucketedReplicaStore(str(tmp_path / "b6"), n_buckets=4, compact_every=100)
+    store.merge_changes(
+        spark, _clog(spark, [(1, "I", 1, 1.0), (2, "I", 2, 2.0)]),
+        ["user_id"], mode="rewrite",
+    )
+    widened = spark.createDataFrame(
+        [(3, "U", 1, 10.0, "eu")],
+        "seq long, op string, user_id long, value double, region string",
+    )
+    store.merge_changes(spark, widened, ["user_id"])  # MOR append
+    got = {r["user_id"]: (r["value"], r["region"])
+           for r in store.read(spark).collect()}
+    assert got == {1: (10.0, "eu"), 2: (2.0, None)}
+    store.compact(spark)
+    got2 = {r["user_id"]: (r["value"], r["region"])
+            for r in store.read(spark).collect()}
+    assert got2 == got
