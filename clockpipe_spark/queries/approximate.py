@@ -32,6 +32,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_doubled_corpus(spark, sf_dir), threshold=0.5)
 
 
+def dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH twin of textops.dedup_cluster_assign: identical
+    connected-components + canonical-doc step, but the edge input is the
+    linear-cost MinHash-LSH pair miner instead of the quadratic exact-
+    Jaccard baseline — the composition a 100 TB dedup pipeline actually
+    runs. Rows-only at the gate (LSH hash family is engine-specific);
+    tests/test_components.py asserts >=95% of exact-Jaccard pairs land
+    in one LSH cluster."""
+    from clockpipe_spark.operators.components import connected_components
+    from clockpipe_spark.queries.textops import _doubled_corpus as _dc
+
+    corpus = _dc(spark, sf_dir).select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        corpus, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            (F.col("id") == F.col("lbl")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 2 of 64 bits) over the doubled
     corpus; signature via mapInPandas. The tight radius keeps output
@@ -272,6 +298,7 @@ QUERIES = {
     "udf_zscore_per_user": udf_zscore_per_user,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_cluster_assign_lsh": dedup_cluster_assign_lsh,
     "mm_bytes_meta": mm_bytes_meta,
     "mm_fake_image_features": mm_fake_image_features,
     "mm_bmp_decode": mm_bmp_decode,

@@ -51,3 +51,20 @@ def test_cluster_assign_query_semantics(spark, sf_dir):
     pairs = neardup_jaccard_pairs(spark, sf_dir).collect()
     assert pairs, "fixture must contain near-dup pairs"
     assert all(lbl[p["doc_a"]] == lbl[p["doc_b"]] for p in pairs)
+
+
+def test_lsh_cluster_recall_vs_exact(spark, sf_dir):
+    """Scale-path twin: >=95% of exact-Jaccard near-dup pairs must land
+    in the same LSH-edged cluster (LSH recall carries through the
+    component step)."""
+    from clockpipe_spark.queries.approximate import dedup_cluster_assign_lsh
+    from clockpipe_spark.queries.textops import neardup_jaccard_pairs
+
+    lbl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_cluster_assign_lsh(spark, sf_dir).collect()
+    }
+    pairs = neardup_jaccard_pairs(spark, sf_dir).collect()
+    assert pairs
+    hit = sum(1 for p in pairs if lbl[p["doc_a"]] == lbl[p["doc_b"]])
+    assert hit / len(pairs) >= 0.95, f"recall {hit}/{len(pairs)}"
