@@ -52,7 +52,12 @@ EVENT_SCHEMA = T.StructType(
         ),
         T.StructField("documentKey", T.StringType()),  # kept as raw JSON
         T.StructField("fullDocument", T.StringType()),  # kept as raw JSON
-        T.StructField("clusterTime", T.LongType()),
+        # raw text, not LongType: real change streams encode clusterTime
+        # as a BSON Timestamp ({"$timestamp": ...}) in extended JSON, and
+        # a long-typed field would silently read null there. Kept as the
+        # unparsed token (same treatment as documentKey) until a consumer
+        # needs the inner ordinal.
+        T.StructField("clusterTime", T.StringType()),
     ]
 )
 

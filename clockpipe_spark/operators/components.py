@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ComponentsDidNotConverge(RuntimeError):
+    """Raised when the iteration budget is exhausted with labels still
+    moving: returning silently would split true components and corrupt
+    the downstream dedup decision with no signal."""
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -73,4 +79,95 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise ComponentsDidNotConverge(
+            f"min-label propagation still moving after {max_iter} rounds "
+            f"({changed} labels changed last round); the pair graph has a "
+            f"long chain — raise max_iter or use connected_components_star"
+        )
     return labels
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Operates on the symmetric neighborhood."""
+    sym = _symmetrize(e)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("mv", "u").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge large→small, then for each node u connect all its
+    (≤ u) neighbors — and u itself — to the minimum of them."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
+    ).select(F.col("gu").alias("u"), F.col("gv").alias("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Same contract as connected_components — (id, lbl), lbl = component
+    min — via alternating large-star / small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", MapReduce'14).
+
+    Converges in O(log n) rounds on ANY graph shape (vs O(diameter) for
+    min-label propagation), so adversarial long chains cost ~log rounds
+    instead of n. Same primitive per round — groupBy-min + equi-join — so
+    the 100 TB shuffle story is unchanged; only the round count shrinks.
+    Fixed point: every edge points directly at its component's min node.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # bit_xor: order-insensitive set signature that can't overflow
+        # under ANSI mode (sum of int64 hashes can)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise ComponentsDidNotConverge(
+            f"star contraction not at fixed point after {max_iter} rounds"
+        )
+    # at the fixed point every node that appears in an edge points at its
+    # component min; vertices untouched by any edge are singletons
+    lbls = e.select(F.col("u").alias("id"), F.col("v").alias("lbl"))
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(lbls, "id", "left")
+        .select("id", F.coalesce("lbl", "id").alias("lbl"))
+    )

@@ -107,7 +107,9 @@ FROM information_schema.columns c
 LEFT JOIN pg_catalog.pg_description pgd
   ON pgd.objsubid = c.ordinal_position
  AND pgd.objoid = (
-        SELECT oid FROM pg_catalog.pg_class WHERE relname = c.table_name
+        SELECT c2.oid FROM pg_catalog.pg_class c2
+        JOIN pg_catalog.pg_namespace n2 ON n2.oid = c2.relnamespace
+        WHERE c2.relname = c.table_name AND n2.nspname = c.table_schema
      )
 WHERE c.table_name = '{table}' AND c.table_schema = '{schema}'
 ORDER BY c.ordinal_position ASC

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -249,6 +250,12 @@ class BucketedReplicaStore:
             r["__bucket"]
             for r in spark.read.parquet(delta_dir).select("__bucket").distinct().collect()
         )
+        if not touched:
+            # empty batch: appending a bucketless delta entry would make
+            # every subsequent auto merge re-enter compaction (which
+            # skips empty-touched logs) and grow the log unboundedly
+            shutil.rmtree(delta_dir, ignore_errors=True)
+            return self.current_version()
         deltas = deltas + [{"path": delta_dir, "buckets": touched}]
         v = self._commit(bucket_map, deltas, keys)
         if mode == "auto" and len(deltas) >= self.compact_every:
@@ -278,6 +285,10 @@ class BucketedReplicaStore:
             )
             touched = sorted(set(touched) | set(extra_buckets))
         if not touched:
+            # nothing to rewrite, but an all-empty delta log must still be
+            # cleared or auto-mode merges re-enter compaction forever
+            if deltas:
+                return self._commit(bucket_map, [], keys)
             return self.current_version()
 
         log = self._read_deltas(spark, deltas, None)

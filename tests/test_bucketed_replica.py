@@ -163,3 +163,20 @@ def test_schema_evolution_through_deltas(spark, tmp_path):
     got2 = {r["user_id"]: (r["value"], r["region"])
             for r in store.read(spark).collect()}
     assert got2 == got
+
+
+def test_empty_batches_do_not_grow_delta_log(spark, tmp_path):
+    """ADVICE r4: empty batches must neither accumulate delta entries nor
+    trap auto mode in a compact-every-merge loop."""
+    store = BucketedReplicaStore(str(tmp_path / "b_empty"), n_buckets=8, compact_every=2)
+    seed = _clog(spark, [(i, "I", i, float(i)) for i in range(16)])
+    store.merge_changes(spark, seed, ["user_id"], mode="rewrite")
+    expected = _final_view(store, spark)
+    empty = _clog(spark, []).limit(0)
+    for _ in range(5):  # well past compact_every
+        store.merge_changes(spark, empty, ["user_id"], mode="auto")
+    assert store.read_manifest().get(_DELTAS, []) == []
+    assert _final_view(store, spark) == expected
+    # a real batch afterwards still lands
+    store.merge_changes(spark, _clog(spark, [(100, "I", 1, 9.0)]), ["user_id"])
+    assert _final_view(store, spark)[1] == (100, 9.0)

@@ -1,14 +1,21 @@
-"""Connected components: min-label propagation over a pair graph."""
+"""Connected components: min-label propagation over a pair graph, and
+the O(log n) star-contraction twin."""
 
 from __future__ import annotations
 
-from clockpipe_spark.operators.components import connected_components
+import pytest
+
+from clockpipe_spark.operators.components import (
+    ComponentsDidNotConverge,
+    connected_components,
+    connected_components_star,
+)
 
 
-def _cc(spark, n_vertices, edge_rows):
+def _cc(spark, n_vertices, edge_rows, fn=connected_components, **kw):
     vertices = spark.createDataFrame([(i,) for i in n_vertices], "id long")
     edges = spark.createDataFrame(edge_rows or [], "src long, dst long")
-    out = connected_components(vertices, edges)
+    out = fn(vertices, edges, **kw)
     return {r["id"]: r["lbl"] for r in out.collect()}
 
 
@@ -32,6 +39,39 @@ def test_no_edges_all_singletons(spark):
 def test_cycle(spark):
     got = _cc(spark, [1, 2, 3], [(1, 2), (2, 3), (3, 1)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_exhausted_budget_raises_not_silently_wrong(spark):
+    # a 6-node chain can't finish in 1 round; partial labels must not
+    # escape as if they were clusters (ADVICE r4)
+    with pytest.raises(ComponentsDidNotConverge):
+        _cc(spark, list(range(6)), [(i, i + 1) for i in range(5)], max_iter=1)
+
+
+def test_star_matches_min_label_on_all_shapes(spark):
+    cases = [
+        ([1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)]),
+        ([1, 2, 3, 10, 11, 12], [(2, 1), (3, 2), (12, 10), (11, 12)]),
+        ([5, 6, 7], []),
+        ([1, 2, 3], [(1, 2), (2, 3), (3, 1)]),
+    ]
+    for verts, edges in cases:
+        exact = _cc(spark, verts, edges)
+        star = _cc(spark, verts, edges, fn=connected_components_star)
+        assert star == exact, (verts, edges)
+
+
+def test_star_contraction_handles_long_chain_in_log_rounds(spark):
+    # 64-node chain: min-label needs 63 rounds (raises at 20); star
+    # contraction reaches the fixed point within its default budget of
+    # 20 ≈ O(log n) rounds (Kiveris et al.)
+    n = 64
+    verts = list(range(n))
+    edges = [(i, i + 1) for i in range(n - 1)]
+    with pytest.raises(ComponentsDidNotConverge):
+        _cc(spark, verts, edges, max_iter=20)
+    got = _cc(spark, verts, edges, fn=connected_components_star)
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_cluster_assign_query_semantics(spark, sf_dir):
