@@ -45,72 +45,78 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
-# Round-4 rotation: 15 slots whose queries are double-green in
-# CORRECTNESS_r02+r03 (evidence persists in git) are swapped for the 15
-# queries that have never had a driver row in any round (ANN, dedup-LSH/
-# SimHash, embedding stats, multimodal meta, streaming session/sliding
-# windows, the text battery).  At least one canary per SURVEY §2 family
-# stays in-window; tests/test_registry_window.py guards the composition.
+# Round-5 rotation (closes the registry evidence story): the final 14
+# never-driver-checked queries come in — the round-4 TPC-H completions
+# (q2/q4/q7/q8/q9/q11/q15/q17/q20/q21), the change-stream decode query,
+# both dedup clustering pipelines, and frame sampling.  Out go 5 freed
+# double-green slots (cdc_changelog, pg_array_literal_parse,
+# neardup_jaccard_pairs, cosine_topk_brute, mm_bmp_decode — each family
+# still covered by an in-window canary) and 9 round-4-green text/
+# embedding/multimodal/stream entries whose driver rows persist in
+# CORRECTNESS_r04.json.  After this round, every registry query has a
+# green driver row in some round; tests/test_registry_window.py guards
+# the composition.
 _GATE_WINDOW = 50
 
 _PRIORITY = (
     # §2.9 relational / scalar — one canary per family
     "q1_pricing_summary",          # hash agg + CASE agg
     "q3_shipping_priority",        # multi-join + topk
-    "q13_customer_distribution",   # r4-new: left-join double agg (q6 is
-                                   # double-green AND smoke-checked by entry())
+    "q13_customer_distribution",   # left-join double agg
     "agg_rollup_lineitem",         # rollup/cube/grouping-sets canary
     "pivot_status_by_priority",    # pivot
     "window_frame_moving_avg",     # window funcs + frames canary
     "topk_orders_by_price",        # sort / top-k / limit
     "setop_union_segments",        # set ops
     "scalar_math_battery",         # scalar battery canary (math)
-    "pg_array_literal_parse",      # §2.8 pg quirk functions
     "array_agg_per_nation",        # array functions
     "asof_last_purchase",          # subquery/as-of/range/skew canary
-    # §2 CDC operator queries (canaries: S4, P1-P4, A1, K1/K2, FINAL)
-    "cdc_changelog",               # P4 message-type filter
-    "cdc_pgoutput_roundtrip",      # S4 pgoutput decode + TOAST
+    # round-5 rotation: the TPC-H completions (never driver-checked)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    # §2 CDC operator queries (canaries: S4, P1/P3, A1, K1/K2, FINAL;
+    # P4 is inside the pgoutput roundtrip; changelog + array-literal
+    # rotated out double-green)
+    "cdc_pgoutput_roundtrip",      # S4 pgoutput decode + TOAST (+P4)
+    "cdc_changestream_decode",     # S6b Mongo change-stream decode (r5 in)
     "cdc_keep_last",               # A1 keep-last dedup
     "cdc_replica_state",           # FINAL dedup-on-read view
-    "cdc_align_projection",        # P1 alignment (P2 masking: double-green r2+r3, rotated out)
-    "cdc_cast_matrix",             # P3 cast matrix
+    "cdc_align_projection",        # P1 alignment
+    "cdc_cast_matrix",             # P3 cast matrix (+§2.8 quirk canary)
     "cdc_apply_to_snapshot",       # K1/K2 upsert+delete
+    "cdc_mongo_bson_casts",        # BSON cast tail
     # §2.10 LLM-pipeline families — one representative each
     "dedup_exact",
-    "neardup_jaccard_pairs",
-    "cosine_topk_brute",
+    "dedup_minhash_lsh",           # near-dup canary (jaccard/simhash rotated out)
+    "dedup_cluster_assign",        # r5 in: pairs -> components -> canonical
+    "dedup_cluster_assign_lsh",    # r5 in: the 100 TB dedup pipeline shape
+    "ann_lsh_topk",                # similarity canary (brute rotated out)
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",     # r4 perf-regressed query stays for proof
+    "embedding_int8_quantize",
     "text_quality_scores",
-    "text_c4_filters",             # r4-new (repetition_stats: double-green)
-    "mm_bmp_decode",
-    "mm_image_resize",             # r4-new (wav_decode: double-green)
+    "text_c4_filters",
+    "mm_bytes_meta",               # multimodal canary (bmp_decode rotated out)
+    "mm_image_resize",
+    "mm_frame_sample",             # r5 in: last never-checked query
     "pack_sequences_greedy",
     "tfidf_top_terms",
     "sample_stratified_hash",
-    "embedding_int8_quantize",
-    "cdc_mongo_bson_casts",        # r4-new (tumbling: double-green; the
-                                   # watermark family keeps session+sliding)
     "udf_zscore_per_user",
     # corpus hygiene (llmprep2)
     "text_pii_redact",
     "doc_chunk_overlap",
     "benchmark_contamination",
-    # never-driver-checked until round 4 — rotated in
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_neardup_pairs",
-    "embedding_norm_stats",
-    "mm_bytes_meta",
-    "mm_fake_image_features",
+    # watermark windows canary (T6; sliding/tumbling rotated out)
     "stream_session_windows",
-    "stream_sliding_30m",
-    "text_bpe_token_stats",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_rolling_hash",
-    "text_token_stats",
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)

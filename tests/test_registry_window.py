@@ -24,6 +24,7 @@ _FAMILY_CANARIES = {
     "P1 alignment": {"cdc_align_projection"},
     "P3 cast matrix": {"cdc_cast_matrix"},
     "P4 message-type filter": {"cdc_changelog", "cdc_pgoutput_roundtrip"},
+    "S6b change-stream decode": {"cdc_changestream_decode"},
     "A1 keep-last dedup": {"cdc_keep_last"},
     "K1/K2 upsert+delete": {"cdc_apply_to_snapshot"},
     "FINAL dedup-on-read": {"cdc_replica_state"},
@@ -51,6 +52,7 @@ _FAMILY_CANARIES = {
     "exact dedup": {"dedup_exact"},
     "near-dup (LSH/SimHash/Jaccard)": {"dedup_minhash_lsh", "dedup_simhash",
                                        "neardup_jaccard_pairs"},
+    "dedup clustering": {"dedup_cluster_assign", "dedup_cluster_assign_lsh"},
     "similarity search": {"cosine_topk_brute", "ann_lsh_topk", "ann_ivf_topk"},
     "text quality": {"text_quality_scores", "text_repetition_stats"},
     "multimodal": {"mm_bmp_decode", "mm_wav_decode", "mm_bytes_meta"},
