@@ -63,7 +63,52 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_neardup_pairs",
+    # round 5: the flagship end-to-end dedup pipeline (LSH pair mining ->
+    # connected components -> canonical selection). Its iterative loop
+    # runs eagerly at build time, which is why bench times build+execute.
+    "dedup_cluster_assign_lsh",
 ]
+
+
+def shared_vs_prev(timings: dict[str, float], here: str) -> dict | None:
+    """Cross-round comparability: ratio of this run's total to the
+    previous round's BENCH file over the intersection of query names, so
+    a per-query regression shows up as a number instead of an
+    archaeology exercise (VERDICT r4 #5)."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return None
+    prev_path = benches[-1]
+    try:
+        blob = json.load(open(prev_path))
+        # the driver wraps bench stdout: the JSON line lives under "parsed"
+        prev = blob.get("parsed", blob).get("queries", {})
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return None
+    shared = sorted(set(prev) & set(timings))
+    if not shared:
+        return None
+    cur_total = sum(timings[q] for q in shared)
+    prev_total = sum(prev[q] for q in shared)
+    # sub-half-second queries ratio like noise; report the worst mover
+    # among the ones whose regression would actually matter
+    material = [q for q in shared if prev[q] >= 0.5] or shared
+    worst = max(material, key=lambda q: timings[q] / max(prev[q], 1e-9))
+    return {
+        "prev_file": os.path.basename(prev_path),
+        "n_shared": len(shared),
+        "prev_total_sec": round(prev_total, 3),
+        "cur_total_sec": round(cur_total, 3),
+        "ratio": round(cur_total / max(prev_total, 1e-9), 3),
+        "worst_query": worst,
+        "worst_ratio": round(timings[worst] / max(prev[worst], 1e-9), 3),
+    }
 
 
 def bench_cdc(spark, sf_dir: str) -> dict[str, float]:
@@ -230,20 +275,28 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
+        # time build+execute: for most queries the build is milliseconds
+        # of plan construction, but driver-side work (IVF centroid
+        # sampling, the eager component-iteration loop) belongs in the
+        # measurement — excluding it would report an iterative pipeline
+        # as the cost of its final join only
         t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    here = os.path.dirname(os.path.abspath(__file__))
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "timing": "build+execute",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "shared_vs_prev": shared_vs_prev(timings, here),
                 "cdc": bench_cdc(spark, sf_dir),
                 "state10x": bench_state_scale(spark, sf_dir),
             }

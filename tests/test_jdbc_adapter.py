@@ -170,3 +170,46 @@ def test_setup_publication_requires_tables(spark):
     src, _ = _source(spark, [])
     with pytest.raises(ValueError):
         src.setup_publication("pub", "slot1", [])
+
+
+# -- live integration (auto-upgrades when an environment provides them) ----
+#
+# Gated twice: psycopg (or psycopg2) must be importable AND
+# CLOCKPIPE_TEST_PG_URL must point at a reachable Postgres with a JDBC
+# driver jar on the Spark classpath. No container here ships either, so
+# these skip today — but if a future environment does, the mocked-seam
+# contracts above upgrade to a real network round-trip with zero edits.
+
+
+def _live_pg_url():
+    import os
+
+    return os.environ.get("CLOCKPIPE_TEST_PG_URL")
+
+
+def test_live_introspection_roundtrip(spark):
+    import pytest
+
+    pg = pytest.importorskip("psycopg", reason="no postgres driver in container")
+    url = _live_pg_url()
+    if not url:
+        pytest.skip("CLOCKPIPE_TEST_PG_URL not set")
+    # seed a table directly, then introspect + snapshot through the adapter
+    dsn = url.replace("jdbc:postgresql://", "postgresql://")
+    with pg.connect(dsn) as conn:
+        conn.execute("DROP TABLE IF EXISTS clockpipe_live_t")
+        conn.execute(
+            "CREATE TABLE clockpipe_live_t (id bigint PRIMARY KEY, v text)"
+        )
+        conn.execute(
+            "INSERT INTO clockpipe_live_t SELECT g, 'v' || g FROM generate_series(1, 100) g"
+        )
+        conn.commit()
+    src = JdbcPostgresSource(spark, url)
+    cols = src.list_columns("clockpipe_live_t")
+    assert [c.column_name for c in cols] == ["id", "v"]
+    assert cols[0].is_primary_key
+    assert src.primary_key("clockpipe_live_t") == ["id"]
+    df = src.snapshot("clockpipe_live_t")
+    assert df.count() == 100
+    assert src.estimate_row_count("clockpipe_live_t") >= 0
