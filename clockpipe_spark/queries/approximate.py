@@ -25,6 +25,18 @@ from clockpipe_spark.operators.neardup import (
 from clockpipe_spark.queries.textops import _doubled_corpus
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents feed for the mapInPandas codec stages.
+
+    Deliberately NOT fanout_repartition-ed: codec stages are 1:1 maps
+    whose parallelism at scale comes from parquet input splitting
+    (maxPartitionBytes); A/B at sf0.1 shows the unconditional shuffle is
+    noise-to-negative at this table size. The fan-out guard is reserved
+    for stages whose OUTPUT explodes relative to input (pair joins,
+    shingle explode)."""
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over the doubled corpus (32 hashes,
     8 bands, est-Jaccard >= 0.5). The linear-cost twin of
@@ -114,7 +126,7 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clockpipe_spark.operators.multimodal import decode_bmp_features, encode_bmp
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
 
     def enc(batches):
         for pdf in batches:
@@ -152,7 +164,7 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clockpipe_spark.operators.multimodal import decode_wav_features, encode_wav
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
 
     def enc(batches):
         for pdf in batches:
@@ -213,7 +225,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_bmp_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
 
     def enc(batches):
         for pdf in batches:
@@ -256,7 +268,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clockpipe_spark.operators.multimodal import sample_frames
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
 
     def enc(batches):
         for pdf in batches:

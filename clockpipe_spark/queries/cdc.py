@@ -275,8 +275,12 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_update,
     )
 
+    from clockpipe_spark.operators.fanout import fanout_repartition
+
     events = load_table(spark, sf_dir, "events")
-    src = events.select("event_id", "user_id", "value", "event_type")
+    # the encode->decode chain is two Python stages; off a single-file
+    # input they would both run as one task (VERDICT r4 fan-out class)
+    src = fanout_repartition(events.select("event_id", "user_id", "value", "event_type"))
 
     def enc(batches):
         import pandas as pd

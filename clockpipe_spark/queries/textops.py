@@ -203,9 +203,14 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents
 
 
 def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clockpipe_spark.operators.fanout import fanout_repartition
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     clone = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    return docs.unionByName(clone)
+    # every consumer feeds a compute-heavy stage (minhash/simhash
+    # signatures, shingle explode); off single-file inputs those would
+    # inherit 2 partitions (VERDICT r4 fan-out class)
+    return fanout_repartition(docs.unionByName(clone))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

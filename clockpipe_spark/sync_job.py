@@ -94,6 +94,11 @@ class SyncJob:
                 os.path.join(self.source_dir, f"{t.table_name}.parquet")
             )
             df = apply_masks(df, t.mask_columns)
+            # NOTE deliberately NOT fanout_repartition-ed: snapshot copy
+            # is a 1:1 map whose parallelism at scale comes from parquet
+            # input splitting (maxPartitionBytes); an unconditional
+            # shuffle here only adds cost. The fan-out guard is for
+            # stages whose OUTPUT volume explodes relative to input.
             state = df.withColumn("last_seq", F.lit(-1).cast("bigint")).withColumn(
                 "__deleted", F.lit(False)
             )
