@@ -51,13 +51,19 @@ def dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard baseline — the composition a 100 TB dedup pipeline actually
     runs. Rows-only at the gate (LSH hash family is engine-specific);
     tests/test_components.py asserts >=95% of exact-Jaccard pairs land
-    in one LSH cluster."""
-    from clockpipe_spark.operators.components import connected_components
+    in one LSH cluster.
+
+    Uses star contraction (not min-label): rounds iterate over the EDGE
+    set (~pairs) instead of the full vertex labels, the round count is
+    O(log n) on any graph shape, and the labels are provably identical
+    (test_components.py star==min-label). The exact-oracle twin keeps
+    min-label so both component operators stay driver-exercised."""
+    from clockpipe_spark.operators.components import connected_components_star
     from clockpipe_spark.queries.textops import _doubled_corpus as _dc
 
     corpus = _dc(spark, sf_dir).select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(
+    labels = connected_components_star(
         corpus, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
     )
     return (
