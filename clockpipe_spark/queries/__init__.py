@@ -61,8 +61,7 @@ _GATE_WINDOW = 50
 _PRIORITY = (
     # §2.9 relational / scalar — one canary per family
     "q1_pricing_summary",          # hash agg + CASE agg
-    "q3_shipping_priority",        # multi-join + topk
-    "q13_customer_distribution",   # left-join double agg
+    "q3_shipping_priority",        # multi-join + topk (q13: green r4, rotated out)
     "agg_rollup_lineitem",         # rollup/cube/grouping-sets canary
     "pivot_status_by_priority",    # pivot
     "window_frame_moving_avg",     # window funcs + frames canary
@@ -104,8 +103,10 @@ _PRIORITY = (
     "embedding_int8_quantize",
     "text_quality_scores",
     "text_c4_filters",
-    "mm_bytes_meta",               # multimodal canary (bmp_decode rotated out)
-    "mm_image_resize",
+    "text_substring_dup_spans",    # r5-NEW: exact substring-window dedup
+    "corpus_top_ngrams",           # r5-NEW: corpus n-gram report
+    "mm_bytes_meta",               # multimodal canary (bmp_decode, image_resize
+                                   # rotated out — both green r4)
     "mm_frame_sample",             # r5 in: last never-checked query
     "pack_sequences_greedy",
     "tfidf_top_terms",

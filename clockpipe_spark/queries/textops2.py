@@ -174,14 +174,146 @@ ORDER BY doc_id
 """
 
 
+# -- exact substring-window dedup + corpus n-gram stats ---------------------
+
+_W_SUB = 8  # tokens per window; ~9% of fixture windows are cross-doc dups
+
+
+def _token_windows(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, win) — every w-token sliding window, one row per window.
+
+    Tokens are materialized as a column BEFORE the transform lambda (no
+    CSE inside HOF lambdas — the split would re-run per element), and the
+    explode is a genuine fan-out (~n_tokens rows per doc), so the feed is
+    fanout_repartition-ed per the round-5 rule."""
+    from clockpipe_spark.operators.fanout import fanout_repartition
+
+    toks = fanout_repartition(
+        docs.select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+        )
+    ).withColumn("n", F.size("t"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.col("n") - w + 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, w)),
+    )
+    return (
+        toks.filter(F.col("n") >= w)  # sequence(1, n-w+1) needs n >= w
+        .select("doc_id", F.explode(wins).alias("win"))
+    )
+
+
+def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup signal (the MinHash complement, after
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better"): per document, how many of its 8-token sliding windows
+    occur verbatim in at least one OTHER document.
+
+    Plan: explode windows (fan-out, repartitioned feed) -> hash-groupBy
+    window -> distinct-doc count >= 2 -> equi-join back -> per-doc agg.
+    Never a doc×doc join: cost is O(total windows), shuffled on a
+    uniform string key — the shape that survives 100 TB. dup_frac is
+    floor-scaled (engine-divergent round ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = _token_windows(docs, _W_SUB)
+    dup = (
+        wins.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win")
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        wins.join(dup, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("is_dup").alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.floor(F.col("dup_windows") / F.col("n_windows") * 1e4).cast("bigint"),
+        )
+    )
+
+
+SUBSTRING_DUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - {_W_SUB} + 2),
+                        i -> array_to_string(t[i:i+{_W_SUB}-1], ' '))) AS win
+  FROM toks WHERE len(t) >= {_W_SUB}
+),
+dup AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(d.win) AS dup_windows,
+       CAST(floor(count(d.win) / count(*) * 10000) AS BIGINT) AS dup_frac
+FROM wins w LEFT JOIN dup d ON w.win = d.win
+GROUP BY w.doc_id
+"""
+
+_W_GRAM = 3
+_TOP_GRAMS = 20
+
+
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top trigram report (frequency + document spread) —
+    the standard corpus-inspection query. Same window machinery as the
+    substring dedup; one hash aggregation + a global top-k (deterministic
+    tiebreak on the gram itself)."""
+    from pyspark.sql import Window
+
+    wins = _token_windows(load_table(spark, sf_dir, "documents"), _W_GRAM)
+    counts = wins.groupBy("win").agg(
+        F.count("*").alias("occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("win"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_GRAMS)
+        .select(F.col("win").alias("ngram"), "occurrences", "n_docs", "rnk")
+    )
+
+
+TOP_NGRAMS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - {_W_GRAM} + 2),
+                        i -> array_to_string(t[i:i+{_W_GRAM}-1], ' '))) AS win
+  FROM toks WHERE len(t) >= {_W_GRAM}
+),
+counts AS (
+  SELECT win, count(*) AS occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM wins GROUP BY win
+)
+SELECT win AS ngram, occurrences, n_docs, rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY occurrences DESC, win) AS rnk
+  FROM counts
+) WHERE rnk <= {_TOP_GRAMS}
+"""
+
+
 QUERIES = {
     "text_bpe_token_stats": text_bpe_token_stats,
     "text_rolling_hash": text_rolling_hash,
     "text_c4_filters": text_c4_filters,
+    "text_substring_dup_spans": text_substring_dup_spans,
+    "corpus_top_ngrams": corpus_top_ngrams,
 }
 
 ORACLES = {
     "text_bpe_token_stats": BPE_TOKEN_SQL,
     "text_rolling_hash": ROLLING_HASH_SQL,
     "text_c4_filters": C4_FILTERS_SQL,
+    "text_substring_dup_spans": SUBSTRING_DUP_SQL,
+    "corpus_top_ngrams": TOP_NGRAMS_SQL,
 }
