@@ -67,6 +67,8 @@ HEADLINE = [
     # connected components -> canonical selection). Its iterative loop
     # runs eagerly at build time, which is why bench times build+execute.
     "dedup_cluster_assign_lsh",
+    # round 5: exact substring-window dedup (the MinHash complement)
+    "text_substring_dup_spans",
 ]
 
 
