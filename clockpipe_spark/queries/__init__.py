@@ -91,7 +91,8 @@ _PRIORITY = (
     "cdc_align_projection",        # P1 alignment
     "cdc_cast_matrix",             # P3 cast matrix (+§2.8 quirk canary)
     "cdc_apply_to_snapshot",       # K1/K2 upsert+delete
-    "cdc_mongo_bson_casts",        # BSON cast tail
+                                   # (cdc_mongo_bson_casts: green r4,
+                                   # rotated out; P3 canary covers casts)
     # §2.10 LLM-pipeline families — one representative each
     "dedup_exact",
     "dedup_minhash_lsh",           # near-dup canary (jaccard/simhash rotated out)
@@ -105,6 +106,7 @@ _PRIORITY = (
     "text_c4_filters",
     "text_substring_dup_spans",    # r5-NEW: exact substring-window dedup
     "corpus_top_ngrams",           # r5-NEW: corpus n-gram report
+    "text_unigram_surprisal",      # r5-NEW: unigram-LM quality scoring
     "mm_bytes_meta",               # multimodal canary (bmp_decode, image_resize
                                    # rotated out — both green r4)
     "mm_frame_sample",             # r5 in: last never-checked query

@@ -302,12 +302,57 @@ FROM (
 """
 
 
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (the CCNet/KenLM filter idea reduced to a
+    corpus-trained unigram LM): per document, token count and mean
+    surprisal -log2 p(token) under the corpus's own unigram distribution.
+    Low surprisal = repetitive/templated text; high = rare-token noise.
+
+    Shape: token explode (fan-out feed, repartitioned) -> vocab hash-agg
+    -> equi-join tokens⋈vocab -> per-doc agg. At 100 TB the vocab table
+    is broadcast (vocab ≪ corpus) and everything else is map-side +
+    one shuffle per agg — no model artifact, no UDF."""
+    from clockpipe_spark.operators.fanout import fanout_repartition
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fanout_repartition(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # 1-row total via broadcast cross join (same pattern as relational2)
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    surprisal = -F.log2(F.col("c") / F.col("n"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.floor(F.avg(surprisal) * 100).cast("bigint").alias("mean_surprisal_x100"),
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(floor(avg(-log2(c / n)) * 100) AS BIGINT) AS mean_surprisal_x100
+FROM toks JOIN freq USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_bpe_token_stats": text_bpe_token_stats,
     "text_rolling_hash": text_rolling_hash,
     "text_c4_filters": text_c4_filters,
     "text_substring_dup_spans": text_substring_dup_spans,
     "corpus_top_ngrams": corpus_top_ngrams,
+    "text_unigram_surprisal": text_unigram_surprisal,
 }
 
 ORACLES = {
@@ -316,4 +361,5 @@ ORACLES = {
     "text_c4_filters": C4_FILTERS_SQL,
     "text_substring_dup_spans": SUBSTRING_DUP_SQL,
     "corpus_top_ngrams": TOP_NGRAMS_SQL,
+    "text_unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
 }
