@@ -83,16 +83,21 @@ def shared_vs_prev(timings: dict[str, float], here: str) -> dict | None:
     benches = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
     )
-    if not benches:
-        return None
-    prev_path = benches[-1]
-    try:
-        blob = json.load(open(prev_path))
-        # the driver wraps bench stdout: the JSON line lives under "parsed"
-        prev = blob.get("parsed", blob).get("queries", {})
-    except (OSError, json.JSONDecodeError, AttributeError):
-        return None
+    # walk back to the newest bench the driver actually parsed (r5's
+    # JSON line overflowed the driver's 2000-char stdout tail ->
+    # parsed:null; skip such rounds rather than losing the comparable)
+    prev, prev_path = {}, None
+    for cand in benches:
+        try:
+            blob = json.load(open(cand))
+            parsed = blob.get("parsed", blob)
+            if isinstance(parsed, dict) and parsed.get("queries"):
+                prev, prev_path = parsed["queries"], cand
+                break
+        except (OSError, json.JSONDecodeError):
+            continue
     shared = sorted(set(prev) & set(timings))
     if not shared:
         return None
@@ -111,6 +116,46 @@ def shared_vs_prev(timings: dict[str, float], here: str) -> dict | None:
         "worst_query": worst,
         "worst_ratio": round(timings[worst] / max(prev[worst], 1e-9), 3),
     }
+
+
+# The driver captures only the LAST 2000 characters of bench stdout and
+# parses the JSON line out of that tail. Round 5's line grew past the
+# buffer (38 queries x 2 timing dicts + 3 metric blocks) and the round
+# recorded parsed:null — the judge saw no numbers at all. So: full
+# detail goes to BENCH_DETAIL.json; stdout gets a compact line hard-
+# capped below the buffer, shedding optional keys if it must.
+TAIL_BUDGET = 1900
+
+
+def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
+    """Serialize payload to one JSON line guaranteed <= budget chars.
+
+    Drops optional keys (least-important first), then falls back to
+    coarser rounding of per-query timings, and as a last resort keeps
+    only the slowest queries (count disclosed via "queries_elided")."""
+
+    def dumps(p: dict) -> str:
+        return json.dumps(p, separators=(",", ":"))
+
+    payload = dict(payload)
+    line = dumps(payload)
+    for key in ("state10x", "cdc", "shared_vs_prev"):
+        if len(line) <= budget:
+            return line
+        payload.pop(key, None)
+        line = dumps(payload)
+    if len(line) > budget and "queries" in payload:
+        payload["queries"] = {
+            k: round(v, 1) for k, v in payload["queries"].items()
+        }
+        line = dumps(payload)
+    while len(line) > budget and payload.get("queries"):
+        q = payload["queries"]
+        drop = min(q, key=q.get)
+        del q[drop]
+        payload["queries_elided"] = payload.get("queries_elided", 0) + 1
+        line = dumps(payload)
+    return line
 
 
 def bench_cdc(spark, sf_dir: str) -> dict[str, float]:
@@ -298,24 +343,66 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
-    print(
-        json.dumps(
+    full = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "timing": "build+execute",
+        "stat": "min",
+        "trials": 2,
+        "queries": timings,
+        "queries_run1": first_run,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "shared_vs_prev": shared_vs_prev(timings, here),
+        "cdc": bench_cdc(spark, sf_dir),
+        "state10x": bench_state_scale(spark, sf_dir),
+    }
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    # compact stdout line (the driver's record): first-run timings live
+    # only in BENCH_DETAIL.json; sub-dicts trimmed to their headline
+    # numbers; emit_line guarantees the 2000-char tail capture parses.
+    sp = full["shared_vs_prev"]
+    st = full["state10x"]
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "timing": full["timing"],
+        "stat": "min",
+        "trials": 2,
+        "sf": full["sf"],
+        "detail": "BENCH_DETAIL.json",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "shared_vs_prev": (
             {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "timing": "build+execute",
-                "stat": "min",
-                "trials": 2,
-                "queries": timings,
-                "queries_run1": first_run,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "shared_vs_prev": shared_vs_prev(timings, here),
-                "cdc": bench_cdc(spark, sf_dir),
-                "state10x": bench_state_scale(spark, sf_dir),
+                "prev": sp["prev_file"],
+                "n": sp["n_shared"],
+                "ratio": sp["ratio"],
+                "worst": sp["worst_query"],
+                "worst_ratio": sp["worst_ratio"],
             }
-        )
-    )
+            if sp
+            else None
+        ),
+        "cdc": {
+            "snapshot_rows_per_sec": full["cdc"]["snapshot_rows_per_sec"],
+            "cdc_events_per_sec": full["cdc"]["cdc_events_per_sec"],
+        },
+        "state10x": {
+            "keys": st["seeded_keys"],
+            "flat_drain_sec": st["flat_drain_sec"],
+            "bucketed_drain_sec": st["bucketed_drain_sec"],
+            "rewrite_ratio": round(
+                st["flat_state_rows_rewritten"]
+                / max(st["bucketed_state_rows_rewritten"], 1),
+                1,
+            ),
+            "speedup": st["bucketed_speedup_vs_flat"],
+        },
+    }
+    print(emit_line(compact))
 
 
 if __name__ == "__main__":

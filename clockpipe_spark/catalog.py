@@ -50,9 +50,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one named table. Column pruning + predicate pushdown reach the
     parquet scan because this stays a plain declarative read.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    only as a raw long (nanosAsLong); convert to a micros timestamp with
-    the same truncation DuckDB applies when it reads the file.
+    ``events.ts`` has shipped in two parquet encodings across driver
+    rounds: TIMESTAMP(NANOS), which Spark reads only as a raw long
+    (nanosAsLong), and TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    Spark reads as TIMESTAMP_NTZ. Normalize both to the session-UTC
+    TIMESTAMP (LTZ) the rest of the engine expects — watermarks reject
+    NTZ event time, and the LTZ wall-clock under UTC equals the naive
+    value every other engine reads from the same file.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -70,6 +74,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div — a double division here would round (ns since
             # epoch exceeds 2^53) and shift timestamps by ±1 µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # NTZ naive wall-clock -> LTZ at UTC: identical instant,
+            # watermark-compatible type
+            df = df.withColumn("ts", F.to_timestamp(F.col("ts")))
     return df
 
 

@@ -28,6 +28,22 @@ _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _TOP_K = 5
 
 
+def _corpus_meta(sf_dir: str) -> tuple[int, int]:
+    """(row_count, embedding_dim) straight from the parquet file — footer
+    metadata plus one small column slice, no Spark job. On a cluster these
+    are catalog statistics; a query should not spend a distributed job to
+    learn them."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    n = pf.metadata.num_rows
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column(0)[0])
+    return n, dim
+
+
 def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k: broadcast the query vectors against the full corpus;
     rank per query with a deterministic tiebreak."""
@@ -149,7 +165,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against cosine_topk_brute.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    _, dim = _corpus_meta(sf_dir)
     bucketize = multitable_lsh_bucketizer(dim, n_tables=8, n_bits=4)
     # fan-out guard (VERDICT r4): repartition before bucketize so both the
     # LSH matmul UDF and the post-explode candidate join parallelize even
@@ -206,9 +222,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed, seeded sample for centroid training: every partition
     # contributes (unlike limit(N), which drains the first partitions
     # only), and the driver-side materialization stays bounded by the
-    # fraction regardless of corpus size. count() on parquet is
-    # metadata-only — no data scan.
-    n_corpus = emb.count()
+    # fraction regardless of corpus size. Row count comes straight from
+    # the parquet footer — corpus metadata, no Spark job at all (an
+    # engine's catalog stats; at cluster scale this is the table stat).
+    n_corpus, _ = _corpus_meta(sf_dir)
     frac = min(1.0, 2048.0 / max(n_corpus, 1))
     sample = np.array(
         [

@@ -1,0 +1,70 @@
+"""The driver records only the last 2000 chars of bench stdout; round 5's
+oversized JSON line cost the round its BENCH record (parsed:null). These
+tests pin the emit contract: one line, parseable, under the tail budget,
+for any plausible registry size."""
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, TAIL_BUDGET, emit_line
+
+
+def _payload(n_queries: int) -> dict:
+    return {
+        "metric": "headline_total",
+        "value": 123.456,
+        "unit": "sec",
+        "timing": "build+execute",
+        "stat": "min",
+        "trials": 2,
+        "sf": 0.1,
+        "detail": "BENCH_DETAIL.json",
+        "queries": {
+            f"some_fairly_long_query_name_{i:03d}": round(0.1 * i + 0.123, 2)
+            for i in range(n_queries)
+        },
+        "shared_vs_prev": {
+            "prev": "BENCH_r05.json",
+            "n": n_queries,
+            "ratio": 0.563,
+            "worst": "ann_ivf_topk",
+            "worst_ratio": 3.493,
+        },
+        "cdc": {"snapshot_rows_per_sec": 61360.3, "cdc_events_per_sec": 22119.5},
+        "state10x": {
+            "keys": 10_000_000,
+            "flat_drain_sec": 28.52,
+            "bucketed_drain_sec": 16.27,
+            "rewrite_ratio": 25.9,
+            "speedup": 1.75,
+        },
+    }
+
+
+def test_current_headline_size_fits_with_all_blocks():
+    # the REAL headline set must fit WITHOUT shedding the metric blocks
+    payload = _payload(0)
+    payload["queries"] = {name: 12.34 for name in HEADLINE}
+    line = emit_line(payload)
+    assert len(line) <= TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["cdc"] and parsed["state10x"] and parsed["shared_vs_prev"]
+    assert len(parsed["queries"]) == len(HEADLINE)
+
+
+def test_oversized_registry_still_parses_within_budget():
+    for n in (60, 120, 400):
+        line = emit_line(_payload(n))
+        assert len(line) <= TAIL_BUDGET, n
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_total"
+        assert parsed["value"] == 123.456
+        # queries may be elided but the count is disclosed
+        assert len(parsed["queries"]) + parsed.get("queries_elided", 0) == n
+
+
+def test_single_line_output():
+    assert "\n" not in emit_line(_payload(40))
