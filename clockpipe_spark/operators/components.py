@@ -89,12 +89,16 @@ def connected_components(
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
-    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # no distinct: duplicate edges are harmless to the groupBy-min and
+    # join that consume this — the round's single distinct runs at the
+    # end of _small_star. One exchange per round instead of four.
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u, connect every strictly-larger neighbor to
-    min(N(u) ∪ {u}). Operates on the symmetric neighborhood."""
+    min(N(u) ∪ {u}). Operates on the symmetric neighborhood. Output may
+    carry duplicate edges; the round's closing distinct handles them."""
     sym = _symmetrize(e)
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least("mv", "u").alias("m"))
@@ -103,13 +107,13 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient each edge large→small, then for each node u connect all its
-    (≤ u) neighbors — and u itself — to the minimum of them."""
+    (≤ u) neighbors — and u itself — to the minimum of them. The closing
+    distinct here is the round's only dedup exchange."""
     oriented = e.select(
         F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
     ).select(F.col("gu").alias("u"), F.col("gv").alias("v"))
