@@ -109,6 +109,57 @@ def kmeans_lite(sample: np.ndarray, k: int, n_iter: int = 5, seed: int = 42) -> 
     return centroids
 
 
+def kmeans_refine_distributed(
+    df,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+) -> np.ndarray:
+    """Distributed Lloyd refinement rounds for spherical k-means.
+
+    Per round: one Arrow-matmul assignment pass (ivf_assigner) and a
+    posexplode re-centering — ``(cell, pos) -> avg`` runs with map-side
+    partial aggregation, so the shuffle carries K x dim partial sums per
+    map task, not n x dim rows. Only the K x dim centroid matrix is
+    collected to the driver (bounded regardless of corpus size) — the
+    same budget IVF index training has at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    k, dim = centroids.shape
+    for _ in range(n_iter):
+        assign = ivf_assigner(centroids, nprobe=1)
+        # spherical: average the UNIT vectors (kmeans_lite normalizes its
+        # sample the same way), then re-normalize the mean
+        e = F.col(vec_col).cast("array<double>")
+        prepared = df.select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+            e.alias("e"),
+        ).withColumn(
+            "nrm", F.greatest(F.sqrt(l2_norm_sq(F.col("e"))), F.lit(1e-12))
+        )
+        sums = (
+            prepared.select(
+                "cell",
+                F.posexplode(
+                    F.transform(F.col("e"), lambda x: x / F.col("nrm"))
+                ).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        new_c = centroids.copy()
+        seen = set()
+        for r in sums.collect():  # K x dim rows, bounded
+            new_c[r["cell"]][r["pos"]] = r["m"]
+            seen.add(r["cell"])
+        # empty cells keep their previous centroid; others re-normalize
+        for j in seen:
+            new_c[j] = new_c[j] / max(np.linalg.norm(new_c[j]), 1e-12)
+        centroids = new_c
+    return centroids
+
+
 def multitable_lsh_bucketizer(
     dim: int, n_tables: int = 8, n_bits: int = 4, seed: int = 42
 ):

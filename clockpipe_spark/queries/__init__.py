@@ -45,17 +45,14 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
-# Round-5 rotation (closes the registry evidence story): the final 14
-# never-driver-checked queries come in — the round-4 TPC-H completions
-# (q2/q4/q7/q8/q9/q11/q15/q17/q20/q21), the change-stream decode query,
-# both dedup clustering pipelines, and frame sampling.  Out go 5 freed
-# double-green slots (cdc_changelog, pg_array_literal_parse,
-# neardup_jaccard_pairs, cosine_topk_brute, mm_bmp_decode — each family
-# still covered by an in-window canary) and 9 round-4-green text/
-# embedding/multimodal/stream entries whose driver rows persist in
-# CORRECTNESS_r04.json.  After this round, every registry query has a
-# green driver row in some round; tests/test_registry_window.py guards
-# the composition.
+# Round-5 rotation closed the registry evidence story: after r5 every
+# registry query has a green driver row in some round's
+# CORRECTNESS_r*.json.  Round 6 swaps in the two new operators
+# (embedding_kmeans_clusters, split_leakage_safe) for two double-green
+# slots (embedding_neardup_pairs — green r2/r4/r5, its r4 perf defect is
+# closed and benched; text_unigram_surprisal — green r5, text family
+# still carries three in-window canaries).
+# tests/test_registry_window.py guards the composition.
 _GATE_WINDOW = 50
 
 _PRIORITY = (
@@ -100,13 +97,13 @@ _PRIORITY = (
     "dedup_cluster_assign_lsh",    # r5 in: the 100 TB dedup pipeline shape
     "ann_lsh_topk",                # similarity canary (brute rotated out)
     "ann_ivf_topk",
-    "embedding_neardup_pairs",     # r4 perf-regressed query stays for proof
+    "embedding_kmeans_clusters",   # r6-NEW: distributed spherical k-means
     "embedding_int8_quantize",
+    "split_leakage_safe",          # r6-NEW: cluster-hash train/val/test split
     "text_quality_scores",
     "text_c4_filters",
     "text_substring_dup_spans",    # r5-NEW: exact substring-window dedup
     "corpus_top_ngrams",           # r5-NEW: corpus n-gram report
-    "text_unigram_surprisal",      # r5-NEW: unigram-LM quality scoring
     "mm_bytes_meta",               # multimodal canary (bmp_decode, image_resize
                                    # rotated out — both green r4)
     "mm_frame_sample",             # r5 in: last never-checked query

@@ -204,27 +204,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF: k-means-lite centroids trained on a
-    driver sample, coarse-quantize every vector to its cell (nprobe=1),
-    queries probe their 2 nearest cells; exact cosine rank within the
-    probed cells. The other canonical ANN scale path next to LSH —
-    candidate cost is corpus/K per probe instead of the full corpus.
-
-    Rows-only check (centroids are engine-specific state); recall vs
-    brute force asserted in pytest.
-    """
+def _train_centroids(emb: DataFrame, sf_dir: str):
+    """Seeded k-means-lite centroids from a distributed sample: every
+    partition contributes (unlike limit(N), which drains the first
+    partitions only), and the driver-side materialization stays bounded
+    by the fraction regardless of corpus size. Row count comes from the
+    parquet footer — catalog stats, not a Spark job."""
     import numpy as np
 
-    from clockpipe_spark.operators.vectors import ivf_assigner, kmeans_lite
+    from clockpipe_spark.operators.vectors import kmeans_lite
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Distributed, seeded sample for centroid training: every partition
-    # contributes (unlike limit(N), which drains the first partitions
-    # only), and the driver-side materialization stays bounded by the
-    # fraction regardless of corpus size. Row count comes straight from
-    # the parquet footer — corpus metadata, no Spark job at all (an
-    # engine's catalog stats; at cluster scale this is the table stat).
     n_corpus, _ = _corpus_meta(sf_dir)
     frac = min(1.0, 2048.0 / max(n_corpus, 1))
     sample = np.array(
@@ -238,7 +227,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     k = max(4, min(16, len(sample) // 32))
-    centroids = kmeans_lite(sample, k)
+    return kmeans_lite(sample, k)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: k-means-lite centroids trained on a
+    driver sample, coarse-quantize every vector to its cell (nprobe=1),
+    queries probe their 2 nearest cells; exact cosine rank within the
+    probed cells. The other canonical ANN scale path next to LSH —
+    candidate cost is corpus/K per probe instead of the full corpus.
+
+    Rows-only check (centroids are engine-specific state); recall vs
+    brute force asserted in pytest.
+    """
+    from clockpipe_spark.operators.vectors import ivf_assigner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _train_centroids(emb, sf_dir)
 
     assign1 = ivf_assigner(centroids, nprobe=1)
     # same fan-out guard as ann_lsh_topk: candidate volume is smaller
@@ -275,6 +280,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus: spherical k-means,
+    trained end-to-end on the cluster — seeded driver-sample init
+    (kmeans_lite) then two distributed Lloyd refinement rounds
+    (operators/vectors.kmeans_refine_distributed: Arrow-matmul
+    assignment, posexplode re-centering with map-side partial sums,
+    K x dim driver collect). The clusters are the IVF cell structure
+    made user-facing — the building block for semantic dedup and
+    cluster-balanced data mixing in a training pipeline.
+
+    Rows-only at the gate (centroid state is engine-specific);
+    tests/test_similarity.py asserts assignment agreement against a
+    pure-numpy reference of the same algorithm.
+    """
+    from clockpipe_spark.operators.vectors import (
+        ivf_assigner,
+        kmeans_refine_distributed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _train_centroids(emb, sf_dir)
+    emb = fanout_repartition(emb)
+    centroids = kmeans_refine_distributed(
+        emb, centroids, vec_col="embedding", n_iter=2
+    )
+    assign = ivf_assigner(centroids, nprobe=1)
+    return emb.select(
+        "vec_id",
+        F.element_at(assign(F.col("embedding")), 1).alias("cluster_id"),
+    ).orderBy("vec_id")
 
 
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +353,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_kmeans_clusters": embedding_kmeans_clusters,
 }
 
 ORACLES = {

@@ -363,6 +363,55 @@ ORDER BY doc_id
 """
 
 
+_SPLIT_HASH_MULT = 2654435761  # Knuth multiplicative hash, engine-portable
+_SPLIT_HASH_MOD = 4294967296
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a deterministic
+    hash of the document's near-dup CLUSTER id, not the doc id — so
+    near-duplicates can never straddle splits (the classic eval-leak in
+    training corpora: a val doc whose near-copy sits in train). 90/5/5
+    via a Knuth multiplicative hash, chosen over xxhash/md5 because both
+    engines compute identical bigint arithmetic (portable oracle).
+
+    Composes the dedup pipeline's cluster assignment (exact-Jaccard
+    pairs -> connected components) with the split rule; at 100 TB the
+    edge input swaps to the LSH miner exactly as in
+    dedup_cluster_assign_lsh, leaving the split rule untouched."""
+    labels = dedup_cluster_assign(spark, sf_dir).select("doc_id", "cluster_id")
+    hv = F.pmod(
+        F.col("cluster_id") * F.lit(_SPLIT_HASH_MULT), F.lit(_SPLIT_HASH_MOD)
+    ) % 100
+    return (
+        labels.withColumn("hv", hv)
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(F.col("hv") < 90, "train")
+            .when(F.col("hv") < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTER_SQL})
+SELECT doc_id, cluster_id,
+       CASE WHEN hv < 90 THEN 'train'
+            WHEN hv < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         ((cluster_id * {_SPLIT_HASH_MULT}) % {_SPLIT_HASH_MOD}) % 100 AS hv
+  FROM clusters
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -371,9 +420,11 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
     "dedup_cluster_assign": dedup_cluster_assign,
+    "split_leakage_safe": split_leakage_safe,
 }
 
 ORACLES = {
+    "split_leakage_safe": SPLIT_LEAKAGE_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality_scores": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,

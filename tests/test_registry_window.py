@@ -54,6 +54,8 @@ _FAMILY_CANARIES = {
                                        "neardup_jaccard_pairs"},
     "dedup clustering": {"dedup_cluster_assign", "dedup_cluster_assign_lsh"},
     "similarity search": {"cosine_topk_brute", "ann_lsh_topk", "ann_ivf_topk"},
+    "semantic clustering": {"embedding_kmeans_clusters"},
+    "leakage-safe split": {"split_leakage_safe"},
     "text quality": {"text_quality_scores", "text_repetition_stats"},
     "multimodal": {"mm_bmp_decode", "mm_wav_decode", "mm_bytes_meta"},
     "sequence packing": {"pack_sequences_greedy"},

@@ -59,3 +59,75 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     }
     for et, n in exact.items():
         assert abs(approx[et] - n) / n <= 0.1, (et, n, approx[et])
+
+
+def test_kmeans_clusters_match_numpy_reference(spark, sf_dir):
+    """Distributed spherical k-means must agree with a pure-numpy run of
+    the same algorithm (same init, same rounds) — the distributed part
+    only changes summation order, so assignments may flip for boundary
+    points but the clustering must be essentially identical."""
+    import numpy as np
+
+    from clockpipe_spark.catalog import load_table
+    from clockpipe_spark.operators.vectors import kmeans_lite
+    from clockpipe_spark.queries.similarity import (
+        _train_centroids,
+        embedding_kmeans_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+
+    # numpy reference: identical init, then 2 full-corpus Lloyd rounds
+    centroids = _train_centroids(emb, sf_dir)
+    for _ in range(2):
+        assign = np.argmax(Xn @ centroids.T, axis=1)
+        new_c = centroids.copy()
+        for j in range(len(centroids)):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                new_c[j] = m / max(np.linalg.norm(m), 1e-12)
+        centroids = new_c
+    ref = dict(zip(ids, np.argmax(Xn @ centroids.T, axis=1)))
+
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_kmeans_clusters(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ref)
+    agree = sum(1 for i in got if got[i] == ref[i])
+    assert agree / len(got) >= 0.98, f"assignment agreement {agree}/{len(got)}"
+    # clusters are non-trivial: more than one, none empty-dominant
+    assert len(set(got.values())) >= 2
+
+
+def test_split_leakage_safe_properties(spark, sf_dir):
+    """Near-duplicates never straddle splits, and the hash rule matches
+    the documented 90/5/5 intent."""
+    from clockpipe_spark.queries.textops import (
+        neardup_jaccard_pairs,
+        split_leakage_safe,
+    )
+
+    out = split_leakage_safe(spark, sf_dir).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    by_cluster: dict[int, set[str]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster split leak"
+
+    # every near-dup pair lands in one split
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+
+    # rough 90/5/5 (binomial slack on a small corpus)
+    n = len(out)
+    frac_train = sum(1 for r in out if r["split"] == "train") / n
+    assert 0.8 <= frac_train <= 0.97, frac_train
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
