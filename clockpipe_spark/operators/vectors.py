@@ -160,6 +160,64 @@ def kmeans_refine_distributed(
     return centroids
 
 
+def gram_matrix_distributed(df, vec_col: str = "embedding") -> np.ndarray:
+    """(dim x dim) Gram matrix X^T X plus the column-sum vector and row
+    count, computed as ONE pass: each partition emits its partial numpy
+    accumulators (mapInPandas -> a single flattened row per batch), the
+    driver sums them. The shuffle-free distributed-covariance shape —
+    data volume to the driver is partitions x dim², independent of n.
+
+    Returns (gram, colsum, n)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def partial(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = mat.T @ mat
+            s = mat.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(mat))],
+                    "payload": [np.concatenate([g.ravel(), s]).tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partial, "n double, payload array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty input")
+    dim = int((np.sqrt(4 * len(rows[0]["payload"]) + 1) - 1) // 2)  # d²+d
+    gram = np.zeros((dim, dim))
+    colsum = np.zeros(dim)
+    n = 0
+    for r in rows:
+        p = np.asarray(r["payload"])
+        gram += p[: dim * dim].reshape(dim, dim)
+        colsum += p[dim * dim :]
+        n += int(r["n"])
+    return gram, colsum, n
+
+
+def pca_projector(components: np.ndarray, mean: np.ndarray):
+    """pandas UDF projecting each vector onto the fitted principal
+    components (one centered matmul per Arrow batch)."""
+    import pandas as pd
+
+    comp = components.astype(np.float64)
+    mu = mean.astype(np.float64)
+
+    @pandas_udf("array<double>")
+    def project(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64) - mu
+        return pd.Series(list(mat @ comp.T))
+
+    return project
+
+
 def multitable_lsh_bucketizer(
     dim: int, n_tables: int = 8, n_bits: int = 4, seed: int = 42
 ):

@@ -47,12 +47,13 @@ _MODULES = (
 #
 # Round-5 rotation closed the registry evidence story: after r5 every
 # registry query has a green driver row in some round's
-# CORRECTNESS_r*.json.  Round 6 swaps in the two new operators
-# (embedding_kmeans_clusters, split_leakage_safe) for two double-green
-# slots (embedding_neardup_pairs — green r2/r4/r5, its r4 perf defect is
-# closed and benched; text_unigram_surprisal — green r5, text family
-# still carries three in-window canaries).
-# tests/test_registry_window.py guards the composition.
+# CORRECTNESS_r*.json.  Round 6 swaps in the four NEW operators
+# (embedding_kmeans_clusters, embedding_pca_project, split_leakage_safe,
+# sample_cluster_cap) for four already-green slots
+# (embedding_neardup_pairs — green r2/r4/r5, its r4 perf defect closed
+# and benched; text_unigram_surprisal, corpus_top_ngrams,
+# mm_frame_sample — each green r5, each family still carrying an
+# in-window canary).  tests/test_registry_window.py guards composition.
 _GATE_WINDOW = 50
 
 _PRIORITY = (
@@ -98,15 +99,15 @@ _PRIORITY = (
     "ann_lsh_topk",                # similarity canary (brute rotated out)
     "ann_ivf_topk",
     "embedding_kmeans_clusters",   # r6-NEW: distributed spherical k-means
+    "embedding_pca_project",       # r6-NEW: one-pass distributed PCA
     "embedding_int8_quantize",
     "split_leakage_safe",          # r6-NEW: cluster-hash train/val/test split
+    "sample_cluster_cap",          # r6-NEW: budgeted per-cluster dedup
     "text_quality_scores",
     "text_c4_filters",
     "text_substring_dup_spans",    # r5-NEW: exact substring-window dedup
-    "corpus_top_ngrams",           # r5-NEW: corpus n-gram report
     "mm_bytes_meta",               # multimodal canary (bmp_decode, image_resize
-                                   # rotated out — both green r4)
-    "mm_frame_sample",             # r5 in: last never-checked query
+                                   # green r4; frame_sample green r5 — rotated out)
     "pack_sequences_greedy",
     "tfidf_top_terms",
     "sample_stratified_hash",

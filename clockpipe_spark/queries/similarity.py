@@ -314,6 +314,57 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_PCA_K = 8
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: covariance fitted in ONE shuffle-free pass
+    (operators/vectors.gram_matrix_distributed — each partition emits its
+    dim x dim partial Gram + column sums; the driver sums partitions x
+    dim² floats, independent of corpus size), eigendecomposition on the
+    driver (dim x dim — trivial at any n), then an Arrow-matmul
+    projection onto the top components. Dimensionality reduction ahead
+    of clustering / ANN — the third leg of the embedding toolset next to
+    quantization and indexing.
+
+    Rows-only at the gate (eigenvector sign/order are engine-specific);
+    pytest asserts projected coordinates match a pure-numpy PCA up to
+    per-component sign.
+    """
+    import numpy as np
+
+    from clockpipe_spark.operators.vectors import (
+        gram_matrix_distributed,
+        pca_projector,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram, colsum, n = gram_matrix_distributed(emb, "embedding")
+    mu = colsum / n
+    cov = gram / n - np.outer(mu, mu)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][:_PCA_K]
+    comp = eigvec[:, order].T  # (k, dim)
+    # deterministic sign: the largest-|x| coordinate of each component
+    # is made positive, so repeated fits agree
+    for i in range(len(comp)):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i][j] < 0:
+            comp[i] = -comp[i]
+    project = pca_projector(comp, mu)
+    # materialize the projection ONCE, then slice — two element_at on
+    # the UDF call would run the Python worker twice per row
+    return (
+        emb.select("vec_id", project(F.col("embedding")).alias("proj"))
+        .select(
+            "vec_id",
+            F.round(F.element_at("proj", 1), 6).alias("pc1"),
+            F.round(F.element_at("proj", 2), 6).alias("pc2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-math battery per label: mean/min/max L2 norm and the norm
     of the mean vector (centroid magnitude) — pure fold expressions."""
@@ -354,6 +405,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_kmeans_clusters": embedding_kmeans_clusters,
+    "embedding_pca_project": embedding_pca_project,
 }
 
 ORACLES = {

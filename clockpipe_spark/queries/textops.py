@@ -412,6 +412,40 @@ ORDER BY doc_id
 """
 
 
+_CLUSTER_CAP = 2
+
+
+def sample_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted dedup: keep at most N docs per near-dup cluster
+    (deterministic — lowest doc_ids win) instead of collapsing to one
+    canonical doc. The standard middle ground when exact copies should
+    go but bounded near-dup diversity is wanted in the training mix;
+    one extra window over the cluster assignment, shuffle-partitioned
+    by cluster id."""
+    from pyspark.sql import Window
+
+    labels = dedup_cluster_assign(spark, sf_dir).select("doc_id", "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    return (
+        labels.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CLUSTER_CAP)
+        .select("doc_id", "cluster_id", F.col("rn").alias("keep_rank"))
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_CLUSTER_CAP_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTER_SQL})
+SELECT doc_id, cluster_id, keep_rank FROM (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id)
+             AS keep_rank
+  FROM clusters
+) WHERE keep_rank <= {_CLUSTER_CAP}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -421,10 +455,12 @@ QUERIES = {
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
     "dedup_cluster_assign": dedup_cluster_assign,
     "split_leakage_safe": split_leakage_safe,
+    "sample_cluster_cap": sample_cluster_cap,
 }
 
 ORACLES = {
     "split_leakage_safe": SPLIT_LEAKAGE_SQL,
+    "sample_cluster_cap": SAMPLE_CLUSTER_CAP_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality_scores": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,

@@ -131,3 +131,63 @@ def test_split_leakage_safe_properties(spark, sf_dir):
     frac_train = sum(1 for r in out if r["split"] == "train") / n
     assert 0.8 <= frac_train <= 0.97, frac_train
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    """One-pass distributed PCA must agree with numpy's full-matrix PCA:
+    same covariance (to float tolerance), projected coordinates equal up
+    to per-component sign."""
+    import numpy as np
+
+    from clockpipe_spark.catalog import load_table
+    from clockpipe_spark.queries.similarity import embedding_pca_project
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:2]
+    comp = eigvec[:, order].T
+    ref = (X - mu) @ comp.T  # (n, 2)
+
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in embedding_pca_project(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ids)
+    for axis in range(2):
+        g = np.array([got[i][axis] for i in ids])
+        r = ref[:, axis]
+        # sign of an eigenvector is arbitrary: accept either orientation
+        err = min(np.abs(g - r).max(), np.abs(g + r).max())
+        assert err < 1e-4, f"pc{axis+1} max err {err}"
+
+
+def test_sample_cluster_cap_bounds(spark, sf_dir):
+    from clockpipe_spark.queries.textops import (
+        _CLUSTER_CAP,
+        dedup_cluster_assign,
+        sample_cluster_cap,
+    )
+
+    out = sample_cluster_cap(spark, sf_dir).collect()
+    per_cluster: dict[int, int] = {}
+    for r in out:
+        per_cluster[r["cluster_id"]] = per_cluster.get(r["cluster_id"], 0) + 1
+    assert max(per_cluster.values()) <= _CLUSTER_CAP
+    # singletons survive; capped clusters keep the smallest doc_ids
+    labels = dedup_cluster_assign(spark, sf_dir).collect()
+    sizes: dict[int, int] = {}
+    for r in labels:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    kept = {r["doc_id"] for r in out}
+    for r in labels:
+        if sizes[r["cluster_id"]] == 1:
+            assert r["doc_id"] in kept
+    assert any(v > _CLUSTER_CAP for v in sizes.values()), "fixture too easy"
