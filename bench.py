@@ -69,6 +69,12 @@ HEADLINE = [
     "dedup_cluster_assign_lsh",
     # round 5: exact substring-window dedup (the MinHash complement)
     "text_substring_dup_spans",
+    # round 6: the distributed embedding toolset (cluster-trained
+    # k-means, one-pass PCA). split_leakage_safe / sample_cluster_cap
+    # stay OUT like dedup_cluster_assign: they re-run the quadratic
+    # exact-Jaccard oracle miner — correctness-gated, not throughput.
+    "embedding_kmeans_clusters",
+    "embedding_pca_project",
 ]
 
 

@@ -191,3 +191,22 @@ def test_sample_cluster_cap_bounds(spark, sf_dir):
         if sizes[r["cluster_id"]] == 1:
             assert r["doc_id"] in kept
     assert any(v > _CLUSTER_CAP for v in sizes.values()), "fixture too easy"
+
+
+def test_gram_matrix_partial_sums_across_partitions(spark, sf_dir):
+    """The per-partition Gram partials must merge exactly regardless of
+    partitioning (the distributed-covariance correctness core)."""
+    import numpy as np
+
+    from clockpipe_spark.catalog import load_table
+    from clockpipe_spark.operators.vectors import gram_matrix_distributed
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    X = np.array(
+        [r["embedding"] for r in emb.collect()], dtype=np.float64
+    )
+    for parts in (1, 7):
+        gram, colsum, n = gram_matrix_distributed(emb.repartition(parts))
+        assert n == len(X)
+        np.testing.assert_allclose(gram, X.T @ X, rtol=1e-9)
+        np.testing.assert_allclose(colsum, X.sum(axis=0), rtol=1e-9)
