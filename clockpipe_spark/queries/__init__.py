@@ -16,6 +16,7 @@ from clockpipe_spark.queries import approximate as _approximate
 from clockpipe_spark.queries import cdc as _cdc
 from clockpipe_spark.queries import llmprep as _llmprep
 from clockpipe_spark.queries import llmprep2 as _llmprep2
+from clockpipe_spark.queries import llmprep3 as _llmprep3
 from clockpipe_spark.queries import relational as _relational
 from clockpipe_spark.queries import relational2 as _relational2
 from clockpipe_spark.queries import relational3 as _relational3
@@ -40,6 +41,7 @@ _MODULES = (
     _approximate,
     _llmprep,
     _llmprep2,
+    _llmprep3,
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
@@ -68,12 +70,11 @@ _PRIORITY = (
     "scalar_math_battery",         # scalar battery canary (math)
     "array_agg_per_nation",        # array functions
     "asof_last_purchase",          # subquery/as-of/range/skew canary
-    # round-5 rotation: the TPC-H completions (never driver-checked)
+    # round-5 rotation: the TPC-H completions (q7/q8/q9 green r5 —
+    # rotated out in r6 for the new llmprep3 operators; q1/q3 + the
+    # remaining completions keep the relational family covered)
     "q2_min_cost_supplier",
     "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
     "q11_important_stock",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -104,6 +105,9 @@ _PRIORITY = (
     "split_leakage_safe",          # r6-NEW: cluster-hash train/val/test split
     "sample_cluster_cap",          # r6-NEW: budgeted per-cluster dedup
     "text_quality_scores",
+    "quality_classifier_score",    # r6-NEW: hashed linear quality model
+    "mixture_temperature_weights", # r6-NEW: temperature data mixing
+    "export_shard_manifest",       # r6-NEW: deterministic export shards
     "text_c4_filters",
     "text_substring_dup_spans",    # r5-NEW: exact substring-window dedup
     "mm_bytes_meta",               # multimodal canary (bmp_decode, image_resize

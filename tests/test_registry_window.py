@@ -63,6 +63,9 @@ _FAMILY_CANARIES = {
     "sampling": {"sample_stratified_hash"},
     "quantization": {"embedding_int8_quantize"},
     "UDF surface": {"udf_zscore_per_user"},
+    "data mixing": {"mixture_temperature_weights"},
+    "model-based quality scoring": {"quality_classifier_score"},
+    "export sharding": {"export_shard_manifest"},
     "PII redaction": {"text_pii_redact"},
     "chunking": {"doc_chunk_overlap"},
     "contamination": {"benchmark_contamination"},
