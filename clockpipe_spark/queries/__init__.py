@@ -78,7 +78,7 @@ _PRIORITY = (
     "q11_important_stock",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q20_part_promotion",
+    "text_bigram_logprob",         # r6-NEW: bigram-LM quality scoring
     "q21_waiting_suppliers",
     # §2 CDC operator queries (canaries: S4, P1/P3, A1, K1/K2, FINAL;
     # P4 is inside the pgoutput roundtrip; changelog + array-literal

@@ -346,6 +346,91 @@ GROUP BY doc_id
 """
 
 
+_BG_K = 0.5  # add-k smoothing
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring, one order up from unigram surprisal: a
+    corpus-trained bigram model with add-k smoothing scores each doc by
+    mean -log2 P(w_i | w_{i-1}). The pair (this + unigram surprisal)
+    brackets the CCNet/KenLM filter recipe: unigram catches rare-token
+    noise, bigram additionally catches scrambled word order.
+
+    Shape: ONE exploded bigram stream feeds (a) the bigram count table,
+    (b) the context-count table (first-token rollup of (a) — no second
+    corpus pass), and (c) the per-doc scoring join. Docs with fewer than
+    2 tokens have no bigrams and drop out (documented). At 100 TB the
+    count tables are the model artifact: they shuffle once at train
+    time, and scoring is equi-joins + one per-doc aggregation; prune to
+    top-M bigrams to make the model side broadcastable (the standard
+    serving trade — exactness kept here for the oracle).
+
+    Floor-scaled ints (floor(avg*100)) keep both engines' float
+    summation order out of the hash compare."""
+    from clockpipe_spark.operators.fanout import fanout_repartition
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ).alias("bg"),
+        ),
+    )
+    flat = fanout_repartition(
+        with_toks.filter(n >= 2).select(
+            "doc_id", F.explode(grams).alias("g")
+        ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg"))
+    )
+    bg_freq = flat.groupBy("bg").agg(F.count("*").alias("cbg"))
+    ctx_freq = bg_freq.groupBy(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("cbg").alias("cctx"))
+    vocab = ctx_freq.agg(F.count("*").alias("v"))
+    scored = (
+        flat.join(F.broadcast(bg_freq), "bg")
+        .join(F.broadcast(ctx_freq), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    nll = -F.log2(
+        (F.col("cbg") + _BG_K) / (F.col("cctx") + _BG_K * F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.floor(F.avg(nll) * 100).cast("bigint").alias("mean_nll_x100"),
+    )
+
+
+BIGRAM_LOGPROB_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+bg_freq AS (SELECT bg, count(*) AS cbg FROM grams GROUP BY bg),
+ctx_freq AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cbg) AS BIGINT) AS cctx
+  FROM bg_freq GROUP BY 1
+),
+vocab AS (SELECT count(*) AS v FROM ctx_freq)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(floor(avg(-log2((cbg + {_BG_K}) / (cctx + {_BG_K} * v))) * 100)
+            AS BIGINT) AS mean_nll_x100
+FROM grams JOIN bg_freq USING (bg) JOIN ctx_freq USING (w1), vocab
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_bpe_token_stats": text_bpe_token_stats,
     "text_rolling_hash": text_rolling_hash,
@@ -353,6 +438,7 @@ QUERIES = {
     "text_substring_dup_spans": text_substring_dup_spans,
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_unigram_surprisal": text_unigram_surprisal,
+    "text_bigram_logprob": text_bigram_logprob,
 }
 
 ORACLES = {
@@ -362,4 +448,5 @@ ORACLES = {
     "text_substring_dup_spans": SUBSTRING_DUP_SQL,
     "corpus_top_ngrams": TOP_NGRAMS_SQL,
     "text_unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
+    "text_bigram_logprob": BIGRAM_LOGPROB_SQL,
 }
