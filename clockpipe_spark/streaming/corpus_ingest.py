@@ -1,0 +1,147 @@
+"""Streaming corpus ingestion: the LLM-data hygiene pipeline composed
+into a foreachBatch-compatible operator — quality gate, then cross-batch
+near-dup + exact dedup against persisted state, then an append-only
+admitted corpus plus a per-batch metrics log.
+
+The reference's sync loop is the shape (peek -> transform -> write ->
+advance, pipes/postgres.rs:260-517); this applies the same lifecycle to
+corpus construction: every micro-batch is gated and deduplicated against
+EVERYTHING already admitted, and the state appends are idempotent under
+at-least-once replay (the same property the reference gets from
+ReplacingMergeTree, SURVEY.md §2.7 T2).
+
+100 TB design:
+- the quality gate is a map-side projection (scan speed, no shuffle);
+- dedup state/probing is StreamingNearDup's bucketed band log — the
+  per-batch probe reads only the state buckets the batch hashes into;
+- the admitted corpus and metrics logs are blind appends — no rewrite
+  of history on any path;
+- per-batch metrics (arrived / gated / deduped / admitted) are the
+  observability a production ingest needs to detect drift: a quality
+  crash or dup storm shows up as a metrics step-change, not a silent
+  corpus skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.streaming.neardup_state import StreamingNearDup
+
+_METRICS_SCHEMA = (
+    "batch_id long, n_arrived long, n_gated long, n_admitted long"
+)
+
+
+def c4_quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The combined C4/Gopher keep bit as a streaming gate: word count in
+    [50, 100k], mean word length in [3, 10], >=80% alphabetic tokens, no
+    curly braces, no 'lorem ipsum'. Thresholds and floor-scaled ratio
+    arithmetic mirror queries/textops2.text_c4_filters exactly
+    (tests/test_corpus_ingest.py pins gate == query keep-set, so the two
+    cannot drift apart silently)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    with_toks = docs.withColumn("__toks", toks)
+    n_words = F.size(F.col("__toks"))
+    sum_len = F.aggregate(
+        F.col("__toks"), F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    alpha = F.size(F.filter(F.col("__toks"), lambda x: x.rlike("[a-z]")))
+    mean_x100 = F.when(n_words > 0, F.floor(sum_len * 100 / n_words)).otherwise(F.lit(0))
+    alpha_x100 = F.when(n_words > 0, F.floor(alpha * 100 / n_words)).otherwise(F.lit(0))
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_x100 >= 300)
+        & (mean_x100 <= 1000)
+        & (alpha_x100 >= 80)
+        & ~F.col(text_col).contains("{")
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+    )
+    return with_toks.filter(keep).drop("__toks")
+
+
+class CorpusIngestPipeline:
+    """foreachBatch-compatible end-to-end corpus ingest.
+
+    ``gate`` is any DataFrame -> DataFrame filter (default: the C4
+    battery); dedup is StreamingNearDup (near-dup via persisted MinHash
+    bands; exact dedup for short docs). Admitted rows append to
+    ``<root>/corpus``; per-batch counts append to ``<root>/metrics``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        gate=c4_quality_gate,
+        **neardup_kwargs,
+    ):
+        self.spark = spark
+        self.gate = gate
+        self.corpus_dir = os.path.join(root, "corpus")
+        self.metrics_dir = os.path.join(root, "metrics")
+        self.neardup = StreamingNearDup(
+            spark, os.path.join(root, "neardup_state"), **neardup_kwargs
+        )
+        os.makedirs(root, exist_ok=True)
+
+    def process_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int = -1,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Gate + dedup one micro-batch; append survivors and metrics.
+        Idempotent under replay: a re-delivered batch admits 0 rows (its
+        ids are already in the dedup state), so the corpus and state
+        appends add nothing."""
+        n_arrived = docs.count()
+        gated = self.gate(docs, text_col) if self.gate else docs
+        n_gated = gated.count()
+        # snapshot of ids admitted BEFORE this batch: on an at-least-once
+        # replay the dedup layer re-admits the batch's own rows (its state
+        # append is idempotent, its output is not), so the corpus append
+        # must itself anti-join history to stay idempotent
+        already = self.neardup.admitted_ids().withColumnRenamed("id", id_col)
+        admitted = self.neardup.process_batch(gated, id_col, text_col)
+        new_rows = admitted.join(already, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_admitted = new_rows.count()
+        new_rows.write.mode("append").parquet(self.corpus_dir)
+        self.spark.createDataFrame(
+            [(batch_id, n_arrived, n_gated, n_admitted)], _METRICS_SCHEMA
+        ).write.mode("append").parquet(self.metrics_dir)
+        return admitted
+
+    def foreach_batch(self, id_col: str = "doc_id", text_col: str = "text"):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def fn(batch_df: DataFrame, batch_id: int):
+            self.process_batch(batch_df, batch_id, id_col, text_col)
+
+        return fn
+
+    def _read_or_empty(self, path: str, schema: str | None = None) -> DataFrame:
+        files = []
+        if os.path.isdir(path):
+            for dirpath, _d, names in os.walk(path):
+                files.extend(
+                    os.path.join(dirpath, n) for n in names if n.endswith(".parquet")
+                )
+        if not files:
+            return self.spark.createDataFrame([], schema or _METRICS_SCHEMA)
+        return self.spark.read.parquet(*sorted(files))
+
+    def corpus(self, schema: str | None = None) -> DataFrame:
+        """The admitted corpus as of now."""
+        return self._read_or_empty(self.corpus_dir, schema)
+
+    def metrics(self) -> DataFrame:
+        """Per-batch observability counters."""
+        return self._read_or_empty(self.metrics_dir, _METRICS_SCHEMA)
