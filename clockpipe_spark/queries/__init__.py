@@ -77,7 +77,7 @@ _PRIORITY = (
     "q4_order_priority",
     "q11_important_stock",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    "ts_gapfill_locf",             # r6-NEW: gap-fill + LOCF (q17 green r5, out)
     "text_bigram_logprob",         # r6-NEW: bigram-LM quality scoring
     "q21_waiting_suppliers",
     # §2 CDC operator queries (canaries: S4, P1/P3, A1, K1/K2, FINAL;

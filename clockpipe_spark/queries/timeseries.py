@@ -1,6 +1,6 @@
 """Time-series operators: as-of join, keyed range join, percentiles,
-correlated scalar subquery — the custom-operator tier the reference's
-users would run on the replica."""
+correlated scalar subquery, hourly gap-fill with LOCF — the
+custom-operator tier the reference's users would run on the replica."""
 
 from __future__ import annotations
 
@@ -120,11 +120,84 @@ GROUP BY o_custkey
 """
 
 
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill``+``locf`` / ClickHouse ``WITH
+    FILL`` pattern over the events table: every (hour, event_type) cell
+    of the full min→max grid exists, empty hours report n=0, and the
+    hourly mean value carries forward until the next observation (NULL
+    before a type's first observation — locf, not interpolation).
+
+    Shape: ONE hourly aggregation of the fact stream (map-side partial
+    combine); the grid is hours × types — built from a 1-row bounds
+    aggregate and the distinct type list, both broadcast — so the
+    gap-fill left join never shuffles the fact side, and the LOCF
+    window shuffles only grid-sized rows (tiny at any corpus scale).
+    Floor-scaled avg keeps the LOCF lane integer-exact across engines."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = events.groupBy(hour.alias("h"), F.col("event_type")).agg(
+        F.count("*").alias("n"),
+        F.floor(F.avg("value") * 100).cast("bigint").alias("avg_x100"),
+    )
+    bounds = events.select(hour.alias("h")).agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    full = F.broadcast(grid).crossJoin(F.broadcast(types))
+    filled = full.join(hourly, ["h", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col("h").alias("bucket_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.last("avg_x100", ignorenulls=True).over(w).alias("locf_avg_x100"),
+    )
+
+
+GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+         CAST(floor(avg(value) * 100) AS BIGINT) AS avg_x100
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+filled AS (
+  SELECT g.h, t.event_type, coalesce(hr.n, 0) AS n, hr.avg_x100
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN hourly hr ON hr.h = g.h AND hr.event_type = t.event_type
+)
+SELECT h AS bucket_start, event_type, n,
+       last_value(avg_x100 IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_avg_x100
+FROM filled
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_ship_latency": range_join_ship_latency,
     "stats_percentiles": stats_percentiles,
     "correlated_above_avg_orders": correlated_above_avg_orders,
+    "ts_gapfill_locf": ts_gapfill_locf,
 }
 
 ORACLES = {
@@ -132,4 +205,5 @@ ORACLES = {
     "range_join_ship_latency": RANGE_JOIN_SQL,
     "stats_percentiles": PERCENTILES_SQL,
     "correlated_above_avg_orders": CORRELATED_SQL,
+    "ts_gapfill_locf": GAPFILL_SQL,
 }

@@ -63,6 +63,7 @@ _FAMILY_CANARIES = {
     "sampling": {"sample_stratified_hash"},
     "quantization": {"embedding_int8_quantize"},
     "UDF surface": {"udf_zscore_per_user"},
+    "time-series gap-fill": {"ts_gapfill_locf"},
     "data mixing": {"mixture_temperature_weights"},
     "model-based quality scoring": {"quality_classifier_score"},
     "export sharding": {"export_shard_manifest"},
