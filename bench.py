@@ -75,6 +75,12 @@ HEADLINE = [
     # exact-Jaccard oracle miner — correctness-gated, not throughput.
     "embedding_kmeans_clusters",
     "embedding_pca_project",
+    # round 6: the training-mix layer's two throughput-relevant entries
+    # (bigram LM: gram explode + model joins; classifier: pure codegen
+    # fold at scan speed). mixture/shard-manifest are single cheap
+    # aggregations — registry-gated, not headline.
+    "text_bigram_logprob",
+    "quality_classifier_score",
 ]
 
 

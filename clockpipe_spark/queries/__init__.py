@@ -75,8 +75,8 @@ _PRIORITY = (
     # remaining completions keep the relational family covered)
     "q2_min_cost_supplier",
     "q4_order_priority",
-    "q11_important_stock",
-    "q15_top_supplier",
+    "funnel_conversion",           # r6-NEW: windowFunnel analog (q11 out, green r5)
+    "retention_cohorts",           # r6-NEW: retention() analog (q15 out, green r5)
     "ts_gapfill_locf",             # r6-NEW: gap-fill + LOCF (q17 green r5, out)
     "text_bigram_logprob",         # r6-NEW: bigram-LM quality scoring
     "q21_waiting_suppliers",

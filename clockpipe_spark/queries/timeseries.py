@@ -192,12 +192,153 @@ FROM filled
 """
 
 
+_FUNNEL_WINDOW_H = 24
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (ClickHouse ``windowFunnel`` analog):
+    per user, how far through view -> click -> purchase they got, each
+    step at-or-after the previous and the whole chain within 24 h of
+    the first step. Earliest-qualifying-timestamp semantics per step
+    (min-chain), the standard product-analytics funnel.
+
+    Shape: one aggregation per step, each joined back on user_id — all
+    shuffles share the user_id key, so at scale AQE plans them as
+    co-partitioned exchanges over the (small) per-user step table; the
+    fact stream is scanned once per step with its filter pushed down."""
+    events = load_table(spark, sf_dir, "events")
+    deadline = F.col("s1") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("s1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2.join(s1, "user_id"), "user_id")
+        .filter((F.col("ts") >= F.col("s2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("s2").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("s3").isNotNull(), 1).otherwise(0)
+            ).alias("steps_completed"),
+        )
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS s1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS s2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.s1
+    AND e.ts <= s1.s1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS s3
+  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.s2
+    AND e.ts <= s1.s1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+           AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (ClickHouse ``retention()`` analog): users
+    cohorted by signup day; a user retains at day N when ANY event of
+    theirs lands in [first_signup + N days, first_signup + N+1 days).
+    Reports cohort size and day-1 / day-7 retained counts.
+
+    Shape: first-signup aggregation, one co-partitioned join back to
+    the fact stream, conditional aggregation per user, then the
+    (tiny) cohort rollup."""
+    events = load_table(spark, sf_dir, "events")
+    first = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+
+    def in_day(n: int):
+        lo = F.col("first_ts") + F.expr(f"INTERVAL {n} DAYS")
+        hi = F.col("first_ts") + F.expr(f"INTERVAL {n + 1} DAYS")
+        return (F.col("ts") >= lo) & (F.col("ts") < hi)
+
+    per_user = (
+        events.join(first, "user_id")
+        .groupBy("user_id", "first_ts")
+        .agg(
+            F.max(in_day(1).cast("int")).alias("d1"),
+            F.max(in_day(7).cast("int")).alias("d7"),
+        )
+    )
+    return (
+        per_user.groupBy(F.date_trunc("day", F.col("first_ts")).alias("cohort_day"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("d1").alias("n_day1"),
+            F.sum("d7").alias("n_day7"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+per_user AS (
+  SELECT e.user_id, f.first_ts,
+         max(CASE WHEN e.ts >= f.first_ts + INTERVAL 1 DAY
+                   AND e.ts <  f.first_ts + INTERVAL 2 DAY
+                  THEN 1 ELSE 0 END) AS d1,
+         max(CASE WHEN e.ts >= f.first_ts + INTERVAL 7 DAY
+                   AND e.ts <  f.first_ts + INTERVAL 8 DAY
+                  THEN 1 ELSE 0 END) AS d7
+  FROM events e JOIN first f USING (user_id)
+  GROUP BY e.user_id, f.first_ts
+)
+SELECT date_trunc('day', first_ts) AS cohort_day, count(*) AS n_users,
+       CAST(sum(d1) AS BIGINT) AS n_day1, CAST(sum(d7) AS BIGINT) AS n_day7
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_ship_latency": range_join_ship_latency,
     "stats_percentiles": stats_percentiles,
     "correlated_above_avg_orders": correlated_above_avg_orders,
     "ts_gapfill_locf": ts_gapfill_locf,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
 }
 
 ORACLES = {
@@ -206,4 +347,6 @@ ORACLES = {
     "stats_percentiles": PERCENTILES_SQL,
     "correlated_above_avg_orders": CORRELATED_SQL,
     "ts_gapfill_locf": GAPFILL_SQL,
+    "funnel_conversion": FUNNEL_SQL,
+    "retention_cohorts": RETENTION_SQL,
 }

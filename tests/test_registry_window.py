@@ -64,6 +64,7 @@ _FAMILY_CANARIES = {
     "quantization": {"embedding_int8_quantize"},
     "UDF surface": {"udf_zscore_per_user"},
     "time-series gap-fill": {"ts_gapfill_locf"},
+    "funnel/retention analytics": {"funnel_conversion", "retention_cohorts"},
     "data mixing": {"mixture_temperature_weights"},
     "model-based quality scoring": {"quality_classifier_score"},
     "export sharding": {"export_shard_manifest"},
