@@ -234,6 +234,79 @@ def decode_wav_features(blobs: DataFrame) -> DataFrame:
     return out.withColumn("mean_amp", F.floor(F.col("mean_amp") * 1e4))
 
 
+def _wav_pcm(data: bytes):
+    """RIFF walk -> (sample_rate, int16 numpy PCM). Same chunk contract
+    as decode_wav_features (fmt + data, unknown chunks skipped by
+    declared size, word alignment honored)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, 0, b""
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            _fmt, _ch, rate, _bps, _align, bits = struct.unpack_from(
+                "<HHIIHH", data, pos
+            )
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got {bits}")
+        elif cid == b"data":
+            samples = data[pos : pos + size]
+        pos += size + size % 2
+    n = len(samples) // 2
+    return rate, np.frombuffer(samples, dtype="<i2", count=n)
+
+
+def resample_wav_features(blobs: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio resample stage: decode PCM, then decimate by ``factor``
+    with a box filter (mean of each consecutive ``factor``-sample group,
+    floor-divided in int32 — a low-pass + downsample whose arithmetic
+    both engines can reproduce exactly). Emits the resampled stream's
+    shape + mean |amplitude|. One numpy reshape-mean per payload; Arrow
+    batches in and out — the multimodal feature-stage contract."""
+    import numpy as np
+
+    schema = (
+        "doc_id long, in_rate int, out_rate int, in_samples long, "
+        "out_samples long, mean_amp double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "in_rate", "out_rate", "in_samples",
+                    "out_samples", "mean_amp",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, pcm = _wav_pcm(bytes(payload))
+                n = len(pcm)
+                m = n // factor
+                if m:
+                    grouped = pcm[: m * factor].astype(np.int32).reshape(m, factor)
+                    res = grouped.sum(axis=1) // factor  # box filter, int
+                    mean_amp = float(np.abs(res.astype(np.int64)).sum() / m)
+                else:
+                    mean_amp = 0.0
+                rows["doc_id"].append(int(doc_id))
+                rows["in_rate"].append(rate)
+                rows["out_rate"].append(rate // factor if rate else 0)
+                rows["in_samples"].append(n)
+                rows["out_samples"].append(m)
+                rows["mean_amp"].append(mean_amp)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    out = blobs.select("doc_id", "payload").mapInPandas(run, schema)
+    return out.withColumn("mean_amp", F.floor(F.col("mean_amp") * 1e4))
+
+
 def fake_decode_features(blobs: DataFrame) -> DataFrame:
     """Deterministic FAKE decode (documented stub): derives pseudo
     (width, height, mean_byte) from payload bytes. Exercises the real

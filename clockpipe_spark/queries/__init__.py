@@ -110,8 +110,8 @@ _PRIORITY = (
     "export_shard_manifest",       # r6-NEW: deterministic export shards
     "text_c4_filters",
     "text_substring_dup_spans",    # r5-NEW: exact substring-window dedup
-    "mm_bytes_meta",               # multimodal canary (bmp_decode, image_resize
-                                   # green r4; frame_sample green r5 — rotated out)
+    "mm_audio_resample",           # r6-NEW multimodal canary (bytes_meta green
+                                   # r4/r5 out; bmp/resize r4, frame_sample r5)
     "pack_sequences_greedy",
     "tfidf_top_terms",
     "sample_stratified_hash",

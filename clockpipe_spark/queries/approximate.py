@@ -196,6 +196,46 @@ FROM documents
 """
 
 
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample path: the same synthesized PCM WAVs as
+    mm_wav_decode, run through operators/multimodal.resample_wav_features
+    (RIFF walk -> int box-filter decimation by 2 -> resampled shape +
+    mean |amplitude|). Constant-amplitude fixtures make every output
+    value a closed form of the synthesis parameters, so the oracle
+    verifies the whole decode -> filter -> downsample lane exactly."""
+    import pandas as pd
+
+    from clockpipe_spark.operators.multimodal import (
+        encode_wav,
+        resample_wav_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+
+    def enc(batches):
+        for pdf in batches:
+            n = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            payload = [
+                encode_wav(int(nb) % 500 + 10, int(d) % 128)
+                for d, nb in zip(pdf["doc_id"], n)
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payload})
+
+    blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
+    return resample_wav_features(blobs, factor=2)
+
+
+MM_RESAMPLE_SQL = """
+SELECT doc_id,
+       8000 AS in_rate, 4000 AS out_rate,
+       CAST(octet_length(encode(text)) % 500 + 10 AS BIGINT) AS in_samples,
+       CAST((octet_length(encode(text)) % 500 + 10) // 2 AS BIGINT)
+           AS out_samples,
+       CAST((doc_id % 128) * 10000 AS BIGINT) AS mean_amp
+FROM documents
+"""
+
+
 def udf_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map surface with an exact SQL twin: per-user
     z-score of event values (sample stddev)."""
@@ -321,6 +361,7 @@ QUERIES = {
     "mm_fake_image_features": mm_fake_image_features,
     "mm_bmp_decode": mm_bmp_decode,
     "mm_wav_decode": mm_wav_decode,
+    "mm_audio_resample": mm_audio_resample,
     "mm_image_resize": mm_image_resize,
     "mm_frame_sample": mm_frame_sample,
 }
@@ -331,6 +372,7 @@ ORACLES = {
     "mm_fake_image_features": MM_FAKE_DECODE_SQL,
     "mm_bmp_decode": MM_BMP_SQL,
     "mm_wav_decode": MM_WAV_SQL,
+    "mm_audio_resample": MM_RESAMPLE_SQL,
     "mm_image_resize": MM_RESIZE_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash

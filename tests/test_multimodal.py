@@ -135,3 +135,45 @@ def test_sample_frames_every_nth_and_tail_drop(spark):
     # payload shorter than one frame -> no rows
     tiny = spark.createDataFrame([(2, bytearray(b"abc"))], "doc_id long, payload binary")
     assert sample_frames(tiny, frame_bytes=32).count() == 0
+
+
+def test_resample_box_filter_on_nonconstant_signal(spark):
+    """Hand-built ramp waveform: decimate-by-2 box filter must average
+    consecutive pairs with integer floor-division and drop the odd tail."""
+    import struct
+
+    from clockpipe_spark.operators.multimodal import (
+        encode_wav,
+        resample_wav_features,
+    )
+
+    # ramp 0,10,20,...,90 then one odd trailing sample (dropped)
+    samples = list(range(0, 100, 10)) + [999]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    blob = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, payload binary"
+    )
+    [r] = resample_wav_features(blob, factor=2).collect()
+    assert (r["in_rate"], r["out_rate"]) == (8000, 4000)
+    assert (r["in_samples"], r["out_samples"]) == (11, 5)
+    # pairs: (0,10)->5 (20,30)->25 (40,50)->45 (60,70)->65 (80,90)->85
+    # mean |.| = (5+25+45+65+85)/5 = 45 -> x1e4
+    assert r["mean_amp"] == 450000
+
+    # negative samples floor-divide like numpy // (round toward -inf)
+    neg = struct.pack("<4h", -5, -6, 3, 4)
+    body2 = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body2 += b"data" + struct.pack("<I", len(neg)) + neg
+    wav2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    blob2 = spark.createDataFrame(
+        [(2, bytearray(wav2))], "doc_id long, payload binary"
+    )
+    [r2] = resample_wav_features(blob2, factor=2).collect()
+    # (-5-6)//2 = -6 (floor), (3+4)//2 = 3 -> mean |.| = (6+3)/2 = 4.5
+    assert r2["out_samples"] == 2
+    assert r2["mean_amp"] == 45000

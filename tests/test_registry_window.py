@@ -57,7 +57,8 @@ _FAMILY_CANARIES = {
     "semantic clustering": {"embedding_kmeans_clusters"},
     "leakage-safe split": {"split_leakage_safe"},
     "text quality": {"text_quality_scores", "text_repetition_stats"},
-    "multimodal": {"mm_bmp_decode", "mm_wav_decode", "mm_bytes_meta"},
+    "multimodal": {"mm_bmp_decode", "mm_wav_decode", "mm_bytes_meta",
+                   "mm_audio_resample"},
     "sequence packing": {"pack_sequences_greedy"},
     "tf-idf": {"tfidf_top_terms"},
     "sampling": {"sample_stratified_hash"},
