@@ -74,7 +74,7 @@ _PRIORITY = (
     # rotated out in r6 for the new llmprep3 operators; q1/q3 + the
     # remaining completions keep the relational family covered)
     "q2_min_cost_supplier",
-    "q4_order_priority",
+    "sessionize_lag_gap",          # r6-NEW: gaps-and-islands (q4 out, green r5)
     "funnel_conversion",           # r6-NEW: windowFunnel analog (q11 out, green r5)
     "retention_cohorts",           # r6-NEW: retention() analog (q15 out, green r5)
     "ts_gapfill_locf",             # r6-NEW: gap-fill + LOCF (q17 green r5, out)

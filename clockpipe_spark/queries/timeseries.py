@@ -331,6 +331,74 @@ FROM per_user GROUP BY 1 ORDER BY 1
 """
 
 
+_SESSION_GAP_MIN = 30
+
+
+def sessionize_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (the lag/cumsum idiom):
+    a user's events split into sessions wherever the gap from the
+    previous event reaches 30 minutes (>= gap, matching
+    F.session_window's half-open [t, t+gap) semantics — pinned equal in
+    tests); per session — ordinal, event count, duration. The batch complement of the watermarked session
+    windows (streaming/windows.py): identical session boundaries,
+    derived from plain window functions instead of streaming state.
+
+    Shape: one shuffle on user_id for the lag/cumsum windows, then a
+    per-(user, session) aggregation on the same key — co-partitioned,
+    no second exchange of the fact stream."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond integers on both engines: DuckDB's epoch() is a DOUBLE
+    # with fractional seconds while a Spark long cast truncates — micros
+    # keep the gap comparison and durations integer-exact
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    new_sess = (
+        F.when(
+            gap_us.isNull() | (gap_us >= _SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0)
+    )
+    sessions = events.withColumn("session_idx", F.sum(new_sess).over(w)).withColumn(
+        "us", us
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.max("us") - F.min("us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us >= {_SESSION_GAP_MIN * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS session_idx
+  FROM gaps
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT)
+           AS duration_s
+FROM marked GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_ship_latency": range_join_ship_latency,
@@ -339,6 +407,7 @@ QUERIES = {
     "ts_gapfill_locf": ts_gapfill_locf,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
+    "sessionize_lag_gap": sessionize_lag_gap,
 }
 
 ORACLES = {
@@ -349,4 +418,5 @@ ORACLES = {
     "ts_gapfill_locf": GAPFILL_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
+    "sessionize_lag_gap": SESSIONIZE_SQL,
 }

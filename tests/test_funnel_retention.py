@@ -79,3 +79,20 @@ def test_retention_matches_pure_python(spark, sf_dir):
     assert got == {k: tuple(v) for k, v in per_cohort.items()}
     # retention must be a real signal in the fixture, not all-zero
     assert sum(v[1] for v in per_cohort.values()) > 0
+
+
+def test_sessionize_agrees_with_session_window(spark, sf_dir):
+    """The lag/cumsum sessionization and F.session_window must cut the
+    SAME session boundaries: same session count and the same per-session
+    event counts for every user."""
+    from collections import Counter
+
+    from clockpipe_spark.queries.streamlike import stream_session_windows
+    from clockpipe_spark.queries.timeseries import sessionize_lag_gap
+
+    lag = sessionize_lag_gap(spark, sf_dir).collect()
+    win = stream_session_windows(spark, sf_dir).collect()
+    assert len(lag) == len(win)
+    lag_sizes = Counter((r["user_id"], r["n_events"]) for r in lag)
+    win_sizes = Counter((r["user_id"], r["n_events"]) for r in win)
+    assert lag_sizes == win_sizes

@@ -66,6 +66,7 @@ _FAMILY_CANARIES = {
     "UDF surface": {"udf_zscore_per_user"},
     "time-series gap-fill": {"ts_gapfill_locf"},
     "funnel/retention analytics": {"funnel_conversion", "retention_cohorts"},
+    "sessionization": {"sessionize_lag_gap", "stream_session_windows"},
     "data mixing": {"mixture_temperature_weights"},
     "model-based quality scoring": {"quality_classifier_score"},
     "export sharding": {"export_shard_manifest"},
