@@ -257,14 +257,84 @@ FROM sharded GROUP BY shard_id ORDER BY shard_id
 """
 
 
+def sample_by_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing loop closed: documents sampled at their domain's
+    temperature rate. The per-domain acceptance rate is the alpha=0.5
+    mixture weight rescaled so the largest domain samples at 100%
+    (relative epoch multiplicity, integer basis points); each doc then
+    keeps or drops by its Knuth-hash residue against the domain's
+    threshold — deterministic lineage, exactly reproducible across
+    engines and reruns.
+
+    Shape: the mixture aggregation (tiny result) broadcasts back onto
+    the corpus scan; sampling is a per-row hash compare — map-side, no
+    corpus shuffle anywhere."""
+    from clockpipe_spark.queries.llmprep import sample_hash_residue
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(_tokens(F.col("text")))).alias("n_tokens")
+    )
+    # rate_bp: basis points of acceptance, sqrt-weight relative to the
+    # token-richest domain (which keeps everything); the max is a 1-row
+    # aggregate broadcast back (same pattern as the mixture totals)
+    mx = per.agg(F.max(F.sqrt(F.col("n_tokens"))).alias("mx"))
+    rates = per.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "source",
+        F.floor(F.sqrt(F.col("n_tokens")) / F.col("mx") * 10000)
+        .cast("bigint")
+        .alias("rate_bp"),
+    )
+    # hash residue 0..9999 (same overflow-free Knuth form as stratified
+    # sampling, widened from %100 to %10000 for basis-point thresholds)
+    residue = F.expr(
+        f"pmod(pmod(pmod(doc_id, 4294967296) div 65536 * {_KNUTH}, 65536) * 65536"
+        f" + pmod(doc_id, 4294967296) % 65536 * {_KNUTH}, 4294967296) % 10000"
+    )
+    return (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .filter(residue < F.col("rate_bp"))
+        .select("doc_id", "lang", "source", F.col("rate_bp"))
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_BY_MIXTURE_SQL = rf"""
+WITH per AS (
+  SELECT lang, source,
+         CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '{_TOKENS_RE}')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+rates AS (
+  SELECT lang, source,
+         CAST(floor(sqrt(n_tokens) / max(sqrt(n_tokens)) OVER () * 10000)
+              AS BIGINT) AS rate_bp
+  FROM per
+),
+d AS (
+  SELECT *, (doc_id % 4294967296 + 4294967296) % 4294967296 AS d32
+  FROM documents
+)
+SELECT doc_id, d.lang, d.source, rate_bp
+FROM d JOIN rates ON d.lang = rates.lang AND d.source = rates.source
+WHERE ((d32 // 65536 * {_KNUTH}) % 65536 * 65536
+       + d32 % 65536 * {_KNUTH}) % 4294967296 % 10000 < rate_bp
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mixture_temperature_weights": mixture_temperature_weights,
     "quality_classifier_score": quality_classifier_score,
     "export_shard_manifest": export_shard_manifest,
+    "sample_by_mixture": sample_by_mixture,
 }
 
 ORACLES = {
     "mixture_temperature_weights": MIXTURE_SQL,
     "quality_classifier_score": QUALITY_CLASSIFIER_SQL,
     "export_shard_manifest": SHARD_MANIFEST_SQL,
+    "sample_by_mixture": SAMPLE_BY_MIXTURE_SQL,
 }

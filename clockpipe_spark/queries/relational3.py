@@ -199,6 +199,59 @@ FROM lineitem
 """
 
 
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar battery (ClickHouse URL-function family: domain(),
+    path(), extractURLParameter()): a deterministic URL is synthesized
+    per document, then decomposed with Spark's built-in ``parse_url``
+    (HOST / PATH / QUERY / per-parameter). The DuckDB oracle rebuilds
+    the same URL and decomposes it with INDEPENDENT regexps — a
+    parse_url that mishandles any component fails the hash. Pure
+    projection, scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&tag="),
+        F.col("lang"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.regexp_extract(
+            F.parse_url(F.col("url"), F.lit("HOST")), r"([^.]+\.[^.]+)$", 1
+        ).alias("registered_domain"),
+    )
+
+
+SCALAR_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/' ||
+         CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR) ||
+         '&tag=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+       regexp_extract(regexp_extract(url, '^https?://([^/?#]+)', 1),
+                      '([^.]+\\.[^.]+)$', 1) AS registered_domain
+FROM u
+"""
+
+
 QUERIES = {
     "window_function_battery": window_function_battery,
     "scalar_math_battery": scalar_math_battery,
@@ -206,6 +259,7 @@ QUERIES = {
     "skew_salted_user_revenue": skew_salted_user_revenue,
     "lateral_explode_tokens": lateral_explode_tokens,
     "pg_array_literal_parse": pg_array_literal_parse,
+    "scalar_url_parse": scalar_url_parse,
 }
 
 ORACLES = {
@@ -215,4 +269,5 @@ ORACLES = {
     "skew_salted_user_revenue": SKEW_SALTED_SQL,
     "lateral_explode_tokens": LATERAL_SQL,
     "pg_array_literal_parse": PG_ARRAY_SQL,
+    "scalar_url_parse": SCALAR_URL_SQL,
 }

@@ -105,3 +105,30 @@ def test_shard_write_path_round_trips(spark, sf_dir, tmp_path):
         for r in export_shard_manifest(spark, sf_dir).collect()
     }
     assert got == manifest
+
+
+def test_sample_by_mixture_rates_and_determinism(spark, sf_dir):
+    from collections import Counter
+
+    from clockpipe_spark.catalog import load_table
+    from clockpipe_spark.queries.llmprep3 import sample_by_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = Counter(
+        (r["lang"], r["source"]) for r in docs.select("lang", "source").collect()
+    )
+    rows = sample_by_mixture(spark, sf_dir).collect()
+    kept = Counter((r["lang"], r["source"]) for r in rows)
+    rate_bp = {(r["lang"], r["source"]): r["rate_bp"] for r in rows}
+    # the token-richest domain samples at (or within floor-rounding of) 100%
+    assert max(rate_bp.values()) >= 9999
+    for dom, bp in rate_bp.items():
+        # kept fraction tracks the basis-point rate (hash residue is
+        # uniform; loose bound for small strata)
+        n, k = totals[dom], kept[dom]
+        assert k <= n
+        if n >= 30:
+            assert abs(k / n - bp / 10000) < 0.35
+    # deterministic: a second run returns the identical id set
+    again = {r["doc_id"] for r in sample_by_mixture(spark, sf_dir).collect()}
+    assert again == {r["doc_id"] for r in rows}
