@@ -151,7 +151,7 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
 
     payload = dict(payload)
     line = dumps(payload)
-    for key in ("state10x", "cdc", "shared_vs_prev"):
+    for key in ("state10x", "ingest", "cdc", "shared_vs_prev"):
         if len(line) <= budget:
             return line
         payload.pop(key, None)
@@ -326,6 +326,43 @@ def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
     return out
 
 
+def bench_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Streaming corpus-ingest throughput: the documents table split
+    into ``n_batches`` micro-batches (by doc_id residue), each gated
+    (C4) and deduplicated against the accumulated state, corpus +
+    metrics appended. Measures the full foreachBatch body including
+    state reads/writes — the steady-state cost a streaming corpus
+    builder pays per batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.catalog import load_table
+    from clockpipe_spark.streaming.corpus_ingest import CorpusIngestPipeline
+
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        pipe = CorpusIngestPipeline(spark, root, threshold=0.5)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            batch = docs.filter(F.pmod(F.col("doc_id"), n_batches) == b)
+            pipe.process_batch(batch, batch_id=b)
+        wall = time.perf_counter() - t0
+        admitted = pipe.corpus("doc_id long, text string").count()
+        return {
+            "n_docs": n_docs,
+            "n_batches": n_batches,
+            "admitted": admitted,
+            "ingest_sec": round(wall, 2),
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -379,6 +416,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "shared_vs_prev": shared_vs_prev(timings, here),
         "cdc": bench_cdc(spark, sf_dir),
+        "ingest": bench_ingest(spark, sf_dir),
         "state10x": bench_state_scale(spark, sf_dir),
     }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -414,6 +452,7 @@ def main() -> None:
             "snapshot_rows_per_sec": full["cdc"]["snapshot_rows_per_sec"],
             "cdc_events_per_sec": full["cdc"]["cdc_events_per_sec"],
         },
+        "ingest": full["ingest"],
         "state10x": {
             "keys": st["seeded_keys"],
             "flat_drain_sec": st["flat_drain_sec"],

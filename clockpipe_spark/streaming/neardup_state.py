@@ -213,13 +213,21 @@ class StreamingNearDup:
             .join(hist_sigs.select("id"), "id", "left_anti")
             .cache()
         )
-        admitted_sig.write.mode("append").parquet(self.sigs_dir)
+        # State-append file discipline: a partitionBy(K) write from an
+        # N-partition frame emits up to N x K files — thousands of tiny
+        # state files per batch, the classic streaming small-file
+        # explosion (it also made every later probe list/open them all).
+        # Repartitioning by the hive key first caps the band append at
+        # one file per touched bucket; the narrow logs coalesce to a
+        # handful. Directory-level bucket pruning is unchanged.
+        admitted_sig.coalesce(4).write.mode("append").parquet(self.sigs_dir)
         (
             band_hashes(admitted_sig, self.n_hashes, self.n_bands)
             .withColumn(
                 "band_bucket",
                 F.pmod(F.col("band_hash"), F.lit(self.n_band_buckets)).cast("int"),
             )
+            .repartition(F.col("band_bucket"))
             .write.mode("append")
             .partitionBy("band_bucket")
             .parquet(self.bands_dir)
@@ -228,7 +236,7 @@ class StreamingNearDup:
             shorts.join(dup_short_ids, "id", "left_anti")
             .join(hist_shorts.select("id"), "id", "left_anti")
         )
-        admitted_shorts.write.mode("append").parquet(self.shorts_dir)
+        admitted_shorts.coalesce(4).write.mode("append").parquet(self.shorts_dir)
 
         all_dup = dup_ids.unionByName(dup_short_ids).distinct()
         out = docs.join(
