@@ -49,13 +49,15 @@ _MODULES = (
 #
 # Round-5 rotation closed the registry evidence story: after r5 every
 # registry query has a green driver row in some round's
-# CORRECTNESS_r*.json.  Round 6 swaps in the four NEW operators
-# (embedding_kmeans_clusters, embedding_pca_project, split_leakage_safe,
-# sample_cluster_cap) for four already-green slots
-# (embedding_neardup_pairs — green r2/r4/r5, its r4 perf defect closed
-# and benched; text_unigram_surprisal, corpus_top_ngrams,
-# mm_frame_sample — each green r5, each family still carrying an
-# in-window canary).  tests/test_registry_window.py guards composition.
+# CORRECTNESS_r*.json.  Round 6 swaps in the NEW operators — the
+# embedding toolset (kmeans/pca/split/cluster-cap), the training-mix
+# layer (mixture weights, hashed classifier, bigram LM, export shards),
+# the analytics tier (gap-fill, funnel, retention, sessionization) and
+# the audio-resample multimodal canary — for already-green slots
+# (embedding_neardup_pairs green r2/r4/r5; text_unigram_surprisal,
+# corpus_top_ngrams, mm_frame_sample, mm_bytes_meta, q4/q7/q8/q9/q11/
+# q15/q17/q20 each green r5), every §2 family still carrying an
+# in-window canary.  tests/test_registry_window.py guards composition.
 _GATE_WINDOW = 50
 
 _PRIORITY = (
