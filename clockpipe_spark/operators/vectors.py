@@ -218,6 +218,77 @@ def pca_projector(components: np.ndarray, mean: np.ndarray):
     return project
 
 
+def pq_codebooks(
+    sample: np.ndarray, n_subspaces: int = 4, n_centroids: int = 16, seed: int = 42
+) -> np.ndarray:
+    """Product-quantization codebooks: the dim axis splits into
+    ``n_subspaces`` contiguous sub-vectors, each clustered independently
+    with a deterministic k-means on the (driver-side) training sample.
+    Returns (n_subspaces, n_centroids, sub_dim). Euclidean k-means per
+    subspace — the PQ standard (Jégou et al. 2011), unlike the spherical
+    variant used for IVF coarse quantization."""
+    n, dim = sample.shape
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((n_subspaces, n_centroids, sub))
+    for m in range(n_subspaces):
+        X = sample[:, m * sub : (m + 1) * sub]
+        c = X[rng.choice(n, size=n_centroids, replace=False)].copy()
+        for _ in range(8):
+            d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(n_centroids):
+                members = X[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books[m] = c
+    return books
+
+
+def pq_encoder(books: np.ndarray):
+    """pandas UDF mapping a vector to its PQ code (array<int>, one
+    centroid id per subspace) plus nothing else — one distance matmul
+    per subspace per Arrow batch. At 100 TB the codes are the stored
+    index: dim×4 bytes/vector compresses to n_subspaces bytes."""
+    import pandas as pd
+
+    n_sub, k, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (b, dim)
+        codes = np.empty((len(mat), n_sub), dtype=np.int32)
+        for m in range(n_sub):
+            X = mat[:, m * sub : (m + 1) * sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin drops ||x||²
+            d = -2.0 * (X @ books[m].T) + (books[m] ** 2).sum(axis=1)[None, :]
+            codes[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_decoder(books: np.ndarray):
+    """pandas UDF reconstructing the quantized vector from its code —
+    used to measure reconstruction error and for asymmetric distance
+    scoring at query time."""
+    import pandas as pd
+
+    n_sub, k, sub = books.shape
+
+    @pandas_udf("array<double>")
+    def decode(codes: pd.Series) -> pd.Series:
+        arr = np.vstack(codes.to_numpy())  # (b, n_sub)
+        out = np.concatenate(
+            [books[m][arr[:, m]] for m in range(n_sub)], axis=1
+        )
+        return pd.Series(list(out))
+
+    return decode
+
+
 def multitable_lsh_bucketizer(
     dim: int, n_tables: int = 8, n_bits: int = 4, seed: int = 42
 ):

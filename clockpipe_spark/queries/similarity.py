@@ -398,6 +398,69 @@ FROM embeddings GROUP BY label
 """
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the ANN-index
+    compression standard one level past int8 affine: codebooks trained
+    per contiguous subspace on a bounded driver sample (same seeded
+    sampling budget as IVF), every vector encoded to one centroid id
+    per subspace (4 subspaces × 16 centroids = 4 bytes/vector here),
+    then decoded back to measure per-vector reconstruction error.
+    At 100 TB the codes ARE the stored index; training cost is fixed
+    (sample-bound) and encode is one small matmul per subspace per
+    Arrow batch.
+
+    Rows-only at the gate (codebooks are engine-specific state);
+    tests/test_similarity.py pins codes + reconstruction error against
+    a pure-numpy run of the same algorithm and bounds the error below
+    a shuffled-codebook baseline."""
+    import numpy as np
+
+    from clockpipe_spark.operators.vectors import (
+        dot,
+        pq_codebooks,
+        pq_decoder,
+        pq_encoder,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus, _ = _corpus_meta(sf_dir)
+    frac = min(1.0, 2048.0 / max(n_corpus, 1))
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.select("embedding")
+            .sample(fraction=frac, seed=42)
+            .limit(2048)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    books = pq_codebooks(sample, n_subspaces=4, n_centroids=16)
+    encode, decode = pq_encoder(books), pq_decoder(books)
+    emb = fanout_repartition(emb)
+    coded = emb.select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("e"),
+        encode(F.col("embedding")).alias("code"),
+    )
+    recon = coded.withColumn("r", decode(F.col("code")))
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("r"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    ) / F.sqrt(dot(F.col("e"), F.col("e")))
+    return (
+        recon.select(
+            "vec_id",
+            F.concat_ws("-", F.col("code")).alias("pq_code"),
+            F.floor(err * 1e6).cast("bigint").alias("rel_err_x1e6"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "cosine_topk_brute": cosine_topk_brute,
@@ -406,6 +469,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_kmeans_clusters": embedding_kmeans_clusters,
     "embedding_pca_project": embedding_pca_project,
+    "embedding_pq_codes": embedding_pq_codes,
 }
 
 ORACLES = {
