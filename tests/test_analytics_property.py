@@ -1,0 +1,137 @@
+"""Property-based checks for the analytics tier: sessionization and
+funnel against pure-Python references on RANDOM event streams — the
+value is adversarial timing (duplicate timestamps, boundary-exact
+30-minute gaps and 24-hour windows) the fixture can't guarantee.
+
+Each example writes a tiny events.parquet and drives the real query
+functions through catalog.load_table, so the timestamp-normalization
+path is under test too.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clockpipe_spark.queries.timeseries import (
+    _FUNNEL_WINDOW_H,
+    _SESSION_GAP_MIN,
+    funnel_conversion,
+    sessionize_lag_gap,
+)
+
+_BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@st.composite
+def event_streams(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = []
+    for i in range(n):
+        # minute offsets as multiples of 10 up to 2 days, so exact
+        # 30-minute gaps and exact 24-hour funnel deadlines occur often
+        minutes = draw(st.integers(min_value=0, max_value=288)) * 10
+        rows.append(
+            (
+                i,
+                _BASE + dt.timedelta(minutes=minutes),
+                draw(st.integers(min_value=0, max_value=2)),
+                draw(st.sampled_from(_TYPES)),
+                float(i),
+                "{}",
+            )
+        )
+    return rows
+
+
+def _write_events(tmpdir, rows):
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmpdir / "events.parquet"))
+    return str(tmpdir)
+
+
+def _collected(spark, sf_dir):
+    from clockpipe_spark.catalog import load_table
+
+    return [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .collect()
+    ]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_streams())
+def test_sessionize_property(spark, tmp_path_factory, rows):
+    sf_dir = _write_events(tmp_path_factory.mktemp("ev"), rows)
+    evs = _collected(spark, sf_dir)
+    # pure-python gaps-and-islands, break at gap >= 30 min
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, _et in evs:
+        by_user.setdefault(uid, []).append((ts, eid))
+    expect = {}
+    gap = dt.timedelta(minutes=_SESSION_GAP_MIN)
+    for uid, es in by_user.items():
+        es.sort()
+        idx, prev = 0, None
+        sessions: dict[int, list] = {}
+        for ts, _eid in es:
+            if prev is None or ts - prev >= gap:
+                idx += 1
+            sessions.setdefault(idx, []).append(ts)
+            prev = ts
+        for sidx, tss in sessions.items():
+            expect[(uid, sidx)] = (
+                len(tss),
+                int((max(tss) - min(tss)).total_seconds()),
+            )
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"])
+        for r in sessionize_lag_gap(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_streams())
+def test_funnel_property(spark, tmp_path_factory, rows):
+    sf_dir = _write_events(tmp_path_factory.mktemp("ev"), rows)
+    evs = _collected(spark, sf_dir)
+    by_user: dict[int, list] = {}
+    for _eid, ts, uid, et in evs:
+        by_user.setdefault(uid, []).append((ts, et))
+    win = dt.timedelta(hours=_FUNNEL_WINDOW_H)
+    expect = {}
+    for uid, es in by_user.items():
+        views = [t for t, e in es if e == "view"]
+        if not views:
+            continue
+        s1 = min(views)
+        steps = 1
+        clicks = [t for t, e in es if e == "click" and s1 <= t <= s1 + win]
+        if clicks:
+            s2 = min(clicks)
+            steps = 2
+            if any(t for t, e in es if e == "purchase" and s2 <= t <= s1 + win):
+                steps = 3
+        expect[uid] = steps
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel_conversion(spark, sf_dir).collect()
+    }
+    assert got == expect
