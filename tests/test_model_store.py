@@ -1,0 +1,54 @@
+"""Persisted-index lifecycle: array/table round-trips, and the IVF
+build/probe split producing exactly the self-training query's output."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from clockpipe_spark.operators.model_store import (
+    ModelStore,
+    ann_ivf_topk_prebuilt,
+    build_ivf_index,
+)
+
+
+def test_array_round_trip(spark, tmp_path):
+    store = ModelStore(spark, str(tmp_path / "ms"))
+    arr = np.arange(24, dtype=np.float64).reshape(2, 3, 4) / 7.0
+    store.save_array("books", arr)
+    assert store.exists("books")
+    back = store.load_array("books")
+    assert back.shape == arr.shape
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_table_partitioned_by_cell_prunes_layout(spark, tmp_path):
+    import os
+
+    store = ModelStore(spark, str(tmp_path / "ms"))
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, cell int"
+    )
+    store.save_table("cells", df, partition_by="cell")
+    dirs = {
+        d for d in os.listdir(str(tmp_path / "ms" / "cells")) if d.startswith("cell=")
+    }
+    assert dirs == {"cell=0", "cell=1", "cell=2"}
+    assert store.load_table("cells").count() == 30
+
+
+def test_prebuilt_probe_equals_self_training_query(spark, sf_dir, tmp_path):
+    from clockpipe_spark.queries.similarity import ann_ivf_topk
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, sf_dir, idx)
+    expect = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+        for r in ann_ivf_topk(spark, sf_dir).collect()
+    }
+    got = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+        for r in ann_ivf_topk_prebuilt(spark, sf_dir, idx).collect()
+    }
+    assert got == expect
+    assert got  # non-empty
