@@ -461,6 +461,111 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SHORTLIST = 50
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN architecture (Jégou et
+    al. 2011), composed from the two index structures already built:
+    the IVF coarse quantizer prunes candidates to the probed cells, and
+    within them a PQ shortlist stage scores candidates against
+    RECONSTRUCTED vectors (8 subspaces × 32 centroids = 8 bytes/vector
+    stored at scale; reconstruction + its norm computed once per corpus
+    row BEFORE the join), keeps the top ``_PQ_SHORTLIST`` per query,
+    and only that shortlist is re-ranked with exact cosine on the true
+    vectors — the standard ADC-shortlist + exact-refine serving split
+    (the full-precision vectors are touched for ~50 rows per query, not
+    per candidate).
+
+    Rows-only at the gate (two layers of engine-specific trained
+    state); pytest asserts top-k recall against the exact brute-force
+    ranking."""
+    import numpy as np
+
+    from clockpipe_spark.operators.vectors import (
+        ivf_assigner,
+        pq_codebooks,
+        pq_decoder,
+        pq_encoder,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus, _ = _corpus_meta(sf_dir)
+    frac = min(1.0, 2048.0 / max(n_corpus, 1))
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.select("embedding")
+            .sample(fraction=frac, seed=42)
+            .limit(2048)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    centroids = _train_centroids(emb, sf_dir)
+    books = pq_codebooks(sample, n_subspaces=8, n_centroids=32)
+    encode, decode = pq_encoder(books), pq_decoder(books)
+
+    assign1 = ivf_assigner(centroids, nprobe=1)
+    emb = fanout_repartition(emb)
+    corpus = (
+        emb.select(
+            "vec_id",
+            F.element_at(assign1(F.col("embedding")), 1).alias("cell"),
+            encode(F.col("embedding")).alias("code"),
+        )
+        .withColumn("recon", decode(F.col("code")))
+        .withColumn("rn2", l2_norm_sq(F.col("recon")))
+    )
+
+    assign2 = ivf_assigner(centroids, nprobe=2)
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array(F.col("embedding")).alias("qe"),
+            F.explode(assign2(F.col("embedding"))).alias("cell"),
+        )
+        .withColumn("qn2", l2_norm_sq(F.col("qe")))
+    )
+    cand = corpus.join(F.broadcast(queries), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    pq_scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qe",
+        "qn2",
+        cosine_prenormed(
+            F.col("qe"), F.col("recon"), F.col("qn2"), F.col("rn2")
+        ).alias("pq_cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_cos").desc(), "neighbor_id")
+    shortlist = (
+        pq_scored.withColumn("srnk", F.row_number().over(w))
+        .filter(F.col("srnk") <= _PQ_SHORTLIST)
+        .drop("srnk", "pq_cos")
+    )
+    # exact re-rank: join the TRUE vectors back for shortlist rows only
+    true_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("ne"),
+    ).withColumn("nn2", l2_norm_sq(F.col("ne")))
+    refined = shortlist.join(true_vecs, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_prenormed(F.col("qe"), F.col("ne"), F.col("qn2"), F.col("nn2")).alias(
+            "cos"
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        refined.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
 QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "cosine_topk_brute": cosine_topk_brute,
@@ -470,6 +575,7 @@ QUERIES = {
     "embedding_kmeans_clusters": embedding_kmeans_clusters,
     "embedding_pca_project": embedding_pca_project,
     "embedding_pq_codes": embedding_pq_codes,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }
 
 ORACLES = {

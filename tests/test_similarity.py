@@ -267,3 +267,30 @@ def test_pq_codes_match_pure_numpy_and_reconstruct(spark, sf_dir):
     # 16 centroids per 4-dim-ish subspace must beat "no information":
     # random-unit-vector baseline error is ~sqrt(2); require well below
     assert 0 < sum(errs) / len(errs) < 0.9
+
+
+def test_ivfpq_matches_ivf_recall(spark, sf_dir):
+    """IVF-PQ's shortlist + exact re-rank must recover (essentially all
+    of) plain IVF's recall: same cell pruning, and the top-k true
+    neighbors inside the probed cells survive the PQ shortlist cut."""
+    from clockpipe_spark.queries.similarity import (
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        cosine_topk_brute,
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    brute = topk_sets(cosine_topk_brute(spark, sf_dir))
+    ivf = topk_sets(ann_ivf_topk(spark, sf_dir))
+    pq = topk_sets(ann_ivfpq_topk(spark, sf_dir))
+    total = sum(len(v) for v in brute.values())
+    ivf_recall = sum(len(brute[q] & ivf.get(q, set())) for q in brute) / total
+    pq_recall = sum(len(brute[q] & pq.get(q, set())) for q in brute) / total
+    # allow at most one shortlist-cut miss across all queries
+    assert pq_recall >= ivf_recall - 1.0 / total
+    assert pq_recall >= 0.3
