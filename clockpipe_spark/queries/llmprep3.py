@@ -269,8 +269,6 @@ def sample_by_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the mixture aggregation (tiny result) broadcasts back onto
     the corpus scan; sampling is a per-row hash compare — map-side, no
     corpus shuffle anywhere."""
-    from clockpipe_spark.queries.llmprep import sample_hash_residue
-
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("lang", "source").agg(
         F.sum(F.size(_tokens(F.col("text")))).alias("n_tokens")
