@@ -93,6 +93,61 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_root: str) -> ModelS
     return store
 
 
+def build_bigram_lm(spark: SparkSession, sf_dir: str, model_root: str) -> ModelStore:
+    """Train the add-k bigram LM once and persist its count tables —
+    the train side of the split text_bigram_logprob documents (its
+    one-shot plan re-derives the gram stream per branch; persisted,
+    each table is built from one stream and written)."""
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.catalog import load_table
+    from clockpipe_spark.queries.textops2 import bigram_gram_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = bigram_gram_stream(docs).localCheckpoint(eager=True)
+    store = ModelStore(spark, model_root)
+    bg_freq = flat.groupBy("bg").agg(F.count("*").alias("cbg"))
+    store.save_table("bg_freq", bg_freq.coalesce(4))
+    ctx_freq = (
+        store.load_table("bg_freq")
+        .groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("cbg").alias("cctx"))
+    )
+    store.save_table("ctx_freq", ctx_freq.coalesce(4))
+    vocab = store.load_table("ctx_freq").agg(F.count("*").alias("v"))
+    store.save_table("vocab", vocab)
+    return store
+
+
+def score_with_bigram_lm(
+    spark: SparkSession, sf_dir: str, model_root: str
+) -> DataFrame:
+    """Scoring half against the persisted LM: one corpus gram stream,
+    equi-joins against the loaded count tables, per-doc aggregation —
+    byte-identical output to the self-training text_bigram_logprob
+    (pinned in tests/test_model_store.py)."""
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.catalog import load_table
+    from clockpipe_spark.queries.textops2 import _BG_K, bigram_gram_stream
+
+    store = ModelStore(spark, model_root)
+    bg_freq = store.load_table("bg_freq")
+    ctx_freq = store.load_table("ctx_freq")
+    vocab = store.load_table("vocab")
+    flat = bigram_gram_stream(load_table(spark, sf_dir, "documents"))
+    scored = (
+        flat.join(F.broadcast(bg_freq), "bg")
+        .join(F.broadcast(ctx_freq), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    nll = -F.log2((F.col("cbg") + _BG_K) / (F.col("cctx") + _BG_K * F.col("v")))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.floor(F.avg(nll) * 100).cast("bigint").alias("mean_nll_x100"),
+    )
+
+
 def ann_ivf_topk_prebuilt(
     spark: SparkSession, sf_dir: str, index_root: str
 ) -> DataFrame:

@@ -486,8 +486,60 @@ ORDER BY seq
 """
 
 
+def cdc_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-lag monitoring view: the reference logs per-table
+    write counters each iteration (WriteCounter, pipes/mod.rs:23-28,
+    pipes/postgres.rs:501-510); this turns the same accounting into a
+    queryable report. With the applied-through checkpoint pinned at 80%
+    of the max LSN (deterministic stand-in for the slot position), each
+    table reports its pending change volume by op and the pending LSN
+    range — exactly what an operator pages on when the sink falls
+    behind.
+
+    Shape: the 1-row max-seq aggregate broadcasts onto the log scan;
+    one hash aggregation on tbl. Map-side everything else."""
+    log = changelog_from_events(load_table(spark, sf_dir, "events"))
+    chk = log.agg(F.floor(F.max("seq") * 0.8).cast("bigint").alias("applied_through"))
+    pending = (
+        log.crossJoin(F.broadcast(chk))
+        .withColumn("is_pending", (F.col("seq") > F.col("applied_through")).cast("int"))
+    )
+    return (
+        pending.groupBy("tbl", "applied_through")
+        .agg(
+            F.sum("is_pending").alias("n_pending"),
+            F.sum(((F.col("op") == "I") & (F.col("is_pending") == 1)).cast("int")).alias("n_ins"),
+            F.sum(((F.col("op") == "U") & (F.col("is_pending") == 1)).cast("int")).alias("n_upd"),
+            F.sum(((F.col("op") == "D") & (F.col("is_pending") == 1)).cast("int")).alias("n_del"),
+            F.min(F.when(F.col("is_pending") == 1, F.col("seq"))).alias("first_pending_seq"),
+            F.max(F.when(F.col("is_pending") == 1, F.col("seq"))).alias("last_pending_seq"),
+        )
+        .orderBy("tbl")
+    )
+
+
+CDC_LAG_SQL = f"""
+WITH log AS ({CHANGELOG_SQL}),
+chk AS (SELECT CAST(floor(max(seq) * 0.8) AS BIGINT) AS applied_through FROM log),
+p AS (
+  SELECT log.*, chk.applied_through,
+         CASE WHEN seq > applied_through THEN 1 ELSE 0 END AS is_pending
+  FROM log CROSS JOIN chk
+)
+SELECT tbl, applied_through,
+       CAST(sum(is_pending) AS BIGINT) AS n_pending,
+       CAST(sum(CASE WHEN op = 'I' AND is_pending = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+       CAST(sum(CASE WHEN op = 'U' AND is_pending = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+       CAST(sum(CASE WHEN op = 'D' AND is_pending = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+       min(CASE WHEN is_pending = 1 THEN seq END) AS first_pending_seq,
+       max(CASE WHEN is_pending = 1 THEN seq END) AS last_pending_seq
+FROM p GROUP BY tbl, applied_through ORDER BY tbl
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
+    "cdc_lag_report": cdc_lag_report,
     "cdc_mongo_bson_casts": cdc_mongo_bson_casts,
     "cdc_changestream_decode": cdc_changestream_decode,
     "cdc_pgoutput_roundtrip": cdc_pgoutput_roundtrip,
@@ -503,6 +555,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
+    "cdc_lag_report": CDC_LAG_SQL,
     "cdc_mongo_bson_casts": CDC_BSON_CASTS_SQL,
     "cdc_changestream_decode": CDC_CHANGESTREAM_SQL,
     "cdc_pgoutput_roundtrip": CDC_PGOUTPUT_SQL,

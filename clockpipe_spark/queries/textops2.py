@@ -349,6 +349,32 @@ GROUP BY doc_id
 _BG_K = 0.5  # add-k smoothing
 
 
+def bigram_gram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, bg) exploded bigram stream over a (doc_id, text)
+    frame — shared by the self-training query and the persisted-model
+    build (operators/model_store.build_bigram_lm)."""
+    from clockpipe_spark.operators.fanout import fanout_repartition
+
+    with_toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ).alias("bg"),
+        ),
+    )
+    return fanout_repartition(
+        with_toks.filter(n >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg"))
+    )
+
+
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality scoring, one order up from unigram surprisal: a
     corpus-trained bigram model with add-k smoothing scores each doc by
@@ -368,27 +394,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Floor-scaled ints (floor(avg*100)) keep both engines' float
     summation order out of the hash compare."""
-    from clockpipe_spark.operators.fanout import fanout_repartition
-
     docs = load_table(spark, sf_dir, "documents")
-    with_toks = docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
-    )
-    n = F.size("toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.struct(
-            F.element_at(F.col("toks"), i).alias("w1"),
-            F.concat_ws(
-                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
-            ).alias("bg"),
-        ),
-    )
-    flat = fanout_repartition(
-        with_toks.filter(n >= 2).select(
-            "doc_id", F.explode(grams).alias("g")
-        ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg"))
-    )
+    flat = bigram_gram_stream(docs)
     # Deliberately NOT cached: Catalyst re-expands the gram explode per
     # model branch (bg_freq / ctx_freq / vocab / probe = 4 logical
     # corpus scans, each column-pruned), and at this scale those scans

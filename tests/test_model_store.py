@@ -52,3 +52,25 @@ def test_prebuilt_probe_equals_self_training_query(spark, sf_dir, tmp_path):
     }
     assert got == expect
     assert got  # non-empty
+
+
+def test_persisted_bigram_lm_equals_self_training_query(spark, sf_dir, tmp_path):
+    from clockpipe_spark.operators.model_store import (
+        build_bigram_lm,
+        score_with_bigram_lm,
+    )
+    from clockpipe_spark.queries.textops2 import text_bigram_logprob
+
+    root = str(tmp_path / "bigram_lm")
+    store = build_bigram_lm(spark, sf_dir, root)
+    assert store.exists("bg_freq") and store.exists("ctx_freq")
+    expect = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_nll_x100"])
+        for r in text_bigram_logprob(spark, sf_dir).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_nll_x100"])
+        for r in score_with_bigram_lm(spark, sf_dir, root).collect()
+    }
+    assert got == expect
+    assert got
