@@ -75,7 +75,7 @@ _PRIORITY = (
     # round-5 rotation: the TPC-H completions (q7/q8/q9 green r5 —
     # rotated out in r6 for the new llmprep3 operators; q1/q3 + the
     # remaining completions keep the relational family covered)
-    "q2_min_cost_supplier",
+    "stats_regression_battery",    # r6-NEW: corr/covar/regr aggregates (q2 out, green r5)
     "sessionize_lag_gap",          # r6-NEW: gaps-and-islands (q4 out, green r5)
     "funnel_conversion",           # r6-NEW: windowFunnel analog (q11 out, green r5)
     "retention_cohorts",           # r6-NEW: retention() analog (q15 out, green r5)

@@ -399,6 +399,44 @@ ORDER BY user_id, session_idx
 """
 
 
+def stats_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate battery (the §2.9 family beyond plain
+    avg/stddev): per returnflag over lineitem — Pearson correlation,
+    sample covariance/stddev, and the least-squares slope/intercept of
+    extendedprice on quantity. All JVM built-ins in Spark and native
+    aggregates in DuckDB; floor-scaled to dodge float-sum ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.corr(x, y) * 1e6).cast("bigint").alias("corr_x1e6"),
+            F.floor(F.covar_samp(x, y) * 100).cast("bigint").alias("covar_x100"),
+            F.floor(F.stddev_samp(y) * 100).cast("bigint").alias("stddev_price_x100"),
+            F.floor(F.regr_slope(y, x) * 1e4).cast("bigint").alias("slope_x1e4"),
+            F.floor(F.regr_intercept(y, x) * 100).cast("bigint").alias("icept_x100"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_REGRESSION_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(floor(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT)
+           AS corr_x1e6,
+       CAST(floor(covar_samp(l_quantity, l_extendedprice) * 100) AS BIGINT)
+           AS covar_x100,
+       CAST(floor(stddev_samp(l_extendedprice) * 100) AS BIGINT)
+           AS stddev_price_x100,
+       CAST(floor(regr_slope(l_extendedprice, l_quantity) * 10000) AS BIGINT)
+           AS slope_x1e4,
+       CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 100) AS BIGINT)
+           AS icept_x100
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_ship_latency": range_join_ship_latency,
@@ -408,6 +446,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "sessionize_lag_gap": sessionize_lag_gap,
+    "stats_regression_battery": stats_regression_battery,
 }
 
 ORACLES = {
@@ -419,4 +458,5 @@ ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
     "sessionize_lag_gap": SESSIONIZE_SQL,
+    "stats_regression_battery": STATS_REGRESSION_SQL,
 }
