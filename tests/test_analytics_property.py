@@ -135,3 +135,49 @@ def test_funnel_property(spark, tmp_path_factory, rows):
         for r in funnel_conversion(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_streams())
+def test_gapfill_property(spark, tmp_path_factory, rows):
+    import math
+
+    from clockpipe_spark.queries.timeseries import ts_gapfill_locf
+
+    sf_dir = _write_events(tmp_path_factory.mktemp("ev"), rows)
+    from clockpipe_spark.catalog import load_table
+
+    evs = [
+        (r["ts"], r["event_type"], r["value"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    ]
+    hour = dt.timedelta(hours=1)
+    trunc = lambda t: t.replace(minute=0, second=0, microsecond=0)
+    hours = [trunc(t) for t, _e, _v in evs]
+    lo, hi = min(hours), max(hours)
+    grid = []
+    h = lo
+    while h <= hi:
+        grid.append(h)
+        h += hour
+    types = sorted({e for _t, e, _v in evs})
+    hourly: dict = {}
+    for t, e, v in evs:
+        hourly.setdefault((trunc(t), e), []).append(v)
+    expect = {}
+    for e in types:
+        last = None
+        for h in grid:
+            vals = hourly.get((h, e))
+            if vals:
+                last = math.floor(sum(vals) / len(vals) * 100)
+                expect[(h, e)] = (len(vals), last)
+            else:
+                expect[(h, e)] = (0, last)
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["locf_avg_x100"])
+        for r in ts_gapfill_locf(spark, sf_dir).collect()
+    }
+    assert got == expect
