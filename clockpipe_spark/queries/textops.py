@@ -446,6 +446,60 @@ ORDER BY doc_id
 """
 
 
+_CHAIN_LEN = 128
+
+
+def dedup_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial long-chain component graph: documents linked into
+    chains of _CHAIN_LEN consecutive row_numbers, resolved by
+    alternating large-star/small-star contraction
+    (operators/components.py:129 — Kiveris et al., O(log n) rounds on
+    ANY shape). Naive min-label propagation moves the min ONE hop per
+    round, so a 128-long chain blows its 25-round budget and raises
+    ComponentsDidNotConverge — pinned in tests/test_components.py. This
+    is the gate evidence for the O(log n) claim: the oracle derives each
+    component's min analytically from the chain arithmetic, so a green
+    hash means star contraction found exactly the right components on a
+    graph naive propagation cannot finish.
+
+    The global row_number window below is FIXTURE CONSTRUCTION (building
+    a worst-case graph from testdata), not the operator under test; the
+    contraction itself is all groupBy-min + equi-join per round."""
+    from pyspark.sql import Window
+
+    from clockpipe_spark.operators.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rn = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id")) - 1
+    ).localCheckpoint(eager=True)
+    nxt = rn.select(F.col("doc_id").alias("dst"), F.col("rn").alias("rn_next"))
+    edges = (
+        rn.filter((F.col("rn") % _CHAIN_LEN) != _CHAIN_LEN - 1)
+        .withColumn("rn_next", F.col("rn") + F.lit(1))
+        .join(nxt, "rn_next")
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    labels = connected_components_star(
+        docs, edges, id_col="doc_id", src="src", dst="dst"
+    )
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+COMPONENTS_CHAIN_SQL = f"""
+WITH rn AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM documents
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY rn // {_CHAIN_LEN}) AS cluster_id
+FROM rn ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -454,11 +508,13 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
     "dedup_cluster_assign": dedup_cluster_assign,
+    "dedup_components_chain": dedup_components_chain,
     "split_leakage_safe": split_leakage_safe,
     "sample_cluster_cap": sample_cluster_cap,
 }
 
 ORACLES = {
+    "dedup_components_chain": COMPONENTS_CHAIN_SQL,
     "split_leakage_safe": SPLIT_LEAKAGE_SQL,
     "sample_cluster_cap": SAMPLE_CLUSTER_CAP_SQL,
     "text_token_stats": TOKEN_STATS_SQL,

@@ -385,10 +385,13 @@ WITH gaps AS (
 ),
 marked AS (
   SELECT user_id, ts,
-         SUM(CASE WHEN gap_us IS NULL OR gap_us >= {_SESSION_GAP_MIN * 60 * 1_000_000}
+         -- CAST: DuckDB window SUM yields HUGEINT (int128 -> float64 in
+         -- pandas) while Spark emits BIGINT; the driver hash is
+         -- representation-sensitive, so pin the oracle to BIGINT
+         CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= {_SESSION_GAP_MIN * 60 * 1_000_000}
                   THEN 1 ELSE 0 END) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-         ) AS session_idx
+         ) AS BIGINT) AS session_idx
   FROM gaps
 )
 SELECT user_id, session_idx, count(*) AS n_events,

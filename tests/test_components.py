@@ -108,3 +108,48 @@ def test_lsh_cluster_recall_vs_exact(spark, sf_dir):
     assert pairs
     hit = sum(1 for p in pairs if lbl[p["doc_a"]] == lbl[p["doc_b"]])
     assert hit / len(pairs) >= 0.95, f"recall {hit}/{len(pairs)}"
+
+
+def test_components_chain_query_vs_analytic(spark, sf_dir):
+    """The registry chain-stress query: star contraction's labels must
+    equal the analytically-derived component mins (min doc_id per
+    _CHAIN_LEN-sized row_number block), and the SAME fixture must blow
+    naive propagation's round budget — the gate evidence that the
+    O(log n) path handles graphs the O(diameter) path cannot."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.catalog import load_table
+    from clockpipe_spark.operators.components import (
+        ComponentsDidNotConverge,
+        connected_components,
+    )
+    from clockpipe_spark.queries.textops import _CHAIN_LEN, dedup_components_chain
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_components_chain(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rows = [
+        r["doc_id"]
+        for r in docs.orderBy("doc_id").collect()
+    ]
+    expect = {
+        d: rows[(i // _CHAIN_LEN) * _CHAIN_LEN] for i, d in enumerate(rows)
+    }
+    assert got == expect
+    assert len(set(got.values())) > 1, "fixture must yield multiple chains"
+
+    # rebuild the same edge fixture and pin that naive propagation raises
+    rn = docs.withColumn("rn", F.row_number().over(Window.orderBy("doc_id")) - 1)
+    nxt = rn.select(F.col("doc_id").alias("dst"), F.col("rn").alias("rn_next"))
+    edges = (
+        rn.filter((F.col("rn") % _CHAIN_LEN) != _CHAIN_LEN - 1)
+        .withColumn("rn_next", F.col("rn") + F.lit(1))
+        .join(nxt, "rn_next")
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    with pytest.raises(ComponentsDidNotConverge):
+        connected_components(docs, edges, id_col="doc_id", src="src", dst="dst")

@@ -74,3 +74,23 @@ def test_persisted_bigram_lm_equals_self_training_query(spark, sf_dir, tmp_path)
     }
     assert got == expect
     assert got
+
+
+def test_prebuilt_registry_wrapper_builds_once(spark, sf_dir, monkeypatch, tmp_path):
+    """The registry entry must build the index on first call, REUSE it on
+    the second (train-once/score-many), and keep the self-training
+    query's output contract."""
+    import clockpipe_spark.queries.similarity as sim
+
+    monkeypatch.setattr(sim, "_MODEL_ROOT", str(tmp_path))
+    first = sorted(map(tuple, sim.ann_ivf_topk_prebuilt_query(spark, sf_dir).collect()))
+    calls = []
+    monkeypatch.setattr(
+        "clockpipe_spark.operators.model_store.build_ivf_index",
+        lambda *a, **k: calls.append(a),
+    )
+    second = sorted(map(tuple, sim.ann_ivf_topk_prebuilt_query(spark, sf_dir).collect()))
+    assert first == second
+    assert not calls, "second call must not retrain the index"
+    expect = sorted(map(tuple, sim.ann_ivf_topk(spark, sf_dir).collect()))
+    assert first == expect

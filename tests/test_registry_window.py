@@ -52,8 +52,10 @@ _FAMILY_CANARIES = {
     "exact dedup": {"dedup_exact"},
     "near-dup (LSH/SimHash/Jaccard)": {"dedup_minhash_lsh", "dedup_simhash",
                                        "neardup_jaccard_pairs"},
-    "dedup clustering": {"dedup_cluster_assign", "dedup_cluster_assign_lsh"},
-    "similarity search": {"cosine_topk_brute", "ann_lsh_topk", "ann_ivf_topk"},
+    "dedup clustering": {"dedup_cluster_assign", "dedup_cluster_assign_lsh",
+                         "dedup_components_chain"},
+    "similarity search": {"cosine_topk_brute", "ann_lsh_topk", "ann_ivf_topk",
+                          "ann_ivf_topk_prebuilt", "ann_ivfpq_topk"},
     "semantic clustering": {"embedding_kmeans_clusters"},
     "leakage-safe split": {"split_leakage_safe"},
     "text quality": {"text_quality_scores", "text_repetition_stats"},
