@@ -62,6 +62,13 @@ HEADLINE = [
     "cosine_topk_brute",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # round 7: the train-once/score-many serving twin. Its index is
+    # built ONCE before the timed loop (a deployment amortizes the build
+    # across every probe batch); the timed number is the pure probe —
+    # the honest billion-scale serving shape next to the self-training
+    # ann_ivf_topk, which keeps its train+serve number for contrast
+    # (VERDICT r6 directive #3).
+    "ann_ivf_topk_prebuilt",
     "embedding_neardup_pairs",
     # round 5: the flagship end-to-end dedup pipeline (LSH pair mining ->
     # connected components -> canonical selection). Its iterative loop
@@ -151,7 +158,14 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
 
     payload = dict(payload)
     line = dumps(payload)
-    for key in ("state10x", "ingest", "cdc", "shared_vs_prev"):
+    for key in (
+        "state10x",
+        "ingest_dps_by_batches",
+        "ingest",
+        "iso",
+        "cdc",
+        "shared_vs_prev",
+    ):
         if len(line) <= budget:
             return line
         payload.pop(key, None)
@@ -381,6 +395,31 @@ def main() -> None:
 
     spark.range(1024).repartition(32).mapInPandas(_noop, "id long").count()
 
+    # dedup_exact in ISOLATION, immediately after warm-up (VERDICT r6
+    # directive #4): r6 measured it at 0.69 s in suite position vs the
+    # 0.25 s r1 recording with an unchanged one-shuffle plan. Measuring
+    # the same query first-in-suite and again at its usual position
+    # turns "measurement position vs real slowdown" into a number.
+    iso: dict[str, float] = {}
+    for _ in range(2):
+        t0 = time.perf_counter()
+        queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        iso["dedup_exact"] = min(
+            iso.get("dedup_exact", 9e9), round(time.perf_counter() - t0, 3)
+        )
+
+    # build the IVF index OUTSIDE the timed region so the prebuilt
+    # entry's trials measure serving only. Prewarm time disclosed; it
+    # includes the index build only when the corpus-fingerprint cache
+    # is cold (first run on fresh testdata).
+    t0 = time.perf_counter()
+    queries["ann_ivf_topk_prebuilt"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    ivf_prewarm_sec = round(time.perf_counter() - t0, 3)
+
     # Two trials per query, report the min (disclosed via "stat"/"trials"
     # below, first-run timings kept alongside). Rationale, measured: this
     # host's first run of any query pays JIT + worker spin-up, and
@@ -414,9 +453,17 @@ def main() -> None:
         "queries": timings,
         "queries_run1": first_run,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "iso": iso,
+        "ivf_prewarm_sec": ivf_prewarm_sec,
         "shared_vs_prev": shared_vs_prev(timings, here),
         "cdc": bench_cdc(spark, sf_dir),
+        # batch-size sweep (VERDICT r6 directive #5): same corpus
+        # through 2 / 4 / 8 micro-batches separates per-batch fixed
+        # cost from marginal per-doc cost
         "ingest": bench_ingest(spark, sf_dir),
+        "ingest_sweep": {
+            str(n): bench_ingest(spark, sf_dir, n_batches=n) for n in (2, 8)
+        },
         "state10x": bench_state_scale(spark, sf_dir),
     }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -435,6 +482,7 @@ def main() -> None:
         "stat": "min",
         "trials": 2,
         "sf": full["sf"],
+        "ivf_prewarm_sec": ivf_prewarm_sec,
         "detail": "BENCH_DETAIL.json",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "shared_vs_prev": (
@@ -448,11 +496,15 @@ def main() -> None:
             if sp
             else None
         ),
+        "iso": iso,
         "cdc": {
             "snapshot_rows_per_sec": full["cdc"]["snapshot_rows_per_sec"],
             "cdc_events_per_sec": full["cdc"]["cdc_events_per_sec"],
         },
         "ingest": full["ingest"],
+        "ingest_dps_by_batches": {
+            n: s["docs_per_sec"] for n, s in full["ingest_sweep"].items()
+        },
         "state10x": {
             "keys": st["seeded_keys"],
             "flat_drain_sec": st["flat_drain_sec"],

@@ -181,3 +181,85 @@ def test_gapfill_property(spark, tmp_path_factory, rows):
         for r in ts_gapfill_locf(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_streams())
+def test_retention_property(spark, tmp_path_factory, rows):
+    """Cohort retention vs a pure-python model: day-window edges are
+    half-open [first+N d, first+N+1 d) and the cohort is keyed on the
+    user's FIRST signup — duplicate timestamps and windows landing
+    exactly on a boundary are the adversarial cases."""
+    from clockpipe_spark.queries.timeseries import retention_cohorts
+
+    sf_dir = _write_events(tmp_path_factory.mktemp("ev"), rows)
+    evs = _collected(spark, sf_dir)
+    first = {}
+    for _eid, ts, uid, et in evs:
+        if et == "signup" and (uid not in first or ts < first[uid]):
+            first[uid] = ts
+    day = dt.timedelta(days=1)
+    cohorts: dict[dt.datetime, list] = {}
+    for uid, f0 in first.items():
+        d1 = any(
+            f0 + day <= ts < f0 + 2 * day for _e, ts, u, _t in evs if u == uid
+        )
+        d7 = any(
+            f0 + 7 * day <= ts < f0 + 8 * day for _e, ts, u, _t in evs if u == uid
+        )
+        cohorts.setdefault(f0.replace(hour=0, minute=0, second=0), []).append(
+            (d1, d7)
+        )
+    expect = {
+        c: (len(us), sum(d1 for d1, _ in us), sum(d7 for _, d7 in us))
+        for c, us in cohorts.items()
+    }
+    got = {
+        r["cohort_day"]: (r["n_users"], r["n_day1"], r["n_day7"])
+        for r in retention_cohorts(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_streams())
+def test_gapfill_locf_property(spark, tmp_path_factory, rows):
+    """Gap-fill + LOCF vs a pure-python model: the full hour x type
+    grid exists, absent cells carry n=0, the hourly mean carries
+    forward per type, and cells BEFORE a type's first observation stay
+    NULL (locf, never interpolation)."""
+    from clockpipe_spark.queries.timeseries import ts_gapfill_locf
+
+    from clockpipe_spark.catalog import load_table
+
+    sf_dir = _write_events(tmp_path_factory.mktemp("ev"), rows)
+    evs = [
+        (r["ts"], r["event_type"], r["value"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    ]
+    import math
+
+    hour = lambda ts: ts.replace(minute=0, second=0, microsecond=0)
+    hours = [hour(ts) for ts, _t, _v in evs]
+    lo, hi = min(hours), max(hours)
+    types = sorted({t for _ts, t, _v in evs})
+    per_cell: dict[tuple, list] = {}
+    for ts, t, v in evs:
+        per_cell.setdefault((hour(ts), t), []).append(v)
+    expect = {}
+    for t in types:
+        carry = None
+        h = lo
+        while h <= hi:
+            vals = per_cell.get((h, t))
+            if vals:
+                carry = math.floor(sum(vals) / len(vals) * 100)
+            expect[(h, t)] = (len(vals) if vals else 0, carry)
+            h += dt.timedelta(hours=1)
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["locf_avg_x100"])
+        for r in ts_gapfill_locf(spark, sf_dir).collect()
+    }
+    assert got == expect
