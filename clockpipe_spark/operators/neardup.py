@@ -210,24 +210,32 @@ def simhash_signatures(
     return docs.select(id_col, text_col).mapInPandas(compute, out_schema)
 
 
-def simhash_neardup_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
     max_hamming: int = 2,
 ) -> DataFrame:
-    """Candidate pairs: docs sharing any 16-bit signature chunk; verified
-    by exact Hamming distance (bit_count of xor) <= max_hamming."""
-    sig = simhash_signatures(docs, id_col, text_col).cache()
+    """Generic 64-bit-signature near-dup pair join: candidates share any
+    16-bit chunk (pigeonhole-complete for max_hamming <= 3: 4 bits of
+    difference cannot dirty all 4 chunks), verified by exact Hamming
+    distance (bit_count of xor). The shuffle key is the (chunk_idx,
+    chunk) pair — payload-free banding, same economics as the MinHash
+    band join. Shared by text SimHash and image dHash callers."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"4x16-bit banding only guarantees recall for max_hamming <= 3, "
+            f"got {max_hamming}"
+        )
     chunks = sig.select(
         F.col(id_col).alias("id"),
-        "simhash",
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftright("simhash", c * 16)
+                        F.shiftright(sig_col, c * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("chunk"),
                     )
@@ -235,9 +243,9 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", "c.chunk_idx", "c.chunk")
+    ).select("id", "sig", "c.chunk_idx", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
         a.join(
             b,
@@ -253,3 +261,15 @@ def simhash_neardup_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Candidate pairs: docs sharing any 16-bit signature chunk; verified
+    by exact Hamming distance (bit_count of xor) <= max_hamming."""
+    sig = simhash_signatures(docs, id_col, text_col).cache()
+    return banded_hamming_pairs(sig, id_col, "simhash", max_hamming)

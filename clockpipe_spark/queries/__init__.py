@@ -22,6 +22,7 @@ from clockpipe_spark.queries import relational2 as _relational2
 from clockpipe_spark.queries import relational3 as _relational3
 from clockpipe_spark.queries import relational4 as _relational4
 from clockpipe_spark.queries import similarity as _similarity
+from clockpipe_spark.queries import sketches as _sketches
 from clockpipe_spark.queries import streamlike as _streamlike
 from clockpipe_spark.queries import textops as _textops
 from clockpipe_spark.queries import timeseries as _timeseries
@@ -37,6 +38,7 @@ _MODULES = (
     _textops,
     _textops2,
     _similarity,
+    _sketches,
     _streamlike,
     _approximate,
     _llmprep,
@@ -72,7 +74,9 @@ _PRIORITY = (
     "window_frame_moving_avg",     # window funcs + frames canary
     "topk_orders_by_price",        # sort / top-k / limit
     "setop_union_segments",        # set ops
-    "scalar_math_battery",         # scalar battery canary (math)
+    "ts_anomaly_mad",              # r7-NEW: robust MAD outlier battery
+                                   # (scalar_math_battery out, green r6;
+                                   # scalar_url_parse carries the scalar canary)
     "array_agg_per_nation",        # array functions
     "asof_last_purchase",          # subquery/as-of/range/skew canary
     # round-5 rotation: the TPC-H completions (q7/q8/q9 green r5 —
@@ -83,7 +87,9 @@ _PRIORITY = (
     "sessionize_lag_gap",          # r6 red = oracle HUGEINT artifact, SQL now
                                    # cast to BIGINT — stays in to go green
     "funnel_conversion",           # green r6; funnel/retention canary
-    "retention_cohorts",           # green r6; cohort analytics canary
+    "cdc_replica_asof",            # r7-NEW: point-in-time replica time travel
+                                   # (retention_cohorts out, green r6;
+                                   # funnel_conversion keeps the analytics canary)
     "ts_gapfill_locf",             # green r6; gap-fill canary
     "sample_by_mixture",           # r7 in: closes the mixing loop (never
                                    # driver-checked; text_bigram_logprob out, green r6)
@@ -124,9 +130,11 @@ _PRIORITY = (
     "quality_classifier_score",    # green r6: hashed linear quality model
     "mixture_temperature_weights", # green r6: temperature data mixing
     "export_shard_manifest",       # green r6: deterministic export shards
-    "text_substring_dup_spans",    # r5-NEW: exact substring-window dedup
-    "mm_audio_resample",           # r6-NEW multimodal canary (bytes_meta green
-                                   # r4/r5 out; bmp/resize r4, frame_sample r5)
+    "frequent_items_mg",           # r7-NEW: Misra-Gries heavy hitters + exact
+                                   # verify (text_substring_dup_spans out, green r6)
+    "mm_image_phash_neardup",      # r7-NEW: dHash image near-dup, hash-checked
+                                   # multimodal canary (mm_audio_resample out,
+                                   # green r6)
     "pack_sequences_greedy",
     "tfidf_top_terms",
     "sample_stratified_hash",

@@ -352,6 +352,90 @@ ORDER BY doc_id, frame_idx
 """
 
 
+_PHASH_GROUPS = 16
+_PHASH_STEP = 12  # gradient step per dHash bit; 128 +/- 8*12 stays in u8
+
+
+def _phash_pixels(doc_id: int):
+    """Deterministic 16x36 grayscale grid whose dHash equals
+    md5(group) XOR one per-doc bit: cell (r, c+1) = cell (r, c) +/- STEP
+    by the pattern bit, each cell a constant 2x4 pixel block so the
+    block-mean downsample recovers it exactly. Same group (doc_id % 16)
+    -> Hamming <= 2; different groups -> >= 22 (min pairwise pattern
+    distance 24, verified offline) — so the near-dup pair set is
+    analytically derivable for the oracle."""
+    import hashlib
+
+    import numpy as np
+
+    g = doc_id % _PHASH_GROUPS
+    pat = int.from_bytes(hashlib.md5(f"imggrp:{g}".encode()).digest()[:8], "little")
+    pat ^= 1 << ((doc_id * 7) % 64)
+    # bit i = r*8+c; pat exceeds int64 range, so extract via Python ints
+    bitmat = np.array([(pat >> i) & 1 for i in range(64)]).reshape(8, 8)
+    px = np.zeros((8, 9), dtype=np.int16)
+    px[:, 0] = 128
+    for c in range(8):
+        px[:, c + 1] = px[:, c] + np.where(
+            bitmat[:, c] == 1, _PHASH_STEP, -_PHASH_STEP
+        )
+    return np.repeat(np.repeat(px, 2, axis=0), 4, axis=1).astype(np.uint8)
+
+
+def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: synthesize a
+    deterministic BMP per document, REAL-decode + block-mean downsample
+    + dHash (operators/multimodal.dhash_signatures), then the SAME
+    banded Hamming pair join the text SimHash path uses
+    (operators/neardup.banded_hamming_pairs) — the multimodal arm of
+    the dedup family. Every stage a 100 TB image-dedup pipeline runs
+    (decode -> signature -> band join -> popcount verify) is exercised
+    for real; only the camera is faked. The fixture's construction
+    makes the true pair set (same doc_id % 16 group, Hamming 0 when
+    doc_id % 64 collides else 2) analytically SQL-derivable, so this is
+    hash-checked, unlike the text hash families."""
+    import pandas as pd
+
+    from clockpipe_spark.operators.multimodal import (
+        dhash_signatures,
+        encode_bmp_gray,
+    )
+    from clockpipe_spark.operators.neardup import banded_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_bmp_gray(_phash_pixels(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
+    sig = dhash_signatures(blobs)
+    return (
+        banded_hamming_pairs(sig, "doc_id", "dhash", max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MM_PHASH_SQL = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(CASE WHEN a.doc_id % 64 = b.doc_id % 64 THEN 0 ELSE 2 END AS INT)
+           AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % {_PHASH_GROUPS} = b.doc_id % {_PHASH_GROUPS}
+ AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "udf_zscore_per_user": udf_zscore_per_user,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -364,9 +448,11 @@ QUERIES = {
     "mm_audio_resample": mm_audio_resample,
     "mm_image_resize": mm_image_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_image_phash_neardup": mm_image_phash_neardup,
 }
 
 ORACLES = {
+    "mm_image_phash_neardup": MM_PHASH_SQL,
     "udf_zscore_per_user": UDF_ZSCORE_SQL,
     "mm_bytes_meta": MM_BYTES_META_SQL,
     "mm_fake_image_features": MM_FAKE_DECODE_SQL,

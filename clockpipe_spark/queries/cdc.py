@@ -94,6 +94,46 @@ FROM (
 """
 
 
+def cdc_replica_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time replica (time travel): the visible state AS OF a
+    historical change-log position — here 60% of max seq — by filtering
+    the log to seq <= asof before the same dedup-on-read view
+    cdc_replica_state serves. The ClickHouse/Delta time-travel analog a
+    replica user runs to audit what a query saw yesterday; on a kept
+    change log it is a filter pushed into the scan, no new operator.
+
+    The bound is a 1-row aggregate broadcast back over the log
+    (crossJoin of a broadcast single row — no driver collect), so the
+    plan stays fully distributed and the fact stream shuffles once, in
+    the keep-last window."""
+    clog = _changelog(spark, sf_dir)
+    bound = clog.agg(
+        F.floor(F.max("seq") * 0.6).cast("long").alias("asof_seq")
+    )
+    hist = clog.crossJoin(F.broadcast(bound)).filter(
+        F.col("seq") <= F.col("asof_seq")
+    )
+    return replica_state(hist, ["user_id"]).select(
+        "user_id",
+        "seq",
+        F.round("value", 2).alias("value"),
+        pg_datetime_trunc(F.col("ts")).alias("ts"),
+    )
+
+
+CDC_REPLICA_ASOF_SQL = f"""
+{_CLOG_CTE},
+bound AS (
+  SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS asof_seq FROM changelog
+)
+SELECT user_id, seq, round(value, 2) AS value, date_trunc('second', ts) AS ts
+FROM (
+  SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM changelog c, bound b WHERE c.seq <= b.asof_seq
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def cdc_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3 — per-table/per-op routing counters
     (pipes/postgres.rs:295-420, WriteCounter pipes/mod.rs:23-28)."""
@@ -546,6 +586,7 @@ QUERIES = {
     "cdc_mongo_infer_project": cdc_mongo_infer_project,
     "cdc_keep_last": cdc_keep_last,
     "cdc_replica_state": cdc_replica_state,
+    "cdc_replica_asof": cdc_replica_asof,
     "cdc_route_counts": cdc_route_counts,
     "cdc_mask_columns": cdc_mask_columns,
     "cdc_align_projection": cdc_align_projection,
@@ -562,6 +603,7 @@ ORACLES = {
     "cdc_mongo_infer_project": CDC_MONGO_SQL,
     "cdc_keep_last": CDC_KEEP_LAST_DEDUP_SQL,
     "cdc_replica_state": CDC_REPLICA_SQL,
+    "cdc_replica_asof": CDC_REPLICA_ASOF_SQL,
     "cdc_route_counts": CDC_ROUTE_SQL,
     "cdc_mask_columns": CDC_MASK_SQL,
     "cdc_align_projection": CDC_ALIGN_SQL,

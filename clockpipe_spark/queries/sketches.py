@@ -1,0 +1,61 @@
+"""Sketch-backed operators surfaced as queries: bounded-memory heavy
+hitters over the document token stream.
+
+The reference has no sketch tier; this extends SURVEY §2.10's analytics
+mandate alongside approx_count_distinct. The MG + exact-verify
+composition is deliberately oracle-checkable: the sketch only bounds
+candidate-generation memory, the verification pass restores exactness,
+so the driver hash-compares against a plain GROUP BY twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.catalog import load_table
+from clockpipe_spark.operators.sketches import heavy_hitters_exact
+
+_HH_K = 32  # heavy hitter = token with count > total/32 (~3.1% of stream)
+
+
+def frequent_items_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via distributed Misra-Gries + one exact
+    verification pass (operators/sketches.py). At 100 TB the exact
+    GROUP BY over all tokens shuffles the full vocabulary; this plan
+    shuffles only <= k x partitions candidate rows plus their exact
+    counts — the sketch is the memory/shuffle bound, the verify pass
+    the correctness guarantee, and the output is provably identical to
+    the exact query (pytest pins candidate-set coverage; the oracle
+    below IS the exact query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    return heavy_hitters_exact(tokens, "term", _HH_K).select(
+        "term",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("total").cast("bigint").alias("total"),
+    )
+
+
+FREQUENT_ITEMS_SQL = f"""
+WITH tokens AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tot AS (SELECT count(*) AS total FROM tokens)
+SELECT term, CAST(cnt AS BIGINT) AS cnt, CAST(total AS BIGINT) AS total
+FROM (SELECT term, count(*) AS cnt FROM tokens GROUP BY term), tot
+WHERE cnt * {_HH_K} > total
+ORDER BY cnt DESC, term
+"""
+
+
+QUERIES = {
+    "frequent_items_mg": frequent_items_mg,
+}
+
+ORACLES = {
+    "frequent_items_mg": FREQUENT_ITEMS_SQL,
+}

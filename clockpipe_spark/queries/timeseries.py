@@ -463,3 +463,76 @@ ORACLES = {
     "sessionize_lag_gap": SESSIONIZE_SQL,
     "stats_regression_battery": STATS_REGRESSION_SQL,
 }
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly detection: flag events whose absolute
+    deviation from the user's median value exceeds 3x the median
+    absolute deviation (MAD) — the outlier rule monitoring pipelines
+    run on metric replicas (robust to the outliers themselves, unlike
+    z-scores). Exact medians via percentile().
+
+    Cross-engine exactness: values are floor-scaled to integer cents
+    and DOUBLED before each median, so even-count interpolation lands
+    on exact integers in both engines (midpoint of two even ints) —
+    Spark's (1-f)*a + f*b and DuckDB's a + (b-a)*f differ by ulps on
+    arbitrary doubles but are exact here. The outlier comparison
+    adev4 > 3*mad4 is pure int64 arithmetic: no float boundary can
+    flip between engines.
+
+    Shape: two co-partitioned aggregations on user_id + one grid-sized
+    broadcast-back join — the fact stream shuffles once."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", (F.floor(F.col("value") * 100) * 2).cast("long").alias("v2")
+    )
+    med = base.groupBy("user_id").agg(
+        F.expr("percentile(v2, 0.5)").alias("med2"), F.count("*").alias("n")
+    )
+    dev = base.join(med, "user_id").withColumn(
+        "adev4", (F.abs(F.col("v2") - F.col("med2")) * 2).cast("long")
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(adev4, 0.5)").alias("mad4"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.col("med2").cast("long")).alias("med2"),
+            F.max(F.col("mad4").cast("long")).alias("mad4"),
+            F.sum(
+                (F.col("adev4") > 3 * F.col("mad4")).cast("int")
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TS_ANOMALY_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(floor(value * 100) * 2 AS BIGINT) AS v2 FROM events
+),
+med AS (
+  SELECT user_id, quantile_cont(v2, 0.5) AS med2, count(*) AS n
+  FROM base GROUP BY user_id
+),
+dev AS (
+  SELECT b.user_id, CAST(abs(b.v2 - m.med2) * 2 AS BIGINT) AS adev4,
+         m.med2, m.n
+  FROM base b JOIN med m USING (user_id)
+),
+mad AS (
+  SELECT user_id, quantile_cont(adev4, 0.5) AS mad4 FROM dev GROUP BY user_id
+)
+SELECT d.user_id, CAST(max(d.n) AS BIGINT) AS n,
+       CAST(max(d.med2) AS BIGINT) AS med2,
+       CAST(max(m.mad4) AS BIGINT) AS mad4,
+       CAST(sum(CASE WHEN d.adev4 > 3 * m.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN mad m USING (user_id)
+GROUP BY d.user_id ORDER BY d.user_id
+"""
+
+
+QUERIES["ts_anomaly_mad"] = ts_anomaly_mad
+ORACLES["ts_anomaly_mad"] = TS_ANOMALY_SQL

@@ -177,3 +177,42 @@ def test_resample_box_filter_on_nonconstant_signal(spark):
     # (-5-6)//2 = -6 (floor), (3+4)//2 = 3 -> mean |.| = (6+3)/2 = 4.5
     assert r2["out_samples"] == 2
     assert r2["mean_amp"] == 45000
+
+
+def test_dhash_signature_pinned_and_banding(spark):
+    """dHash of the phash fixture must equal the analytically-known
+    pattern (md5(group) XOR the per-doc bit), proving BMP encode ->
+    decode -> block-mean -> bit extraction round-trips exactly; and the
+    generic banded join must refuse max_hamming > 3 (recall would
+    silently break past the pigeonhole bound)."""
+    import hashlib
+
+    import pytest
+
+    from clockpipe_spark.operators.multimodal import (
+        dhash_signatures,
+        encode_bmp_gray,
+    )
+    from clockpipe_spark.operators.neardup import banded_hamming_pairs
+    from clockpipe_spark.queries.approximate import _PHASH_GROUPS, _phash_pixels
+
+    ids = [0, 1, 17, 63, 64, 200]
+    blobs = spark.createDataFrame(
+        [(d, bytearray(encode_bmp_gray(_phash_pixels(d)))) for d in ids],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["dhash"] for r in dhash_signatures(blobs).collect()}
+
+    def expected(doc_id):
+        g = doc_id % _PHASH_GROUPS
+        pat = int.from_bytes(
+            hashlib.md5(f"imggrp:{g}".encode()).digest()[:8], "little"
+        )
+        pat ^= 1 << ((doc_id * 7) % 64)
+        return pat - (1 << 64) if pat >= 1 << 63 else pat  # int64 view
+
+    assert got == {d: expected(d) for d in ids}
+
+    sig = dhash_signatures(blobs)
+    with pytest.raises(ValueError, match="max_hamming"):
+        banded_hamming_pairs(sig, "doc_id", "dhash", max_hamming=4)

@@ -38,7 +38,8 @@ _FAMILY_CANARIES = {
     "sort/top-k": {"topk_orders_by_price"},
     "set ops": {"setop_union_segments"},
     "scalar battery": {"scalar_math_battery", "scalar_string_funcs",
-                       "scalar_date_parts", "scalar_json_extract"},
+                       "scalar_date_parts", "scalar_json_extract",
+                       "scalar_url_parse"},
     "pg quirk functions (§2.8)": {"pg_array_literal_parse", "cdc_cast_matrix"},
     "array functions": {"array_agg_per_nation"},
     "as-of/range/subquery/skew joins": {"asof_last_purchase",
@@ -60,7 +61,10 @@ _FAMILY_CANARIES = {
     "leakage-safe split": {"split_leakage_safe"},
     "text quality": {"text_quality_scores", "text_repetition_stats"},
     "multimodal": {"mm_bmp_decode", "mm_wav_decode", "mm_bytes_meta",
-                   "mm_audio_resample"},
+                   "mm_audio_resample", "mm_image_phash_neardup"},
+    "heavy hitters / sketches": {"frequent_items_mg"},
+    "anomaly detection": {"ts_anomaly_mad"},
+    "replica time travel": {"cdc_replica_asof"},
     "sequence packing": {"pack_sequences_greedy"},
     "tf-idf": {"tfidf_top_terms"},
     "sampling": {"sample_stratified_hash"},

@@ -1,0 +1,81 @@
+"""Misra-Gries heavy hitters: the sketch bounds memory, the verify pass
+restores exactness. These tests pin the two halves separately — summary
+size stays <= k per partition, and the composed operator equals the
+exact GROUP BY even under adversarial partitioning that spreads a heavy
+item thinly across every partition."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from clockpipe_spark.operators.sketches import (
+    heavy_hitters_exact,
+    mg_partition_summaries,
+)
+
+
+def _stream(spark, n_partitions: int):
+    """60% one heavy item, 20% a second, 20% spread over 2000 rare items
+    — round-robin partitioned so every partition sees every item."""
+    base = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 6, F.lit("heavy_a"))
+        .when(F.col("id") % 10 < 8, F.lit("heavy_b"))
+        .otherwise(F.concat(F.lit("rare_"), (F.col("id") % 2000).cast("string")))
+        .alias("term")
+    )
+    return base.repartition(n_partitions)
+
+
+def test_summaries_bounded_per_partition(spark):
+    k = 8
+    df = _stream(spark, 6)
+    summaries = mg_partition_summaries(df, "term", k)
+    # <= k rows per partition => <= k * partitions total
+    assert summaries.count() <= k * 6
+    # and both true heavy items survive in at least one summary
+    kept = {r["term"] for r in summaries.collect()}
+    assert {"heavy_a", "heavy_b"} <= kept
+
+
+def test_heavy_hitters_equal_exact(spark):
+    k = 8
+    df = _stream(spark, 6).cache()
+    got = {
+        (r["term"], r["cnt"]) for r in heavy_hitters_exact(df, "term", k).collect()
+    }
+    total = df.count()
+    exact = {
+        (r["term"], r["cnt"])
+        for r in df.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(total))
+        .collect()
+    }
+    assert got == exact
+    assert {t for t, _ in got} == {"heavy_a", "heavy_b"}
+
+
+def test_registry_query_matches_plain_groupby(spark, sf_dir):
+    from clockpipe_spark.queries.sketches import _HH_K, frequent_items_mg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).cache()
+    total = tokens.count()
+    exact = {
+        (r["term"], r["cnt"])
+        for r in tokens.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * _HH_K > F.lit(total))
+        .collect()
+    }
+    got = {
+        (r["term"], r["cnt"]) for r in frequent_items_mg(spark, sf_dir).collect()
+    }
+    assert got == exact
+    assert got, "fixture must contain heavy hitters at k=32"
