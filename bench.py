@@ -99,6 +99,8 @@ HEADLINE = [
     "mm_image_phash_neardup",
     "ts_anomaly_mad",
     "cdc_replica_asof",
+    "cdc_incremental_agg",
+    "stream_interval_join",
 ]
 
 

@@ -110,7 +110,10 @@ _PRIORITY = (
     # §2.10 LLM-pipeline families — one representative each
     "dedup_exact",
     "dedup_minhash_lsh",           # near-dup canary (jaccard/simhash rotated out)
-    "dedup_cluster_assign",        # r5 in: pairs -> components -> canonical
+    "cdc_incremental_agg",         # r7-NEW: materialized-view maintenance from
+                                   # the changelog, oracle = full recompute
+                                   # (dedup_cluster_assign out, green r6; chain
+                                   # + lsh keep the clustering family)
     "dedup_cluster_assign_lsh",    # r5 in: the 100 TB dedup pipeline shape
     "ann_lsh_topk",                # similarity canary (brute rotated out)
     "ann_ivf_topk_prebuilt",       # r7-NEW: train-once/score-many IVF serving
@@ -143,8 +146,11 @@ _PRIORITY = (
     "text_pii_redact",
     "doc_chunk_overlap",
     "benchmark_contamination",
-    # watermark windows canary (T6; sliding/tumbling rotated out)
-    "stream_session_windows",
+    # T6 canary: the stream-stream interval join (r7-NEW; its real
+    # streaming twin is pinned in tests/test_streaming_join.py).
+    # stream_session_windows out, green r6; sessionize_lag_gap keeps
+    # the sessionization family.
+    "stream_interval_join",
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)

@@ -134,6 +134,96 @@ FROM (
 """
 
 
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (the ClickHouse
+    AggregatingMergeTree / materialized-view pattern): a per-shard
+    sum/count over the replica is MAINTAINED from the change log —
+    base aggregate at seq <= S0 plus an algebraic delta from the
+    changes after S0 — instead of recomputed from scratch. The delta
+    joins only the touched keys against the base state (at 100 TB:
+    delta-sized work per refresh, not corpus-sized), and the oracle
+    recomputes the same aggregate directly from the final replica
+    state, so a green hash proves the maintenance algebra exactly.
+
+    Values are floor-scaled to integer cents so base + delta is exact
+    int64 arithmetic — float sums would associate differently between
+    the incremental and recomputed paths.
+
+    Per touched key (keep-last incl. op, the corrected T4 semantics):
+    remove its old value if it existed in the base, add its new value
+    unless the last op is a delete; count moves by +/-1 only on true
+    create/delete transitions."""
+    clog = _changelog(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    bound = clog.agg(F.floor(F.max("seq") * 0.6).cast("long").alias("s0"))
+    clog = clog.crossJoin(F.broadcast(bound))
+    shard = (F.col("user_id") % 16).alias("shard")
+
+    # a deployment READS the base state from the persisted view; the
+    # self-contained query derives it once and materializes (it feeds
+    # both the base aggregate and the touched-key old-value lookup —
+    # without this the plan re-derives the full keep-last window twice)
+    base_state = (
+        replica_state(clog.filter(F.col("seq") <= F.col("s0")), ["user_id"])
+        .select("user_id", "cents")
+        .localCheckpoint(eager=True)
+    )
+    base_agg = base_state.groupBy((F.col("user_id") % 16).alias("shard")).agg(
+        F.sum("cents").alias("sum_cents"), F.count("*").alias("n_keys")
+    )
+
+    delta = keep_last_by_key(
+        clog.filter(F.col("seq") > F.col("s0")), ["user_id"]
+    ).select("user_id", "op", "cents")
+    old = base_state.select("user_id", F.col("cents").alias("old_cents"))
+    moves = delta.join(old, "user_id", "left").select(
+        shard,
+        (
+            F.when(F.col("op") != "D", F.col("cents")).otherwise(F.lit(0))
+            - F.coalesce(F.col("old_cents"), F.lit(0))
+        ).alias("d_sum"),
+        (
+            F.when(
+                (F.col("op") != "D") & F.col("old_cents").isNull(), 1
+            )
+            .when((F.col("op") == "D") & F.col("old_cents").isNotNull(), -1)
+            .otherwise(0)
+        ).alias("d_n"),
+    )
+    delta_agg = moves.groupBy("shard").agg(
+        F.sum("d_sum").alias("d_sum"), F.sum("d_n").alias("d_n")
+    )
+    return (
+        base_agg.join(delta_agg, "shard", "outer")
+        .select(
+            "shard",
+            (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_sum", F.lit(0)))
+            .alias("sum_cents"),
+            (F.coalesce("n_keys", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .alias("n_keys"),
+        )
+        .filter(F.col("n_keys") > 0)
+        .orderBy("shard")
+    )
+
+
+# oracle = the RECOMPUTED aggregate over the final replica state: equal
+# output proves the incremental algebra, which is the whole point
+CDC_INCREMENTAL_AGG_SQL = f"""
+{_CLOG_CTE}
+SELECT user_id % 16 AS shard,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       count(*) AS n_keys
+FROM (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn, op
+  FROM changelog
+) WHERE rn = 1 AND op <> 'D'
+GROUP BY shard ORDER BY shard
+"""
+
+
 def cdc_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3 — per-table/per-op routing counters
     (pipes/postgres.rs:295-420, WriteCounter pipes/mod.rs:23-28)."""
@@ -587,6 +677,7 @@ QUERIES = {
     "cdc_keep_last": cdc_keep_last,
     "cdc_replica_state": cdc_replica_state,
     "cdc_replica_asof": cdc_replica_asof,
+    "cdc_incremental_agg": cdc_incremental_agg,
     "cdc_route_counts": cdc_route_counts,
     "cdc_mask_columns": cdc_mask_columns,
     "cdc_align_projection": cdc_align_projection,
@@ -604,6 +695,7 @@ ORACLES = {
     "cdc_keep_last": CDC_KEEP_LAST_DEDUP_SQL,
     "cdc_replica_state": CDC_REPLICA_SQL,
     "cdc_replica_asof": CDC_REPLICA_ASOF_SQL,
+    "cdc_incremental_agg": CDC_INCREMENTAL_AGG_SQL,
     "cdc_route_counts": CDC_ROUTE_SQL,
     "cdc_mask_columns": CDC_MASK_SQL,
     "cdc_align_projection": CDC_ALIGN_SQL,

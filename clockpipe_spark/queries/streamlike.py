@@ -107,14 +107,68 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-expressed: each view event
+    joined to the same user's purchases within [view_ts, view_ts + 1h)
+    — the canonical two-stream correlation (Structured Streaming's
+    watermarked stream-stream join; the identical join condition runs
+    in real streaming mode in tests/test_streaming_join.py and is
+    pinned equal to this batch result). Purchase values in integer
+    cents so the sum is engine-exact.
+
+    Shape: both sides shuffle once on user_id; the time predicate
+    evaluates inside the co-partitioned join — at 100 TB this is the
+    plan Spark's streaming join executes per micro-batch with state
+    bounded by the watermark + interval."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = views.join(
+        purchases,
+        ["user_id"],
+    ).filter(
+        (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") < F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        joined.groupBy("view_id", "user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("view_id")
+    )
+
+
+INTERVAL_JOIN_SQL = """
+SELECT v.event_id AS view_id, v.user_id,
+       count(*) AS n_purchases,
+       CAST(sum(floor(p.value * 100)) AS BIGINT) AS sum_cents
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+GROUP BY v.event_id, v.user_id
+ORDER BY view_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_sliding_30m": stream_sliding_30m,
     "stream_session_windows": stream_session_windows,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLES = {
     "stream_tumbling_hourly": TUMBLING_SQL,
     "stream_sliding_30m": SLIDING_SQL,
     "stream_session_windows": SESSION_SQL,
+    "stream_interval_join": INTERVAL_JOIN_SQL,
 }

@@ -48,7 +48,9 @@ _FAMILY_CANARIES = {
                                         "skew_salted_user_revenue"},
     "watermark windows (T6)": {"stream_tumbling_hourly",
                                "stream_session_windows",
-                               "stream_sliding_30m"},
+                               "stream_sliding_30m",
+                               "stream_interval_join"},
+    "incremental view maintenance": {"cdc_incremental_agg"},
     # §2.10 LLM-pipeline families
     "exact dedup": {"dedup_exact"},
     "near-dup (LSH/SimHash/Jaccard)": {"dedup_minhash_lsh", "dedup_simhash",
