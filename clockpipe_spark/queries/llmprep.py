@@ -240,7 +240,41 @@ FROM q
 """
 
 
+_BOTTOMK = 100
+
+
+def sample_bottomk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample via the bottom-k hash sketch: keep
+    the k documents with the smallest md5(doc_id) — a coordination-free
+    uniform sample that is MERGEABLE (the bottom-k of a union is the
+    bottom-k of the per-partition bottom-ks), reproducible across runs
+    and engines, and composable with any downstream stage. The
+    distributed plan is Spark's TakeOrderedAndProject: each partition
+    keeps its own k, only k x partitions rows reach the driver-side
+    merge — no full sort, no shuffle of the corpus.
+
+    This complements sample_stratified_hash (rate-based residue
+    filtering) with exact-size sampling: residues give a fraction,
+    bottom-k gives exactly k."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", "lang", h.alias("sample_key"))
+        .orderBy("sample_key")
+        .limit(_BOTTOMK)
+    )
+
+
+SAMPLE_BOTTOMK_SQL = f"""
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT {_BOTTOMK}
+"""
+
+
 QUERIES = {
+    "sample_bottomk_hash": sample_bottomk_hash,
     "pack_sequences_greedy": pack_sequences_greedy,
     "tfidf_top_terms": tfidf_top_terms,
     "sample_stratified_hash": sample_stratified_hash,
@@ -248,6 +282,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_bottomk_hash": SAMPLE_BOTTOMK_SQL,
     "pack_sequences_greedy": PACK_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "sample_stratified_hash": SAMPLE_SQL,

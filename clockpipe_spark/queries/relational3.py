@@ -252,7 +252,51 @@ FROM u
 """
 
 
+def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (the time-windowed running aggregate rows
+    frames cannot express): per user, count and cents-sum of events in
+    the PRECEDING HOUR of each event — frame membership decided by
+    timestamp distance, not row position, so bursts widen the frame and
+    quiet periods shrink it. Ordered on integer microseconds in both
+    engines (RANGE peers = equal-ts events included wholly, identical
+    tie semantics); cents keep the running sum exact.
+
+    Shape: one shuffle on user_id, then a single sorted range-frame
+    pass per partition — the same budget as any lag/cumsum window."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(cents).over(w).alias("sum_cents_last_hour"),
+    ).orderBy("event_id")
+
+
+WINDOW_RANGE_TIME_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS sum_cents_last_hour
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "window_range_time_frame": window_range_time_frame,
     "window_function_battery": window_function_battery,
     "scalar_math_battery": scalar_math_battery,
     "grouping_sets_lineitem": grouping_sets_lineitem,
@@ -263,6 +307,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_range_time_frame": WINDOW_RANGE_TIME_SQL,
     "window_function_battery": WINDOW_BATTERY_SQL,
     "scalar_math_battery": SCALAR_MATH_SQL,
     "grouping_sets_lineitem": GROUPING_SETS_SQL,
