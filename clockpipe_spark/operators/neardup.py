@@ -258,8 +258,13 @@ def banded_hamming_pairs(
             F.col("b.id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # verify BEFORE dedup: the Hamming filter is a codegen'd popcount
+        # over columns already in hand, while dropDuplicates is a shuffle
+        # — filtering first shrinks that exchange by the candidate
+        # false-positive factor (multi-chunk matches re-enter it anyway,
+        # but never non-matches)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
