@@ -26,6 +26,7 @@ from clockpipe_spark.queries import sketches as _sketches
 from clockpipe_spark.queries import streamlike as _streamlike
 from clockpipe_spark.queries import textops as _textops
 from clockpipe_spark.queries import timeseries as _timeseries
+from clockpipe_spark.queries import timeseries2 as _timeseries2
 from clockpipe_spark.queries import textops2 as _textops2
 
 _MODULES = (
@@ -34,6 +35,7 @@ _MODULES = (
     _relational3,
     _relational4,
     _timeseries,
+    _timeseries2,
     _cdc,
     _textops,
     _textops2,

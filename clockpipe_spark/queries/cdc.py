@@ -667,8 +667,54 @@ FROM p GROUP BY tbl, applied_through ORDER BY tbl
 """
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the change log: every
+    surviving change becomes a versioned row with a [valid_from_seq,
+    valid_to_seq) interval in LSN order; deletes emit no version but
+    close the previous one; the open interval (valid_to NULL) marks the
+    current row — the materialized twin of `cdc_replica_asof` time
+    travel (any historical state is `valid_from <= S < valid_to`).
+
+    ClickHouse users build this over the ReplacingMergeTree log with
+    argMax chains; here it is ONE lead() window per key: the log
+    shuffles once on user_id, lead() runs over ALL ops (so a delete
+    still closes its predecessor), and the delete rows drop only after
+    supplying their boundary. No join, no second shuffle; at 100 TB
+    history build cost is the one keyed exchange it cannot avoid."""
+    clog = _changelog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("seq")
+    versions = clog.select(
+        "user_id",
+        "op",
+        F.col("seq").alias("valid_from_seq"),
+        F.lead("seq").over(w).alias("valid_to_seq"),
+        F.round("value", 2).alias("value"),
+    )
+    return versions.filter(F.col("op") != "D").select(
+        "user_id",
+        "valid_from_seq",
+        "valid_to_seq",
+        "value",
+        F.col("valid_to_seq").isNull().cast("int").alias("is_current"),
+    )
+
+
+CDC_SCD2_SQL = f"""
+{_CLOG_CTE}
+SELECT user_id, valid_from_seq, valid_to_seq, value,
+       CAST(valid_to_seq IS NULL AS INT) AS is_current
+FROM (
+  SELECT user_id, op, seq AS valid_from_seq,
+         lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_seq,
+         round(value, 2) AS value
+  FROM changelog
+) WHERE op <> 'D'
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_lag_report": cdc_lag_report,
     "cdc_mongo_bson_casts": cdc_mongo_bson_casts,
     "cdc_changestream_decode": cdc_changestream_decode,
@@ -687,6 +733,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
+    "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_lag_report": CDC_LAG_SQL,
     "cdc_mongo_bson_casts": CDC_BSON_CASTS_SQL,
     "cdc_changestream_decode": CDC_CHANGESTREAM_SQL,

@@ -1,0 +1,191 @@
+"""Time-series tier 2: OHLC resampling, event-transition matrix, and
+bounded-frame EWMA smoothing over the replica's event stream.
+
+These extend SURVEY §2.9's analytics mandate with the downsample /
+path-analysis / smoothing trio a reference user runs on the synced
+replica (the ClickHouse-side `GROUP BY toStartOfHour` /
+`neighbor()` / exponentialMovingAverage idioms re-expressed as
+Spark window + higher-order-function plans). Every query here is
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clockpipe_spark.catalog import load_table
+
+
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are the first/last
+    value in sequence order (event_id — the LSN role, unique, so the
+    pick is deterministic), high/low the extremes, plus volume.
+
+    Plan shape: ONE hash aggregation keyed on (event_type, hour) with
+    map-side partial min_by/max_by/min/max/count combine — the classic
+    downsample runs at scan speed and the shuffle carries only
+    bar-grained rows (types x hours), never the raw stream. At 100 TB
+    the same plan holds; bars-per-key stays bounded by the time range.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+        )
+        .agg(
+            F.round(F.min_by("value", "event_id"), 2).alias("open_value"),
+            F.round(F.max("value"), 2).alias("high_value"),
+            F.round(F.min("value"), 2).alias("low_value"),
+            F.round(F.max_by("value", "event_id"), 2).alias("close_value"),
+            F.count("*").alias("n_events"),
+            F.floor(F.sum("value") * 100).cast("long").alias("volume_cents"),
+        )
+    )
+
+
+OHLC_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour_start,
+       round(arg_min(value, event_id), 2) AS open_value,
+       round(max(value), 2) AS high_value,
+       round(min(value), 2) AS low_value,
+       round(arg_max(value, event_id), 2) AS close_value,
+       count(*) AS n_events,
+       CAST(floor(sum(value) * 100) AS BIGINT) AS volume_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    count and probability of each (previous event type -> event type)
+    step, ordered by (ts, event_id) within user.
+
+    Probabilities are integer-scaled ((cnt * 1e6) div row_total) so
+    both engines agree exactly — float division would tie-break
+    differently at the last decimal.
+
+    Plan shape: one user_id-partitioned lag window (co-partitioned
+    with every other per-user analytic in the battery), then a
+    25-cell hash aggregation with map-side combine and a broadcast-
+    sized per-prev total join. The raw stream shuffles once, on
+    user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return steps.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.expr("(cnt * 1000000L) div sum(cnt) over (partition by prev_type)")
+        .alias("prob_ppm"),
+    )
+
+
+TRANSITION_SQL = """
+WITH steps AS (
+  SELECT user_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+cells AS (
+  SELECT prev_type, next_type, count(*) AS cnt
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, cnt,
+       (cnt * 1000000) // sum(cnt) OVER (PARTITION BY prev_type) AS prob_ppm
+FROM cells
+"""
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_SPAN = 20  # bounded frame: 20 most recent observations
+
+
+def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of `value` over a bounded 20-row event-ordered
+    frame (pandas `ewm(alpha=0.2, adjust=True)` semantics, truncated
+    to the frame): y_t = sum((1-a)^k * x_{t-k}) / sum((1-a)^k).
+
+    EWMA is a sequential recurrence, but over a BOUNDED frame it is a
+    windowed weighted average, so it stays a pure expression: collect
+    the frame (<= 20 values, oldest first) with a rows-frame window,
+    then one fold `s <- s*(1-a)+x, w <- w*(1-a)+1` per row — no UDF,
+    no second shuffle beyond the user_id window exchange. At 100 TB
+    the frame bound is what keeps state O(1) per row; the unbounded
+    variant is the streaming applyInPandasWithState job, not a batch
+    window.
+
+    The oracle computes the same weighted mean non-recursively via a
+    distance-bounded self-join on row_number — an independent
+    formulation whose agreement (to 6 decimals) pins the fold."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    frame = F.collect_list("value").over(w)
+    decay = F.lit(1.0 - _EWMA_ALPHA)
+    ewma = F.aggregate(
+        frame,
+        F.struct(
+            F.lit(0.0).alias("s"),
+            F.lit(0.0).alias("w"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["s"] * decay + x).alias("s"),
+            (acc["w"] * decay + F.lit(1.0)).alias("w"),
+        ),
+        lambda acc: F.round(acc["s"] / acc["w"], 6),
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        ewma.alias("ewma"),
+    )
+
+
+EWMA_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_id, a.user_id, round(a.value, 2) AS value,
+       round(sum(b.value * pow({1.0 - _EWMA_ALPHA}, a.rn - b.rn))
+             / sum(pow({1.0 - _EWMA_ALPHA}, a.rn - b.rn)), 6) AS ewma
+FROM ordered a
+JOIN ordered b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_EWMA_SPAN - 1} AND a.rn
+GROUP BY a.event_id, a.user_id, a.value
+"""
+
+
+QUERIES = {
+    "ts_resample_ohlc": ts_resample_ohlc,
+    "event_transition_matrix": event_transition_matrix,
+    "ts_ewma_bounded": ts_ewma_bounded,
+}
+
+ORACLES = {
+    "ts_resample_ohlc": OHLC_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
+    "ts_ewma_bounded": EWMA_SQL,
+}
