@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clockpipe_spark.queries import approximate as _approximate
 from clockpipe_spark.queries import cdc as _cdc
+from clockpipe_spark.queries import corpusstats as _corpusstats
 from clockpipe_spark.queries import llmprep as _llmprep
 from clockpipe_spark.queries import llmprep2 as _llmprep2
 from clockpipe_spark.queries import llmprep3 as _llmprep3
@@ -37,6 +38,7 @@ _MODULES = (
     _timeseries,
     _timeseries2,
     _cdc,
+    _corpusstats,
     _textops,
     _textops2,
     _similarity,

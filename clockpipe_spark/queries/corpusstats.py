@@ -1,0 +1,251 @@
+"""Corpus-statistics and membership-sketch tier: document-length
+histogram and a Bloom-filter benchmark-contamination scan.
+
+The Bloom variant complements llmprep2.benchmark_contamination (exact
+broadcast join on gram STRINGS): here the benchmark compresses to a
+bit-position SET (3 positions per gram in a 2^20-bit space) so the
+broadcast payload is integers, not text — the shape that still fits in
+a broadcast when the benchmark suite's raw grams would not. Every hash
+is portable integer arithmetic (Karp-Rabin char fold -> token-level
+gram fold -> Kirsch-Mitzenmacher double hashing), so the whole filter
+is deterministic and the DuckDB oracle reproduces it bit-for-bit:
+false positives are not noise but a pinned, reproducible property of
+the filter both engines must agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.catalog import load_table
+
+_B1 = 31  # char-fold base (shared with textops2.text_rolling_hash)
+_B2 = 37  # independent second base for double hashing
+_P = 2147483647  # 2^31 - 1; keeps every product below 2^36
+_BLOOM_M = 1 << 20  # bits in the filter
+_BLOOM_K = 3  # probes per gram
+_GRAM_N = 5  # benchmark-contamination gram width (matches llmprep2)
+
+
+def corpus_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram with per-bucket token
+    mass — the first dashboard every corpus pipeline ships. The bucket
+    is floor(log2(n_chars + 0.5)): the +0.5 keeps the argument off
+    exact powers of two, so a 1-ulp libm difference between engines
+    can never flip the floor. Shares are ppm-scaled integer division.
+
+    One hash aggregation with map-side combine over a pure projection;
+    at 100 TB this runs at scan speed and shuffles ~30 bucket rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.col("n_chars") + 0.5)).alias("bucket")
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    hist = (
+        docs.select(bucket, ws_tokens.alias("ws_tokens"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    return hist.select(
+        "bucket",
+        F.expr("shiftleft(1L, cast(bucket as int))").alias("bucket_lo_chars"),
+        "n_docs",
+        "total_tokens",
+        "min_chars",
+        "max_chars",
+        F.expr(
+            "(n_docs * 1000000L) div sum(n_docs) over ()"
+        ).alias("share_ppm"),
+    )
+
+
+DOCLEN_HIST_SQL = r"""
+WITH h AS (
+  SELECT CAST(floor(log2(n_chars + 0.5)) AS BIGINT) AS bucket,
+         len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+         n_chars
+  FROM documents
+),
+g AS (
+  SELECT bucket, count(*) AS n_docs, sum(ws_tokens) AS total_tokens,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+  FROM h GROUP BY bucket
+)
+SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS bucket_lo_chars,
+       n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+       min_chars, max_chars,
+       (n_docs * 1000000) // sum(n_docs) OVER () AS share_ppm
+FROM g
+"""
+
+
+def _token_hashes(toks):
+    """Karp-Rabin char fold per token (base B1 mod P), as a pure
+    column expression over the token array."""
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * _B1 + c) % _P,
+        ),
+    )
+
+
+def _gram_hash_pairs(th):
+    """(h1, h2) per 5-gram by folding the 5 TOKEN hashes with two
+    independent bases — each char is hashed once per token, not once
+    per containing gram (a 5x saving over hashing gram strings)."""
+    n = F.size(th)
+    idx = F.when(n >= _GRAM_N, F.sequence(F.lit(1), n - (_GRAM_N - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def fold(base):
+        def gram(i):
+            acc = F.lit(0).cast("bigint")
+            for j in range(_GRAM_N):
+                acc = (acc * base + F.element_at(th, i + j)) % _P
+            return acc
+
+        return gram
+
+    return F.transform(
+        idx, lambda i: F.struct(fold(_B1)(i).alias("h1"), fold(_B2)(i).alias("h2"))
+    )
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan through a Bloom filter: benchmark
+    5-grams (doc_id % 50 == 0, the stand-in suite) set K=3 positions
+    each in a 2^20-bit space via double hashing h1 + i*(2*h2+1); a
+    corpus gram is flagged when all 3 of its positions are set. Output
+    per corpus doc: flagged-gram count and the contaminated bit.
+
+    Plan shape: the benchmark side collapses to <= 3 x |bench grams|
+    DISTINCT bit positions — a broadcast of bigints whose size is
+    independent of gram text length. The corpus streams through one
+    explode + broadcast join + two hash aggregations keyed on
+    (doc_id[, gram]); nothing ever shuffles on gram text and the raw
+    corpus shuffles nothing at all. At a real 100 TB deployment the
+    eval suite is external and tiny; the filter's false-positive rate
+    (k=3, m=2^20) is sized for it, and because the hashing is
+    deterministic the oracle reproduces even the false positives."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50 == 0).alias("is_bench"),
+        F.array_distinct(
+            _gram_hash_pairs(
+                _token_hashes(F.split(F.trim(F.lower("text")), r"\s+"))
+            )
+        ).alias("hp"),
+    )
+    probes = hashed.select(
+        "doc_id",
+        "is_bench",
+        F.explode("hp").alias("g"),
+    ).select(
+        "doc_id",
+        "is_bench",
+        F.col("g.h1").alias("h1"),
+        (F.col("g.h2") * 2 + 1).alias("h2o"),
+    )
+    ks = spark.range(_BLOOM_K).select(F.col("id").alias("i"))
+    bits = (
+        probes.filter("is_bench")
+        .crossJoin(F.broadcast(ks))
+        .select(((F.col("h1") + F.col("i") * F.col("h2o")) % _BLOOM_M).alias("pos"))
+        .distinct()
+    )
+    corpus_pos = (
+        probes.filter(~F.col("is_bench"))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "doc_id",
+            "h1",
+            "h2o",
+            ((F.col("h1") + F.col("i") * F.col("h2o")) % _BLOOM_M).alias("pos"),
+        )
+    )
+    gram_hits = (
+        corpus_pos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "h1", "h2o")
+        .agg(F.count("*").alias("k_hit"))
+        .filter(F.col("k_hit") == _BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_flagged_grams"))
+    )
+    corpus_docs = hashed.filter(~F.col("is_bench")).select("doc_id")
+    return corpus_docs.join(gram_hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_flagged_grams", F.lit(0)).alias("n_flagged_grams"),
+        (F.coalesce("n_flagged_grams", F.lit(0)) > 0).cast("int").alias(
+            "contaminated"
+        ),
+    )
+
+
+CONTAM_BLOOM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, is_bench,
+         list_transform(t, tok -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(tok)),
+                            i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+           (acc, c) -> (acc * {_B1} + c) % {_P})) AS hs
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_bench,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i, i + {_GRAM_N - 1})),
+                     (acc, x) -> (acc * {_B1} + x) % {_P}) AS h1,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i, i + {_GRAM_N - 1})),
+                     (acc, x) -> (acc * {_B2} + x) % {_P}) * 2 + 1 AS h2o
+  FROM th, unnest(generate_series(1, len(hs) - {_GRAM_N - 1})) AS u(i)
+  WHERE len(hs) >= {_GRAM_N}
+),
+ks AS (SELECT unnest(range({_BLOOM_K})) AS i),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2o) % {_BLOOM_M} AS pos
+  FROM grams, ks WHERE is_bench
+),
+gram_hits AS (
+  SELECT doc_id, h1, h2o
+  FROM (
+    SELECT g.doc_id, g.h1, g.h2o, count(*) AS k_hit
+    FROM grams g CROSS JOIN ks
+    JOIN bits b ON (g.h1 + ks.i * g.h2o) % {_BLOOM_M} = b.pos
+    WHERE NOT g.is_bench
+    GROUP BY g.doc_id, g.h1, g.h2o
+  ) WHERE k_hit = {_BLOOM_K}
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_flagged_grams FROM gram_hits GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_flagged_grams, 0) AS BIGINT) AS n_flagged_grams,
+       CAST(coalesce(p.n_flagged_grams, 0) > 0 AS INT) AS contaminated
+FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+WHERE NOT t.is_bench
+"""
+
+
+QUERIES = {
+    "corpus_doclen_histogram": corpus_doclen_histogram,
+    "contamination_bloom": contamination_bloom,
+}
+
+ORACLES = {
+    "corpus_doclen_histogram": DOCLEN_HIST_SQL,
+    "contamination_bloom": CONTAM_BLOOM_SQL,
+}

@@ -52,8 +52,47 @@ ORDER BY cnt DESC, term
 """
 
 
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + cumulative distinct-user counts from MERGEABLE HLL
+    sketches (Datasketches via Spark's hll_sketch_agg/hll_union_agg):
+    the raw stream is scanned ONCE to build one binary sketch per day;
+    every cumulative count is then a union over those day sketches —
+    never a rescan. This is the 100 TB shape for distinct-over-time:
+    per-partition sketch state is KB-sized regardless of cardinality,
+    the day->sketch table is dashboard-sized, and any window (cumulative,
+    trailing 7-day, arbitrary range) is a sketch merge, which pytest
+    pins as lossless (union of day sketches == one-pass whole-stream
+    sketch, exactly).
+
+    Estimates are approximate by nature, so this entry is rows-only for
+    the driver; test_sketches.py bounds the error vs the exact counts
+    and asserts the merge identity."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    cum = (
+        daily.select(F.col("day").alias("as_of"))
+        .join(daily, F.col("day") <= F.col("as_of"))
+        .groupBy("as_of")
+        .agg(F.hll_union_agg("sk").alias("cum_sk"))
+    )
+    return (
+        daily.join(cum, daily.day == cum.as_of)
+        .select(
+            "day",
+            "n_events",
+            F.hll_sketch_estimate("sk").cast("long").alias("daily_users_est"),
+            F.hll_sketch_estimate("cum_sk").cast("long").alias("cum_users_est"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "frequent_items_mg": frequent_items_mg,
+    "hll_user_rollup": hll_user_rollup,
 }
 
 ORACLES = {

@@ -79,3 +79,39 @@ def test_registry_query_matches_plain_groupby(spark, sf_dir):
     }
     assert got == exact
     assert got, "fixture must contain heavy hitters at k=32"
+
+
+def test_hll_rollup_bounds_and_merge_identity(spark, sf_dir):
+    """Estimates stay within HLL's expected error of the exact counts,
+    cumulative is monotone, and the final cumulative union of daily
+    sketches equals the one-pass whole-stream sketch EXACTLY (merge is
+    lossless, not approximately-lossless)."""
+    from clockpipe_spark.queries.sketches import hll_user_rollup
+
+    rows = hll_user_rollup(spark, sf_dir).collect()
+    assert rows, "rollup produced no days"
+
+    from clockpipe_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    daily_exact = {
+        r["day"]: r["c"]
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("c"))
+        .collect()
+    }
+    total_exact = events.select("user_id").distinct().count()
+
+    prev_cum = 0
+    for r in rows:
+        exact_d = daily_exact[r["day"]]
+        assert abs(r["daily_users_est"] - exact_d) <= max(2, 0.05 * exact_d)
+        assert r["cum_users_est"] >= prev_cum  # monotone merge
+        prev_cum = r["cum_users_est"]
+    assert abs(prev_cum - total_exact) <= max(2, 0.05 * total_exact)
+
+    # merge identity: union of the daily sketches == one-pass sketch
+    one_pass = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("e")
+    ).collect()[0]["e"]
+    assert prev_cum == one_pass
