@@ -295,7 +295,46 @@ ORDER BY event_id
 """
 
 
+def scalar_bitops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (ClickHouse bitAnd/bitOr/bitXor/
+    bitShift*/bitCount family): AND/OR/XOR against masks, shifts, and
+    popcount over the event id/user id pair, plus the bucket-by-
+    low-bits idiom (id & 1023) every hash-partitioned pipeline uses.
+    DuckDB's ``^`` is exponentiation, so the oracle spells xor();
+    Spark's SQL ``^`` is xor — a classic cross-engine quirk this
+    battery pins. Pure projection, whole-stage codegen, scan speed."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("event_id & user_id").alias("bit_and"),
+        F.expr("event_id | user_id").alias("bit_or"),
+        F.expr("event_id ^ user_id").alias("bit_xor"),
+        F.expr("~event_id").alias("bit_not"),
+        F.expr("shiftleft(user_id, 3)").alias("shl3"),
+        F.expr("shiftright(event_id, 2)").alias("shr2"),
+        F.bit_count("event_id").alias("popcount"),
+        F.expr("event_id & 1023").alias("bucket_lo10"),
+        F.expr("cast(event_id & -event_id as bigint)").alias("lowest_set_bit"),
+    )
+
+
+SCALAR_BITOPS_SQL = """
+SELECT event_id,
+       event_id & user_id AS bit_and,
+       event_id | user_id AS bit_or,
+       xor(event_id, user_id) AS bit_xor,
+       ~event_id AS bit_not,
+       user_id << 3 AS shl3,
+       event_id >> 2 AS shr2,
+       CAST(bit_count(event_id) AS INT) AS popcount,
+       event_id & 1023 AS bucket_lo10,
+       event_id & -event_id AS lowest_set_bit
+FROM events
+"""
+
+
 QUERIES = {
+    "scalar_bitops_battery": scalar_bitops_battery,
     "window_range_time_frame": window_range_time_frame,
     "window_function_battery": window_function_battery,
     "scalar_math_battery": scalar_math_battery,
@@ -307,6 +346,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scalar_bitops_battery": SCALAR_BITOPS_SQL,
     "window_range_time_frame": WINDOW_RANGE_TIME_SQL,
     "window_function_battery": WINDOW_BATTERY_SQL,
     "scalar_math_battery": SCALAR_MATH_SQL,

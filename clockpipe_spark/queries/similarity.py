@@ -610,8 +610,79 @@ def ann_ivf_topk_prebuilt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk_prebuilt(spark, sf_dir, root)
 
 
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most-similar corpus vectors with a DIFFERENT
+    label — the highest-cosine wrong-class examples a retrieval trainer
+    pairs against the positives. Same broadcast(queries) x corpus scan
+    as cosine_topk_brute with the label-inequality predicate fused into
+    the join, so mining cost is identical to a top-k query; at index
+    scale the IVF/PQ shortlist path substitutes for the scan and the
+    label filter rides the re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double_array(F.col("embedding")).alias("qe"),
+    ).withColumn("qn2", l2_norm_sq(F.col("qe")))
+    corpus = fanout_repartition(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double_array(F.col("embedding")).alias("ne"),
+    ).withColumn("nn2", l2_norm_sq(F.col("ne")))
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("neighbor_label") != F.col("query_label")
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine_prenormed(
+            F.col("qe"), F.col("ne"), F.col("qn2"), F.col("nn2")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos", 6).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label,
+         CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+pairs AS (
+  SELECT query_id, query_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings e
+  WHERE e.label <> query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cos, 6) AS cosine, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= {_TOP_K}
+"""
+
+
 QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
+    "ann_hard_negatives": ann_hard_negatives,
     "cosine_topk_brute": cosine_topk_brute,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
@@ -626,6 +697,7 @@ QUERIES = {
 ORACLES = {
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "cosine_topk_brute": COSINE_TOPK_SQL,
+    "ann_hard_negatives": HARD_NEGATIVES_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
     # ann_lsh_topk: rows-only (engine-specific hash family); recall tested in pytest
 }

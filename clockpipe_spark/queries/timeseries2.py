@@ -178,14 +178,80 @@ GROUP BY a.event_id, a.user_id, a.value
 """
 
 
+def sequence_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch``/``sequenceCount`` analog: each
+    user's event-type path collapses to a one-char-per-event string in
+    (ts, event_id) order, and regexes classify the journey — funnel
+    reached (view..click..purchase in order), CLEAN funnel (no error
+    event between the steps), and purchase count.
+
+    Deterministic ordering inside an aggregation: collect structs keyed
+    by (ts, event_id), sort_array, then project the chars — the only
+    portable way to order array_agg in Spark. Per-user path length is
+    bounded by that user's event count, so the state is the same
+    O(events-per-key) any sessionization already pays; one user_id
+    shuffle total."""
+    events = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    per_user = events.select(
+        "user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("step")
+    ).groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("step")), lambda s: s["ch"]
+            ),
+            "",
+        ).alias("path")
+    )
+    return per_user.select(
+        "user_id",
+        F.length("path").cast("bigint").alias("path_len"),
+        F.col("path").rlike("v.*c.*p").cast("int").alias("has_funnel"),
+        F.col("path").rlike("v[^e]*c[^e]*p").cast("int").alias("clean_funnel"),
+        (F.length("path") - F.length(F.regexp_replace("path", "p", "")))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+
+
+SEQUENCE_MATCH_SQL = """
+WITH paths AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'v'
+                      WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p'
+                      WHEN 'signup' THEN 's'
+                      ELSE 'e'
+                    END, '' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(path) AS BIGINT) AS path_len,
+       CAST(regexp_matches(path, 'v.*c.*p') AS INT) AS has_funnel,
+       CAST(regexp_matches(path, 'v[^e]*c[^e]*p') AS INT) AS clean_funnel,
+       CAST(length(path) - length(replace(path, 'p', '')) AS BIGINT)
+           AS n_purchases
+FROM paths
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
     "event_transition_matrix": event_transition_matrix,
     "ts_ewma_bounded": ts_ewma_bounded,
+    "sequence_match_pattern": sequence_match_pattern,
 }
 
 ORACLES = {
     "ts_resample_ohlc": OHLC_SQL,
     "event_transition_matrix": TRANSITION_SQL,
     "ts_ewma_bounded": EWMA_SQL,
+    "sequence_match_pattern": SEQUENCE_MATCH_SQL,
 }
