@@ -22,6 +22,7 @@ from clockpipe_spark.queries import relational as _relational
 from clockpipe_spark.queries import relational2 as _relational2
 from clockpipe_spark.queries import relational3 as _relational3
 from clockpipe_spark.queries import relational4 as _relational4
+from clockpipe_spark.queries import relational5 as _relational5
 from clockpipe_spark.queries import similarity as _similarity
 from clockpipe_spark.queries import sketches as _sketches
 from clockpipe_spark.queries import streamlike as _streamlike
@@ -35,6 +36,7 @@ _MODULES = (
     _relational2,
     _relational3,
     _relational4,
+    _relational5,
     _timeseries,
     _timeseries2,
     _cdc,

@@ -1,0 +1,219 @@
+"""Relational surface tier 5: the join/set-op/NULL/higher-order-function
+corners that round out §2.9 — FULL OUTER reconciliation, bag-semantics
+set operations (EXCEPT ALL / INTERSECT ALL), a NULL-semantics battery
+(null-safe equality included), and an array higher-order-function
+battery. All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clockpipe_spark.catalog import load_table
+
+
+def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily signup-vs-purchase reconciliation: FULL OUTER join of the
+    per-(day, user) signup counts against the per-(day, user) purchase
+    aggregates — users who signed up but never bought and buyers who
+    never signed up that day both survive, zero-filled. The canonical
+    'two fact streams, neither side complete' report.
+
+    Both sides pre-aggregate before the join, so the full-outer
+    exchange carries (day, user) grains, not raw events, and both
+    shuffles share the same key — co-partitioned at scale."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy(day, "user_id")
+        .agg(F.count("*").alias("n_signups"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(day, "user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.floor(F.sum("value") * 100).cast("long").alias("spend_cents"),
+        )
+    )
+    return signups.join(purchases, ["day", "user_id"], "full_outer").select(
+        "day",
+        "user_id",
+        F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("spend_cents", F.lit(0)).alias("spend_cents"),
+    )
+
+
+FULL_OUTER_SQL = """
+WITH s AS (
+  SELECT date_trunc('day', ts) AS day, user_id, count(*) AS n_signups
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+),
+p AS (
+  SELECT date_trunc('day', ts) AS day, user_id, count(*) AS n_purchases,
+         CAST(floor(sum(value) * 100) AS BIGINT) AS spend_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT coalesce(s.day, p.day) AS day,
+       coalesce(s.user_id, p.user_id) AS user_id,
+       coalesce(s.n_signups, 0) AS n_signups,
+       coalesce(p.n_purchases, 0) AS n_purchases,
+       coalesce(p.spend_cents, 0) AS spend_cents
+FROM s FULL OUTER JOIN p ON s.day = p.day AND s.user_id = p.user_id
+"""
+
+
+def setop_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: the (user, event_type) MULTISET of
+    the first half-month EXCEPT ALL / INTERSECT ALL the second half —
+    multiplicities matter (a user with 3 clicks early and 1 click late
+    leaves 2 'except_all' click rows), which DISTINCT-flavored set ops
+    cannot express. Spark's exceptAll/intersectAll compile to the same
+    count-difference aggregation the SQL standard prescribes; the
+    shuffle is on the full row key, once per operand."""
+    events = load_table(spark, sf_dir, "events")
+    half = F.dayofmonth("ts") <= 15
+    a = events.filter(half).select("user_id", "event_type")
+    b = events.filter(~half).select("user_id", "event_type")
+    ex = a.exceptAll(b).withColumn("kind", F.lit("except_all"))
+    inter = a.intersectAll(b).withColumn("kind", F.lit("intersect_all"))
+    return (
+        ex.unionByName(inter)
+        .groupBy("kind", "user_id", "event_type")
+        .agg(F.count("*").alias("multiplicity"))
+    )
+
+
+SETOP_BAG_SQL = """
+WITH a AS (
+  SELECT user_id, event_type FROM events WHERE date_part('day', ts) <= 15
+),
+b AS (
+  SELECT user_id, event_type FROM events WHERE date_part('day', ts) > 15
+),
+ex AS (SELECT *, 'except_all' AS kind FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)),
+inter AS (SELECT *, 'intersect_all' AS kind FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+SELECT kind, user_id, event_type, count(*) AS multiplicity
+FROM (SELECT * FROM ex UNION ALL SELECT * FROM inter)
+GROUP BY 1, 2, 3
+"""
+
+
+def scalar_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: NULLs are injected (every 7th event),
+    then each NULL-handling primitive is pinned — coalesce chains,
+    nullif, null-safe equality (Spark ``<=>`` vs SQL ``IS NOT DISTINCT
+    FROM``), NULL propagation through arithmetic, and the
+    count(col)-skips-NULLs rule via a conditional flag. Engines
+    genuinely differ here (three-valued logic shortcuts), which is why
+    the battery exists. Pure projection at scan speed."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    nv = F.when(F.col("event_id") % 7 != 0, cents)
+    return events.select(
+        "event_id",
+        nv.isNull().cast("int").alias("is_null"),
+        F.coalesce(nv, F.lit(-1)).alias("coalesced"),
+        F.nullif(cents % 10, F.lit(0)).alias("nullif_zero_digit"),
+        nv.eqNullSafe(cents).cast("int").alias("nullsafe_eq_orig"),
+        nv.eqNullSafe(F.lit(None).cast("long")).cast("int").alias(
+            "nullsafe_eq_null"
+        ),
+        (nv + 1).alias("null_propagating_sum"),
+        F.when(nv.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("countable"),
+    )
+
+
+NULL_BATTERY_SQL = """
+WITH base AS (
+  SELECT event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_id % 7 <> 0
+              THEN CAST(floor(value * 100) AS BIGINT) END AS nv
+  FROM events
+)
+SELECT event_id,
+       CAST(nv IS NULL AS INT) AS is_null,
+       coalesce(nv, -1) AS coalesced,
+       nullif(cents % 10, 0) AS nullif_zero_digit,
+       CAST(nv IS NOT DISTINCT FROM cents AS INT) AS nullsafe_eq_orig,
+       CAST(nv IS NOT DISTINCT FROM CAST(NULL AS BIGINT) AS INT)
+           AS nullsafe_eq_null,
+       nv + 1 AS null_propagating_sum,
+       CASE WHEN nv IS NOT NULL THEN 1 ELSE 0 END AS countable
+FROM base
+"""
+
+
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function battery over a per-row integer array
+    (sequence sized by the event id): transform, filter, aggregate
+    (fold), exists, reverse, slice, and containment — the Spark HOF
+    lambda surface against DuckDB's list_* lambda family. Arrays are
+    materialized as a column BEFORE the lambdas (the repo-wide no-CSE-
+    inside-lambdas rule). Pure projection, whole-stage codegen."""
+    events = load_table(spark, sf_dir, "events")
+    with_arr = events.select(
+        "event_id",
+        F.sequence(F.lit(1), (F.col("event_id") % 8 + 1).cast("int")).alias(
+            "arr"
+        ),
+    )
+    squares = F.transform(F.col("arr"), lambda x: x * x)
+    return with_arr.select(
+        "event_id",
+        F.col("arr"),
+        squares.alias("squares"),
+        F.filter(F.col("arr"), lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(
+            F.col("arr"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x * x,
+        ).alias("sum_squares"),
+        F.exists(F.col("arr"), lambda x: x > 6).cast("int").alias("has_gt6"),
+        F.reverse(F.col("arr")).alias("reversed"),
+        F.slice(F.col("arr"), 2, 3).alias("middle"),
+        F.array_contains(F.col("arr"), 5).cast("int").alias("contains_5"),
+        F.size(F.col("arr")).alias("n"),
+    )
+
+
+ARRAY_HOF_SQL = """
+WITH base AS (
+  SELECT event_id,
+         list_transform(generate_series(1, CAST(event_id % 8 + 1 AS INT)),
+                        x -> CAST(x AS INT)) AS arr
+  FROM events
+)
+SELECT event_id,
+       arr,
+       list_transform(arr, x -> x * x) AS squares,
+       list_filter(arr, x -> x % 2 = 0) AS evens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(arr, x -> CAST(x AS BIGINT))),
+                   (acc, x) -> acc + x * x) AS sum_squares,
+       CAST(len(list_filter(arr, x -> x > 6)) > 0 AS INT) AS has_gt6,
+       list_reverse(arr) AS reversed,
+       list_slice(arr, 2, 4) AS middle,
+       CAST(list_contains(arr, 5) AS INT) AS contains_5,
+       len(arr) AS n
+FROM base
+"""
+
+
+QUERIES = {
+    "join_full_outer_daily": join_full_outer_daily,
+    "setop_bag_ops": setop_bag_ops,
+    "scalar_null_battery": scalar_null_battery,
+    "array_hof_battery": array_hof_battery,
+}
+
+ORACLES = {
+    "join_full_outer_daily": FULL_OUTER_SQL,
+    "setop_bag_ops": SETOP_BAG_SQL,
+    "scalar_null_battery": NULL_BATTERY_SQL,
+    "array_hof_battery": ARRAY_HOF_SQL,
+}

@@ -242,8 +242,124 @@ FROM paths
 """
 
 
+_QH_BIN_W = 8  # fixed bin width (a power of two: value/8 is exact in IEEE)
+
+
+def quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative p50/p90/p99 per day from MERGEABLE fixed-width
+    histograms — the deterministic cousin of the HLL rollup
+    (sketches.hll_user_rollup): the raw stream is scanned ONCE into
+    (day, bin) counts; every as-of-day quantile is then bin arithmetic
+    over the dense day x bin grid. Unlike t-digest/KLL the fixed-bin
+    sketch is exactly mergeable with no ordering sensitivity, so the
+    whole rollup is integer-deterministic and ORACLE-CHECKABLE — the
+    returned quantile is the lower edge of the bin where the cumulative
+    count crosses the rank (error <= bin width, pinned by pytest).
+
+    Plan: one fact-stream aggregation with map-side combine; the grid
+    (days x ~70 bins, built from two broadcast distinct lists) takes
+    two window cumsums (over days per bin, then over bins per day) and
+    a conditional-min aggregation. At 100 TB only the first
+    aggregation touches data; everything after is dashboard-sized."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    binc = F.floor(F.col("value") / _QH_BIN_W).cast("long").alias("bin")
+    daily = events.select(day, binc).groupBy("day", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+    days = daily.select("day").distinct()
+    bins = daily.select("bin").distinct()
+    grid = F.broadcast(days).crossJoin(F.broadcast(bins))
+    dense = grid.join(daily, ["day", "bin"], "left").select(
+        "day", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w_day = (
+        Window.partitionBy("bin")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.select(
+        "day", "bin", F.sum("cnt").over(w_day).alias("cum_cnt")
+    )
+    w_bin = (
+        Window.partitionBy("day")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("day")
+    ranked = cum.select(
+        "day",
+        "bin",
+        F.sum("cum_cnt").over(w_bin).alias("running"),
+        F.sum("cum_cnt").over(w_tot).alias("total"),
+    )
+
+    def q_bin(num: int, den: int):
+        """Lower edge of the first bin whose running count reaches
+        ceil(q * total) — integer rank arithmetic, no floats."""
+        hit = F.when(
+            F.col("running") * den >= F.col("total") * num, F.col("bin")
+        )
+        return F.min(hit) * _QH_BIN_W
+
+    return (
+        ranked.groupBy("day")
+        .agg(
+            F.max("total").alias("n_events_to_date"),
+            q_bin(1, 2).alias("p50_lo"),
+            q_bin(9, 10).alias("p90_lo"),
+            q_bin(99, 100).alias("p99_lo"),
+        )
+        .orderBy("day")
+    )
+
+
+QUANTILE_ROLLUP_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(floor(value / {_QH_BIN_W}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, b.bin
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT bin FROM daily) b
+),
+dense AS (
+  SELECT g.day, g.bin, coalesce(daily.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN daily ON daily.day = g.day AND daily.bin = g.bin
+),
+cum AS (
+  SELECT day, bin,
+         sum(cnt) OVER (PARTITION BY bin ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_cnt
+  FROM dense
+),
+ranked AS (
+  SELECT day, bin,
+         sum(cum_cnt) OVER (PARTITION BY day ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running,
+         sum(cum_cnt) OVER (PARTITION BY day) AS total
+  FROM cum
+)
+SELECT day,
+       CAST(max(total) AS BIGINT) AS n_events_to_date,
+       CAST(min(CASE WHEN running * 2 >= total THEN bin END)
+            * {_QH_BIN_W} AS BIGINT) AS p50_lo,
+       CAST(min(CASE WHEN running * 10 >= total * 9 THEN bin END)
+            * {_QH_BIN_W} AS BIGINT) AS p90_lo,
+       CAST(min(CASE WHEN running * 100 >= total * 99 THEN bin END)
+            * {_QH_BIN_W} AS BIGINT) AS p99_lo
+FROM ranked GROUP BY day ORDER BY day
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
+    "quantile_histogram_rollup": quantile_histogram_rollup,
     "event_transition_matrix": event_transition_matrix,
     "ts_ewma_bounded": ts_ewma_bounded,
     "sequence_match_pattern": sequence_match_pattern,
@@ -251,6 +367,7 @@ QUERIES = {
 
 ORACLES = {
     "ts_resample_ohlc": OHLC_SQL,
+    "quantile_histogram_rollup": QUANTILE_ROLLUP_SQL,
     "event_transition_matrix": TRANSITION_SQL,
     "ts_ewma_bounded": EWMA_SQL,
     "sequence_match_pattern": SEQUENCE_MATCH_SQL,

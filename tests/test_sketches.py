@@ -115,3 +115,35 @@ def test_hll_rollup_bounds_and_merge_identity(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("e")
     ).collect()[0]["e"]
     assert prev_cum == one_pass
+
+
+def test_quantile_rollup_error_bound(spark, sf_dir):
+    """The histogram quantile's lower bin edge is within one bin width
+    of the exact cumulative percentile, for every day and quantile."""
+    from clockpipe_spark.queries.timeseries2 import (
+        _QH_BIN_W,
+        quantile_histogram_rollup,
+    )
+    from clockpipe_spark.catalog import load_table
+
+    rows = quantile_histogram_rollup(spark, sf_dir).collect()
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "value"
+    ).collect()
+    import math
+
+    vals_by_day: dict = {}
+    for r in events:
+        vals_by_day.setdefault(r["day"], []).append(r["value"])
+    days = sorted(vals_by_day)
+    for r in rows:
+        cum = [v for d in days if d <= r["day"] for v in vals_by_day[d]]
+        cum.sort()
+        n = len(cum)
+        assert r["n_events_to_date"] == n
+        for q, col in ((0.5, "p50_lo"), (0.9, "p90_lo"), (0.99, "p99_lo")):
+            # exact value at ceil(q*n) rank (the rank the rollup targets)
+            rank = max(1, math.ceil(q * n))
+            exact = cum[rank - 1]
+            lo = r[col]
+            assert lo <= exact < lo + _QH_BIN_W, (r["day"], col, lo, exact)
