@@ -451,6 +451,62 @@ def sample_frames(
     return blobs.select("doc_id", "payload").mapInPandas(run, schema)
 
 
+def scene_cuts(
+    blobs: DataFrame, frame_bytes: int = 32, threshold_x10000: int = 300_000
+) -> DataFrame:
+    """Scene-cut detection over a frame sequence: per-frame byte means
+    (the luma proxy), then a cut wherever the absolute mean jump from
+    the previous frame reaches the threshold — the shot-boundary
+    detector every video ingest pipeline runs before keyframe
+    extraction. The whole frame tensor is one numpy reshape + row-mean
+    + diff per payload (no per-frame Python loop), emitted one row per
+    frame with the jump magnitude so downstream can re-threshold
+    without re-decoding. Integer means (sum * 10000 // frame_bytes)
+    keep it exactly reproducible."""
+    import numpy as np
+
+    schema = (
+        "doc_id long, frame_idx int, mean_byte_x10000 long, "
+        "jump_x10000 long, is_cut int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "frame_idx",
+                    "mean_byte_x10000",
+                    "jump_x10000",
+                    "is_cut",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = len(data) // frame_bytes
+                if n_frames == 0:
+                    continue
+                arr = np.frombuffer(
+                    data, dtype=np.uint8, count=n_frames * frame_bytes
+                ).reshape(n_frames, frame_bytes)
+                sums = arr.sum(axis=1, dtype=np.int64)
+                means = sums * 10000 // frame_bytes
+                jumps = np.abs(np.diff(means, prepend=means[:1]))
+                out["doc_id"].extend([int(doc_id)] * n_frames)
+                out["frame_idx"].extend(range(n_frames))
+                out["mean_byte_x10000"].extend(int(m) for m in means)
+                out["jump_x10000"].extend(int(j) for j in jumps)
+                out["is_cut"].extend(
+                    int(f > 0 and j >= threshold_x10000)
+                    for f, j in enumerate(jumps)
+                )
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return blobs.select("doc_id", "payload").mapInPandas(run, schema)
+
+
 def encode_bmp_gray(px) -> bytes:
     """24-bpp BMP from a top-down (h, w) uint8 grayscale grid (B=G=R),
     stored bottom-up with 4-byte row padding — the genuine on-disk

@@ -356,6 +356,70 @@ _PHASH_GROUPS = 16
 _PHASH_STEP = 12  # gradient step per dHash bit; 128 +/- 8*12 stays in u8
 
 
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection (mandate stage 4, the shot-boundary step
+    after frame sampling): a deterministic fake 'video' payload with
+    REGIME SHIFTS — byte(i) = (doc_id + i*7 + (i//64 % 2)*128) % 256,
+    so the luma mean jumps every other 32-byte frame — is cut into
+    frames and operators.multimodal.scene_cuts marks mean jumps >= 30
+    byte levels. The numpy reshape/diff plumbing is the real video
+    path; only the codec is faked (container decode is the documented
+    PIL-gated stub). Deterministic integers end-to-end, so the oracle
+    replays frame means AND the lag-diff thresholding exactly."""
+    import pandas as pd
+
+    from clockpipe_spark.operators.multimodal import scene_cuts
+
+    docs = _docs(spark, sf_dir)
+
+    def enc(batches):
+        for pdf in batches:
+            n = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            payload = [
+                bytes(
+                    (int(d) + i * 7 + (i // 64 % 2) * 128) % 256
+                    for i in range(int(nb) % 200 + 40)
+                )
+                for d, nb in zip(pdf["doc_id"], n)
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payload})
+
+    blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
+    return scene_cuts(blobs, frame_bytes=32, threshold_x10000=300_000).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+MM_SCENE_CUTS_SQL = """
+WITH sizes AS (
+  SELECT doc_id,
+         (octet_length(encode(text)) % 200 + 40) // 32 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+  FROM sizes WHERE n_frames > 0
+),
+means AS (
+  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(list_sum(list_transform(
+                generate_series(frame_idx * 32, frame_idx * 32 + 31),
+                i -> (doc_id + i * 7 + (i // 64 % 2) * 128) % 256))
+              * 10000 // 32 AS BIGINT) AS mean_byte_x10000
+  FROM frames
+)
+SELECT doc_id, frame_idx, mean_byte_x10000,
+       abs(mean_byte_x10000 - coalesce(
+         lag(mean_byte_x10000) OVER (PARTITION BY doc_id ORDER BY frame_idx),
+         mean_byte_x10000)) AS jump_x10000,
+       CAST(frame_idx > 0 AND abs(mean_byte_x10000 - coalesce(
+         lag(mean_byte_x10000) OVER (PARTITION BY doc_id ORDER BY frame_idx),
+         mean_byte_x10000)) >= 300000 AS INT) AS is_cut
+FROM means
+ORDER BY doc_id, frame_idx
+"""
+
+
 def _phash_pixels(doc_id: int):
     """Deterministic 16x36 grayscale grid whose dHash equals
     md5(group) XOR one per-doc bit: cell (r, c+1) = cell (r, c) +/- STEP
@@ -448,6 +512,7 @@ QUERIES = {
     "mm_audio_resample": mm_audio_resample,
     "mm_image_resize": mm_image_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_video_scene_cuts": mm_video_scene_cuts,
     "mm_image_phash_neardup": mm_image_phash_neardup,
 }
 
@@ -461,6 +526,7 @@ ORACLES = {
     "mm_audio_resample": MM_RESAMPLE_SQL,
     "mm_image_resize": MM_RESIZE_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_video_scene_cuts": MM_SCENE_CUTS_SQL,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
     # families); recall vs exact Jaccard asserted in pytest.
     # mm_fake_image_features oracle is valid because the documents corpus

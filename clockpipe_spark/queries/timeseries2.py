@@ -357,9 +357,70 @@ FROM ranked GROUP BY day ORDER BY day
 """
 
 
+def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly scoring: the expected value for each
+    (event_type, day-of-week, hour-of-day) cell is its historical mean;
+    every event is scored by its residual against that baseline, with a
+    flag at |residual| >= 50.00. The seasonal-profile version of
+    ts_anomaly_mad — dashboards use MAD's robustness, alerting uses the
+    seasonal shape.
+
+    Plan: the baseline is ONE aggregation into at most types x 7 x 24
+    cells — a broadcast — so scoring the fact stream is a broadcast
+    hash join at scan speed: the events never shuffle. Integer cents
+    keep residuals exact across engines (`div` floor-division on the
+    already-floored sums, not float averages)."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    baseline = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.expr("sum(cents) div count(*)").alias("baseline_cents"),
+        F.count("*").alias("n_cell"),
+    )
+    scored = keyed.join(F.broadcast(baseline), ["event_type", "dow", "hod"])
+    resid = F.col("cents") - F.col("baseline_cents")
+    return scored.select(
+        "event_id",
+        "event_type",
+        "dow",
+        "hod",
+        "cents",
+        "baseline_cents",
+        resid.alias("residual_cents"),
+        (F.abs(resid) >= 5000).cast("int").alias("is_anomalous"),
+    )
+
+
+SEASONAL_RESIDUAL_SQL = """
+WITH keyed AS (
+  SELECT event_id, event_type,
+         dayofweek(ts) + 1 AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+         hour(ts) AS hod,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+baseline AS (
+  SELECT event_type, dow, hod,
+         sum(cents) // count(*) AS baseline_cents,
+         count(*) AS n_cell
+  FROM keyed GROUP BY 1, 2, 3
+)
+SELECT k.event_id, k.event_type, k.dow, k.hod, k.cents,
+       b.baseline_cents, k.cents - b.baseline_cents AS residual_cents,
+       CAST(abs(k.cents - b.baseline_cents) >= 5000 AS INT) AS is_anomalous
+FROM keyed k JOIN baseline b USING (event_type, dow, hod)
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
     "quantile_histogram_rollup": quantile_histogram_rollup,
+    "ts_seasonal_residual": ts_seasonal_residual,
     "event_transition_matrix": event_transition_matrix,
     "ts_ewma_bounded": ts_ewma_bounded,
     "sequence_match_pattern": sequence_match_pattern,
@@ -368,6 +429,7 @@ QUERIES = {
 ORACLES = {
     "ts_resample_ohlc": OHLC_SQL,
     "quantile_histogram_rollup": QUANTILE_ROLLUP_SQL,
+    "ts_seasonal_residual": SEASONAL_RESIDUAL_SQL,
     "event_transition_matrix": TRANSITION_SQL,
     "ts_ewma_bounded": EWMA_SQL,
     "sequence_match_pattern": SEQUENCE_MATCH_SQL,
