@@ -55,6 +55,16 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
+# Round-7 LATE rotation (this session's additions): 9 already-green
+# rows swap out for the 9 highest-value new queries (each swap keeps
+# its family canary in-window; the canary sets in
+# tests/test_registry_window.py grew to admit the new twins).  The
+# remaining round-7 additions (ts_resample_ohlc, event_transition_matrix,
+# ts_ewma_bounded, ts_seasonal_residual, corpus_doclen_histogram,
+# hll_user_rollup, ann_hard_negatives, scalar_bitops_battery,
+# scalar_null_battery, mm_video_scene_cuts) all pass the local oracle
+# twin and queue for the r8 rotation, the same cadence r5->r7 used.
+#
 # Round-7 rotation (VERDICT r6 directives #2/#3/#6): the 5 round-6
 # additions that never had a driver row (ann_ivfpq_topk,
 # embedding_pq_codes, cdc_lag_report, sample_by_mixture,
@@ -74,16 +84,22 @@ _GATE_WINDOW = 50
 _PRIORITY = (
     # §2.9 relational / scalar — one canary per family
     "q1_pricing_summary",          # hash agg + CASE agg
-    "q3_shipping_priority",        # multi-join + topk (q13: green r4, rotated out)
+    "join_full_outer_daily",       # r7-LATE: FULL OUTER reconciliation joins
+                                   # canary (q3 out, green r1/r6)
     "agg_rollup_lineitem",         # rollup/cube/grouping-sets canary
     "pivot_status_by_priority",    # pivot
-    "window_frame_moving_avg",     # window funcs + frames canary
+    "window_range_time_frame",     # r7-LATE: event-time RANGE frame window
+                                   # canary (window_frame_moving_avg out, green r6)
     "topk_orders_by_price",        # sort / top-k / limit
-    "setop_union_segments",        # set ops
+    "setop_bag_ops",               # r7-LATE: EXCEPT ALL / INTERSECT ALL bag
+                                   # semantics; set-ops canary (setop_union_segments
+                                   # out, green r6)
     "ts_anomaly_mad",              # r7-NEW: robust MAD outlier battery
                                    # (scalar_math_battery out, green r6;
                                    # scalar_url_parse carries the scalar canary)
-    "array_agg_per_nation",        # array functions
+    "array_hof_battery",           # r7-LATE: transform/filter/fold/exists HOF
+                                   # battery; array canary (array_agg_per_nation
+                                   # out, green r6)
     "asof_last_purchase",          # subquery/as-of/range/skew canary
     # round-5 rotation: the TPC-H completions (q7/q8/q9 green r5 —
     # rotated out in r6 for the new llmprep3 operators; q1/q3 + the
@@ -92,7 +108,9 @@ _PRIORITY = (
                                    # stats_regression_battery out, green r6)
     "sessionize_lag_gap",          # r6 red = oracle HUGEINT artifact, SQL now
                                    # cast to BIGINT — stays in to go green
-    "funnel_conversion",           # green r6; funnel/retention canary
+    "sequence_match_pattern",      # r7-LATE: sequenceMatch path regexes; keeps
+                                   # the funnel-analytics canary (funnel_conversion
+                                   # out, green r6)
     "cdc_replica_asof",            # r7-NEW: point-in-time replica time travel
                                    # (retention_cohorts out, green r6;
                                    # funnel_conversion keeps the analytics canary)
@@ -120,8 +138,12 @@ _PRIORITY = (
                                    # the changelog, oracle = full recompute
                                    # (dedup_cluster_assign out, green r6; chain
                                    # + lsh keep the clustering family)
-    "dedup_cluster_assign_lsh",    # r5 in: the 100 TB dedup pipeline shape
-    "ann_lsh_topk",                # similarity canary (brute rotated out)
+    "cdc_scd2_history",            # r7-LATE: SCD2 versioned history from the
+                                   # changelog (dedup_cluster_assign_lsh out, rows
+                                   # green r5/r6; components_chain keeps clustering)
+    "quantile_histogram_rollup",   # r7-LATE: mergeable-histogram p50/p90/p99
+                                   # rollup (ann_lsh_topk out, rows green r4-r6;
+                                   # prebuilt+ivfpq keep the similarity canary)
     "ann_ivf_topk_prebuilt",       # r7-NEW: train-once/score-many IVF serving
                                    # (self-training ann_ivf_topk out, green r6)
     "ann_ivfpq_topk",              # r7 in: IVF-PQ + ADC shortlist + re-rank
@@ -146,12 +168,15 @@ _PRIORITY = (
                                    # green r6)
     "pack_sequences_greedy",
     "tfidf_top_terms",
-    "sample_stratified_hash",
+    "sample_bottomk_hash",         # r7-LATE: bottom-k hash sampling; sampling
+                                   # canary (sample_stratified_hash out, green r3-r6)
     "udf_zscore_per_user",
     # corpus hygiene (llmprep2)
     "text_pii_redact",
     "doc_chunk_overlap",
-    "benchmark_contamination",
+    "contamination_bloom",         # r7-LATE: Bloom-filter contamination with
+                                   # deterministic double hashing; contamination
+                                   # canary (benchmark_contamination out, green r3-r6)
     # T6 canary: the stream-stream interval join (r7-NEW; its real
     # streaming twin is pinned in tests/test_streaming_join.py).
     # stream_session_windows out, green r6; sessionize_lag_gap keeps

@@ -29,19 +29,20 @@ _FAMILY_CANARIES = {
     "K1/K2 upsert+delete": {"cdc_apply_to_snapshot"},
     "FINAL dedup-on-read": {"cdc_replica_state"},
     "hash agg": {"q1_pricing_summary"},
-    "joins": {"q3_shipping_priority", "join_broadcast_brand_volume"},
+    "joins": {"q3_shipping_priority", "join_broadcast_brand_volume",
+              "join_full_outer_daily"},
     "rollup/cube/grouping sets": {"agg_rollup_lineitem", "agg_cube_orders",
                                   "grouping_sets_lineitem"},
     "pivot": {"pivot_status_by_priority"},
     "window functions": {"window_frame_moving_avg", "window_function_battery",
-                         "ntile_customer_quartiles"},
+                         "ntile_customer_quartiles", "window_range_time_frame"},
     "sort/top-k": {"topk_orders_by_price"},
-    "set ops": {"setop_union_segments"},
+    "set ops": {"setop_union_segments", "setop_bag_ops"},
     "scalar battery": {"scalar_math_battery", "scalar_string_funcs",
                        "scalar_date_parts", "scalar_json_extract",
                        "scalar_url_parse"},
     "pg quirk functions (§2.8)": {"pg_array_literal_parse", "cdc_cast_matrix"},
-    "array functions": {"array_agg_per_nation"},
+    "array functions": {"array_agg_per_nation", "array_hof_battery"},
     "as-of/range/subquery/skew joins": {"asof_last_purchase",
                                         "range_join_ship_latency",
                                         "subquery_in_filter",
@@ -69,18 +70,19 @@ _FAMILY_CANARIES = {
     "replica time travel": {"cdc_replica_asof"},
     "sequence packing": {"pack_sequences_greedy"},
     "tf-idf": {"tfidf_top_terms"},
-    "sampling": {"sample_stratified_hash"},
+    "sampling": {"sample_stratified_hash", "sample_bottomk_hash"},
     "quantization": {"embedding_int8_quantize"},
     "UDF surface": {"udf_zscore_per_user"},
     "time-series gap-fill": {"ts_gapfill_locf"},
-    "funnel/retention analytics": {"funnel_conversion", "retention_cohorts"},
+    "funnel/retention analytics": {"funnel_conversion", "retention_cohorts",
+                                   "sequence_match_pattern"},
     "sessionization": {"sessionize_lag_gap", "stream_session_windows"},
     "data mixing": {"mixture_temperature_weights"},
     "model-based quality scoring": {"quality_classifier_score"},
     "export sharding": {"export_shard_manifest"},
     "PII redaction": {"text_pii_redact"},
     "chunking": {"doc_chunk_overlap"},
-    "contamination": {"benchmark_contamination"},
+    "contamination": {"benchmark_contamination", "contamination_bloom"},
 }
 
 
