@@ -101,6 +101,25 @@ HEADLINE = [
     "cdc_replica_asof",
     "cdc_incremental_agg",
     "stream_interval_join",
+    # round 7 late additions: the analytics/sketch tier with real
+    # throughput surface — OHLC downsample, transition matrix, bounded
+    # EWMA (collect_list window + fold), sequence-match paths, the
+    # mergeable quantile rollup, seasonal-residual scoring, SCD2
+    # history, FULL OUTER reconciliation, Bloom contamination (token
+    # Rabin-Karp + double hashing over every gram), hard-negative
+    # mining, HLL rollup, and the scene-cut frame scan.
+    "ts_resample_ohlc",
+    "event_transition_matrix",
+    "ts_ewma_bounded",
+    "sequence_match_pattern",
+    "quantile_histogram_rollup",
+    "ts_seasonal_residual",
+    "cdc_scd2_history",
+    "join_full_outer_daily",
+    "contamination_bloom",
+    "ann_hard_negatives",
+    "hll_user_rollup",
+    "mm_video_scene_cuts",
 ]
 
 
