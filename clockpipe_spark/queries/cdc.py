@@ -712,9 +712,146 @@ FROM (
 """
 
 
+def cdc_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit: per routed table, how many changes
+    arrived (LSN order) with an EVENT TIME older than something already
+    seen for the same key, and how stale the worst one was — the
+    monitoring view that tells a replica operator whether max-seq
+    conflict resolution (T4) is actually being exercised and whether
+    event-time consumers need a watermark allowance.
+
+    One keyed window (max ts over strictly-preceding seqs) + a
+    table-grained rollup; integer-microsecond lateness (unix_micros)
+    keeps the comparison engine-exact. The log shuffles once, on the
+    key — co-partitioned with every other per-key CDC analytic."""
+    clog = _changelog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = clog.select(
+        "tbl",
+        "seq",
+        F.unix_micros("ts").alias("us"),
+        F.max(F.unix_micros("ts")).over(w).alias("prev_max_us"),
+    ).select(
+        "tbl",
+        (F.col("prev_max_us") > F.col("us")).cast("int").alias("is_late"),
+        F.when(
+            F.col("prev_max_us") > F.col("us"),
+            F.col("prev_max_us") - F.col("us"),
+        ).otherwise(F.lit(0)).alias("late_us"),
+    )
+    return marked.groupBy("tbl").agg(
+        F.count("*").alias("n_changes"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+        (F.max("late_us") / F.lit(1_000_000)).cast("long").alias("max_late_s"),
+        F.expr("(sum(is_late) * 1000000L) div count(*)").alias("late_ppm"),
+    )
+
+
+CDC_CONFLICT_SQL = f"""
+{_CLOG_CTE},
+marked AS (
+  SELECT tbl,
+         CAST(max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) > epoch_us(ts) AS INT) AS is_late_raw,
+         greatest(coalesce(max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) - epoch_us(ts), 0), 0) AS late_us
+  FROM changelog
+)
+SELECT tbl,
+       count(*) AS n_changes,
+       CAST(sum(coalesce(is_late_raw, 0)) AS BIGINT) AS n_late,
+       CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s,
+       (sum(coalesce(is_late_raw, 0)) * 1000000) // count(*) AS late_ppm
+FROM marked GROUP BY tbl
+"""
+
+
+_DIFF_LO = 0.4  # S0: snapshot-diff lower bound (fraction of max seq)
+_DIFF_HI = 0.8  # S1: upper bound
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff between two historical replica states (AS OF 40% and
+    80% of the log): which keys were added, removed, or changed in
+    between — the "what happened to the replica since yesterday"
+    question, answered from the kept change log alone with no stored
+    snapshots (the time-travel view `cdc_replica_asof`, twice, plus a
+    FULL OUTER join on the key).
+
+    Values compare in integer cents. Both keep-last windows and the
+    diff join shuffle on user_id — one co-partitioned exchange chain;
+    the seq bounds are a broadcast 1-row aggregate, never a driver
+    collect."""
+    clog = _changelog(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    bounds = clog.agg(
+        F.floor(F.max("seq") * _DIFF_LO).cast("long").alias("s0"),
+        F.floor(F.max("seq") * _DIFF_HI).cast("long").alias("s1"),
+    )
+    clog = clog.crossJoin(F.broadcast(bounds))
+
+    def state_at(bound_col: str) -> DataFrame:
+        return replica_state(
+            clog.filter(F.col("seq") <= F.col(bound_col)), ["user_id"]
+        ).select("user_id", F.col("cents"))
+
+    old = state_at("s0").withColumnRenamed("cents", "old_cents")
+    new = state_at("s1").withColumnRenamed("cents", "new_cents")
+    diff = old.join(new, "user_id", "full_outer")
+    status = (
+        F.when(F.col("old_cents").isNull(), "added")
+        .when(F.col("new_cents").isNull(), "removed")
+        .when(F.col("old_cents") != F.col("new_cents"), "changed")
+        .otherwise("unchanged")
+    )
+    return diff.select("user_id", status.alias("status"), "old_cents", "new_cents")
+
+
+CDC_SNAPSHOT_DIFF_SQL = f"""
+{_CLOG_CTE},
+bounds AS (
+  SELECT CAST(floor(max(seq) * {_DIFF_LO}) AS BIGINT) AS s0,
+         CAST(floor(max(seq) * {_DIFF_HI}) AS BIGINT) AS s1
+  FROM changelog
+),
+old AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS old_cents
+  FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+    FROM changelog c, bounds b WHERE c.seq <= b.s0
+  ) WHERE rn = 1 AND op <> 'D'
+),
+new AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS new_cents
+  FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+    FROM changelog c, bounds b WHERE c.seq <= b.s1
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(old.user_id, new.user_id) AS user_id,
+       CASE WHEN old_cents IS NULL THEN 'added'
+            WHEN new_cents IS NULL THEN 'removed'
+            WHEN old_cents <> new_cents THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_cents, new_cents
+FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_conflict_audit": cdc_conflict_audit,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_lag_report": cdc_lag_report,
     "cdc_mongo_bson_casts": cdc_mongo_bson_casts,
     "cdc_changestream_decode": cdc_changestream_decode,
@@ -734,6 +871,8 @@ QUERIES = {
 ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
+    "cdc_conflict_audit": CDC_CONFLICT_SQL,
+    "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "cdc_lag_report": CDC_LAG_SQL,
     "cdc_mongo_bson_casts": CDC_BSON_CASTS_SQL,
     "cdc_changestream_decode": CDC_CHANGESTREAM_SQL,

@@ -240,12 +240,99 @@ WHERE NOT t.is_bench
 """
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 5-grams
+    that FIRST appear in that doc (scanning the corpus in doc_id
+    order) — the 'how much new content does each document contribute'
+    curve that drives crawl-dedup and data-curation decisions (a doc
+    whose grams all appeared earlier is pure repetition).
+
+    First-occurrence attribution is one hash aggregation: gram ->
+    min(doc_id) (map-side partial min), joined back to the per-doc
+    distinct gram stream on gram. At 100 TB the gram table is the same
+    exchange every n-gram statistic already pays; nothing is pairwise.
+    Short docs (< 5 tokens) surface with zero grams, not dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    n = F.size("t")
+    gram_idx = F.when(
+        n >= _GRAM_N, F.sequence(F.lit(1), n - (_GRAM_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    gram_idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("t", i + j) for j in range(_GRAM_N)]
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    first_seen = (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    scored = grams.join(first_seen, "gram", "left").groupBy("doc_id").agg(
+        F.count("gram").alias("n_grams"),
+        F.sum(
+            (F.col("first_doc") == F.col("doc_id")).cast("int")
+        ).cast("bigint").alias("n_novel"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.expr("(coalesce(n_novel, 0) * 1000000L) div n_grams"),
+        ).otherwise(F.lit(0)).alias("novelty_ppm"),
+    )
+
+
+NGRAM_NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {_GRAM_N - 1}), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - {_GRAM_N - 1})) AS u(i)
+  WHERE len(t) >= {_GRAM_N}
+),
+first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+),
+scored AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first_seen f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN (coalesce(s.n_novel, 0) * 1000000) // s.n_grams
+            ELSE 0 END AS novelty_ppm
+FROM toks t LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES = {
     "corpus_doclen_histogram": corpus_doclen_histogram,
     "contamination_bloom": contamination_bloom,
+    "text_ngram_novelty": text_ngram_novelty,
 }
 
 ORACLES = {
     "corpus_doclen_histogram": DOCLEN_HIST_SQL,
     "contamination_bloom": CONTAM_BLOOM_SQL,
+    "text_ngram_novelty": NGRAM_NOVELTY_SQL,
 }

@@ -680,8 +680,100 @@ FROM (
 """
 
 
+def embedding_centroid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality / outlier report over the labeled embedding set:
+    per vector, cosine to its OWN label centroid, the best cosine to
+    any OTHER label's centroid, which label that is, and the
+    confusable flag (other beats own) — the per-example diagnostic a
+    curation pipeline uses to find mislabeled or boundary examples.
+
+    Plan: centroids are one posexplode + (label, pos) aggregation with
+    map-side partial sums (the k-means re-centering shape — the
+    shuffle carries labels x dim partials, never vectors), assembled
+    to arrays via sort_array(collect_list(struct)) and BROADCAST (10
+    rows); scoring is then one scan with a 10-way broadcast fan-out
+    and a per-vector max/max_by — the corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("e")
+    )
+    expl = emb.select(
+        "vec_id", "label", F.posexplode("e").alias("pos", "v")
+    )
+    cent = (
+        expl.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+        .withColumn("cn2", l2_norm_sq(F.col("ce")))
+    )
+    vec = emb.withColumn("vn2", l2_norm_sq(F.col("e")))
+    scored = vec.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        cosine_prenormed(
+            F.col("e"), F.col("ce"), F.col("vn2"), F.col("cn2")
+        ).alias("cos"),
+    )
+    own = F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos")))
+    other_cos = F.when(F.col("clabel") != F.col("label"), F.col("cos"))
+    report = scored.groupBy("vec_id", "label").agg(
+        F.round(own, 6).alias("own_cos"),
+        F.round(F.max(other_cos), 6).alias("best_other_cos"),
+        F.max_by("clabel", other_cos).alias("nearest_other_label"),
+    )
+    return report.select(
+        "vec_id",
+        "label",
+        "own_cos",
+        "best_other_cos",
+        "nearest_other_label",
+        (F.col("best_other_cos") > F.col("own_cos")).cast("int").alias(
+            "is_confusable"
+        ),
+    )
+
+
+CENTROID_REPORT_SQL = """
+WITH expl AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding AS DOUBLE[])[i] AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+cent AS (
+  SELECT label AS clabel, pos, avg(v) AS c FROM expl GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sum(v * v) AS vn2 FROM expl GROUP BY 1),
+cnorms AS (SELECT clabel, sum(c * c) AS cn2 FROM cent GROUP BY 1),
+dots AS (
+  SELECT e.vec_id, e.label, c.clabel, sum(e.v * c.c) AS dot
+  FROM expl e JOIN cent c ON e.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+cos AS (
+  SELECT d.vec_id, d.label, d.clabel,
+         d.dot / sqrt(n.vn2 * cn.cn2) AS cos
+  FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (clabel)
+)
+SELECT vec_id, label,
+       round(max(CASE WHEN clabel = label THEN cos END), 6) AS own_cos,
+       round(max(CASE WHEN clabel <> label THEN cos END), 6) AS best_other_cos,
+       arg_max(clabel, CASE WHEN clabel <> label THEN cos END)
+           AS nearest_other_label,
+       CAST(round(max(CASE WHEN clabel <> label THEN cos END), 6)
+            > round(max(CASE WHEN clabel = label THEN cos END), 6) AS INT)
+           AS is_confusable
+FROM cos GROUP BY vec_id, label
+"""
+
+
 QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
+    "embedding_centroid_report": embedding_centroid_report,
     "ann_hard_negatives": ann_hard_negatives,
     "cosine_topk_brute": cosine_topk_brute,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -698,6 +790,7 @@ ORACLES = {
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "cosine_topk_brute": COSINE_TOPK_SQL,
     "ann_hard_negatives": HARD_NEGATIVES_SQL,
+    "embedding_centroid_report": CENTROID_REPORT_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
     # ann_lsh_topk: rows-only (engine-specific hash family); recall tested in pytest
 }
