@@ -19,6 +19,7 @@ from clockpipe_spark.queries import llmprep as _llmprep
 from clockpipe_spark.queries import llmprep2 as _llmprep2
 from clockpipe_spark.queries import llmprep3 as _llmprep3
 from clockpipe_spark.queries import relational as _relational
+from clockpipe_spark.queries import retrieval as _retrieval
 from clockpipe_spark.queries import relational2 as _relational2
 from clockpipe_spark.queries import relational3 as _relational3
 from clockpipe_spark.queries import relational4 as _relational4
@@ -50,6 +51,7 @@ _MODULES = (
     _llmprep,
     _llmprep2,
     _llmprep3,
+    _retrieval,
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in

@@ -1,0 +1,267 @@
+"""Ranked-retrieval tier: BM25 scoring, inverted-index construction,
+and blocked edit-distance near-dup — the search-engine-shaped operators
+a training-data pipeline runs to mine, inspect, and dedup a corpus
+(the retrieval counterpart of llmprep's tf-idf and textops' MinHash).
+
+Everything is exact integer arithmetic so the DuckDB oracle pins
+values, not just shapes: BM25's log-idf is replaced by the rational
+Robertson idf (2N-2df+1)/(2df+1) — the same monotone ranking signal
+without a libm call, so rank ties break identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clockpipe_spark.catalog import load_table
+
+_N_QTERMS = 10  # query terms mined from the corpus (df desc, term asc)
+_MIN_QTERM_LEN = 5
+_TOP_DOCS = 10  # hits returned per query term
+_POSTINGS = 5  # postings kept per term in the index summary
+_EDIT_BAND = 40  # n_chars band width == max length diff for candidates
+_EDIT_PREFIX = 256  # edit distance computed over this normalized prefix
+_EDIT_MAX = 64  # keep pairs with distance <= this
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for each of the corpus's 10 highest-df
+    terms (len >= 5) — self-contained ranked retrieval: the query set,
+    the statistics, and the scores all come from one corpus scan
+    lineage.
+
+    Integer BM25 (k1=1.2, b=0.75), floor-division end to end:
+      A        = (100 * total_tokens) div n_docs        (avgdl x100)
+      tf_part  = 22*A*tf*1e6 div (10*A*tf + 3*A + 900*dl)
+      score    = tf_part * (2N - 2df + 1) div (2df + 1)
+    tf_part is the exact rational form of tf*(k1+1)/(tf + k1*(1 - b +
+    b*dl/avgdl)) scaled by 1e6; the idf factor is Robertson's
+    (N - df + .5)/(df + .5) as a ratio of odd integers. Documented
+    overflow bound: A * tf < 4.1e11 (int64 max / 22e6) — A is the
+    x100 AVERAGE doc length (corpus-size-independent), so the bound
+    depends only on doc lengths, never on corpus row count.
+
+    100 TB plan: tf is the one big shuffle (doc_id, term — the same
+    exchange every token statistic pays); df and the query-term list
+    are term-keyed aggregates of it; stats and query terms broadcast
+    (1 row / 10 rows) back onto tf, so scoring runs at scan speed and
+    the final top-k is a 10-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(dl) * 100L div count(*)").alias("avgdl_x100"),
+    )
+    qterms = (
+        df_.filter(F.length("term") >= _MIN_QTERM_LEN)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_N_QTERMS)
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "tf_part",
+            F.expr(
+                "22L * avgdl_x100 * tf * 1000000L"
+                " div (10L * avgdl_x100 * tf + 3L * avgdl_x100 + 900L * dl)"
+            ),
+        )
+        .withColumn(
+            "score",
+            F.expr("tf_part * (2L*n_docs - 2L*df + 1L) div (2L*df + 1L)"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_DOCS)
+        .select("term", "doc_id", "tf", "dl", "score", "rnk")
+    )
+
+
+BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) * 100 // count(*) AS avgdl_x100 FROM dl
+),
+qterms AS (
+  SELECT term, df FROM df WHERE length(term) >= {_MIN_QTERM_LEN}
+  ORDER BY df DESC, term LIMIT {_N_QTERMS}
+),
+scored AS (
+  SELECT q.term, t.doc_id, t.tf, d.dl,
+         (22 * s.avgdl_x100 * t.tf * 1000000
+          // (10 * s.avgdl_x100 * t.tf + 3 * s.avgdl_x100 + 900 * d.dl))
+         * (2 * s.n_docs - 2 * q.df + 1) // (2 * q.df + 1) AS score
+  FROM tf t JOIN qterms q USING (term) JOIN dl d USING (doc_id), stats s
+)
+SELECT term, doc_id, tf, CAST(dl AS BIGINT) AS dl,
+       CAST(score AS BIGINT) AS score, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_TOP_DOCS}
+"""
+
+
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build, summarized: per term its document
+    frequency, collection frequency, and the top-5 postings by
+    (tf desc, doc_id asc) rendered as 'doc_id:tf' strings — the
+    term-dictionary view of the index a retrieval stack materializes.
+
+    Postings are ordered inside sort_array over struct(-tf, doc_id)
+    (Spark's collect_list has no ORDER BY; the struct sort is the
+    portable twin of DuckDB's list(... ORDER BY ...)). Strings are
+    synthesized from integers only — engine-safe to hash. One
+    (term)-keyed aggregation over tf; at 100 TB the per-term state is
+    capped by the slice, the full posting lists would go to a
+    partitioned sink instead of a summary row."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _tokens(docs).groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct((-F.col("tf")).alias("ntf"), F.col("doc_id"))
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), (-s["ntf"]).cast("string")
+                    ),
+                ),
+                1,
+                _POSTINGS,
+            ).alias("top_postings"),
+        )
+    )
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       list_slice(
+         list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+              ORDER BY tf DESC, doc_id),
+         1, {_POSTINGS}
+       ) AS top_postings
+FROM tf GROUP BY term
+"""
+
+
+def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: same-language documents within
+    40 chars of each other in length whose normalized 256-char
+    prefixes are within Levenshtein 64 — the character-level near-dup
+    check that catches small in-place edits MinHash shingles smear
+    over.
+
+    Candidate generation is length-band blocking: band = n_chars div
+    40; each doc probes (band, band+1) and the join matches
+    (same band AND doc_a < doc_b) OR (band_b = band_a + 1), which
+    covers every pair with |len diff| <= 40 exactly once — a pure
+    equi-join on (lang, band), no quadratic scan. levenshtein() runs
+    JVM-side on capped prefixes, so per-pair cost is bounded at
+    O(256^2) regardless of doc length.
+
+    Scale honesty: a (lang, band) block at 100 TB can still hold
+    millions of docs; there this operator runs as the VERIFY stage
+    behind the MinHash-LSH miner (dedup_minhash_lsh emits candidates,
+    this predicate confirms) rather than as the generator. The oracle
+    replays the inequality join directly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(F.trim(F.lower("text")), 1, _EDIT_PREFIX).alias("prefix"),
+        F.expr(f"n_chars div {_EDIT_BAND}").alias("band"),
+    )
+    probe = docs.select(
+        *docs.columns, F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("pband")
+    )
+    right = docs.select(
+        *[F.col(c).alias(f"b_{c}") for c in docs.columns]
+    )
+    cand = probe.join(
+        right,
+        (F.col("pband") == F.col("b_band")) & (F.col("lang") == F.col("b_lang")),
+    ).filter(
+        (
+            (F.col("band") == F.col("b_band"))
+            & (F.col("doc_id") < F.col("b_doc_id"))
+        )
+        | (F.col("b_band") == F.col("band") + 1)
+    )
+    dist = F.levenshtein("prefix", "b_prefix")
+    return (
+        cand.filter(
+            F.abs(F.col("n_chars") - F.col("b_n_chars")) <= _EDIT_BAND
+        )
+        .select(
+            F.least("doc_id", "b_doc_id").alias("doc_a"),
+            F.greatest("doc_id", "b_doc_id").alias("doc_b"),
+            "lang",
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= _EDIT_MAX)
+    )
+
+
+EDIT_NEARDUP_SQL = f"""
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       a.lang,
+       levenshtein(substr(trim(lower(a.text)), 1, {_EDIT_PREFIX}),
+                   substr(trim(lower(b.text)), 1, {_EDIT_PREFIX}))
+           AS edit_distance
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= {_EDIT_BAND}
+WHERE levenshtein(substr(trim(lower(a.text)), 1, {_EDIT_PREFIX}),
+                  substr(trim(lower(b.text)), 1, {_EDIT_PREFIX})) <= {_EDIT_MAX}
+"""
+
+
+QUERIES = {
+    "bm25_retrieval": bm25_retrieval,
+    "inverted_index_stats": inverted_index_stats,
+    "neardup_edit_distance": neardup_edit_distance,
+}
+
+ORACLES = {
+    "bm25_retrieval": BM25_SQL,
+    "inverted_index_stats": INVERTED_INDEX_SQL,
+    "neardup_edit_distance": EDIT_NEARDUP_SQL,
+}

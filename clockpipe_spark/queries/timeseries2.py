@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clockpipe_spark.catalog import load_table
+from clockpipe_spark.operators.asof import asof_join
 
 
 def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,8 +418,100 @@ FROM keyed k JOIN baseline b USING (event_type, dow, hod)
 """
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: for every event, the user's
+    NEXT purchase value at or after that event, but only if it lands
+    within 3 days — the attribution lookup ("did this click convert?")
+    that is the mirror of asof_last_purchase's state lookup.
+
+    Same one-shuffle union+window plan as the backward direction
+    (operators/asof.py): first(ignorenulls) over an unbounded-FOLLOWING
+    frame, ties resolved left-first so an equal-timestamp purchase is
+    matched. The tolerance nulls carried values by integer-microsecond
+    gap — exact, because the carried row is the nearest candidate.
+    DuckDB has no forward ASOF; the oracle negates epoch-microseconds
+    so its backward ASOF scans the time axis mirrored."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("next_purchase_value")
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        by=["user_id"],
+        on="ts",
+        value_cols=["next_purchase_value"],
+        suffix="",
+        direction="forward",
+        tolerance_us=3 * 86_400 * 1_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("next_purchase_value", 2).alias("next_purchase_value"),
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, -epoch_us(ts) AS nts FROM events
+),
+p AS (
+  SELECT user_id, ts, -epoch_us(ts) AS nts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(e.ts) <= CAST(259200000000 AS BIGINT)
+            THEN round(p.value, 2) END AS next_purchase_value
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.nts >= p.nts
+"""
+
+
+def asof_purchase_recency_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 24-hour tolerance: each event carries the
+    user's last purchase only when it is FRESH — the feature-store
+    staleness gate (a model must not see a week-old 'last purchase' as
+    if it were current). Adds the integer-microsecond gap so the
+    downstream can bucket staleness; NULL gap = no fresh purchase."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv"), F.col("ts").alias("pts")
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        purchases,
+        by=["user_id"],
+        on="ts",
+        value_cols=["pv", "pts"],
+        suffix="",
+        direction="backward",
+        tolerance_us=86_400 * 1_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("pv", 2).alias("fresh_purchase_value"),
+        (F.unix_micros("ts") - F.unix_micros("pts")).alias("staleness_us"),
+    )
+
+
+ASOF_GATED_SQL = """
+SELECT e.event_id, e.user_id,
+       CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= CAST(86400000000 AS BIGINT)
+            THEN round(p.value, 2) END AS fresh_purchase_value,
+       CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= CAST(86400000000 AS BIGINT)
+            THEN epoch_us(e.ts) - epoch_us(p.ts) END AS staleness_us
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
+    "asof_next_purchase": asof_next_purchase,
+    "asof_purchase_recency_gated": asof_purchase_recency_gated,
     "quantile_histogram_rollup": quantile_histogram_rollup,
     "ts_seasonal_residual": ts_seasonal_residual,
     "event_transition_matrix": event_transition_matrix,
@@ -428,6 +521,8 @@ QUERIES = {
 
 ORACLES = {
     "ts_resample_ohlc": OHLC_SQL,
+    "asof_next_purchase": ASOF_FORWARD_SQL,
+    "asof_purchase_recency_gated": ASOF_GATED_SQL,
     "quantile_histogram_rollup": QUANTILE_ROLLUP_SQL,
     "ts_seasonal_residual": SEASONAL_RESIDUAL_SQL,
     "event_transition_matrix": TRANSITION_SQL,
