@@ -847,8 +847,72 @@ FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
 """
 
 
+def cdc_scd2_asof_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 consumption: the dimension-state summary (live rows +
+    value mass in integer cents) at 10 evenly spaced historical seq
+    positions, answered by interval containment against the type-2
+    history — the "join your facts to the dimension AS OF then" access
+    pattern, and an independent cross-check of `cdc_replica_asof`
+    (both must describe the same state at the same bound).
+
+    The probes are a broadcast 10-row derived table (never a driver
+    collect); containment is a broadcast range predicate fused into
+    the history scan, so the lookup runs at scan speed on top of the
+    one keyed exchange the history build already paid. At 100 TB a
+    fact-table-sized probe side would bucket both sides on the key
+    first — the probe-grid shape here is the dashboard variant."""
+    clog = _changelog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("seq")
+    hist = clog.select(
+        "user_id",
+        "op",
+        F.col("seq").alias("valid_from_seq"),
+        F.lead("seq").over(w).alias("valid_to_seq"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("op") != "D")
+    probes = clog.agg(F.max("seq").alias("mx")).select(
+        F.explode(
+            F.expr("transform(sequence(1L, 10L), i -> mx * i div 10L)")
+        ).alias("probe_seq")
+    )
+    live = hist.crossJoin(F.broadcast(probes)).filter(
+        (F.col("valid_from_seq") <= F.col("probe_seq"))
+        & (
+            F.col("valid_to_seq").isNull()
+            | (F.col("probe_seq") < F.col("valid_to_seq"))
+        )
+    )
+    return live.groupBy("probe_seq").agg(
+        F.count("*").alias("n_live"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+CDC_SCD2_ASOF_SQL = f"""
+{_CLOG_CTE},
+hist AS (
+  SELECT user_id, op, seq AS valid_from_seq,
+         lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_seq,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM changelog
+),
+probes AS (
+  SELECT (SELECT max(seq) FROM changelog) * i // 10 AS probe_seq
+  FROM unnest(generate_series(1, 10)) AS t(i)
+)
+SELECT p.probe_seq, count(*) AS n_live,
+       CAST(sum(h.cents) AS BIGINT) AS total_cents
+FROM probes p JOIN hist h
+  ON h.op <> 'D'
+ AND h.valid_from_seq <= p.probe_seq
+ AND (h.valid_to_seq IS NULL OR p.probe_seq < h.valid_to_seq)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
+    "cdc_scd2_asof_counts": cdc_scd2_asof_counts,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_conflict_audit": cdc_conflict_audit,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -871,6 +935,7 @@ QUERIES = {
 ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
+    "cdc_scd2_asof_counts": CDC_SCD2_ASOF_SQL,
     "cdc_conflict_audit": CDC_CONFLICT_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "cdc_lag_report": CDC_LAG_SQL,

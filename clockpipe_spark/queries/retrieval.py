@@ -254,14 +254,86 @@ WHERE levenshtein(substr(trim(lower(a.text)), 1, {_EDIT_PREFIX}),
 """
 
 
+def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language near-dup graph density: node/edge counts and the
+    triangle count over the edit-distance pair graph — triangles are
+    the signal that near-dups form CLIQUES (template families, mirror
+    sets) rather than chains, which changes how aggressively a
+    canonical-doc picker can collapse a cluster.
+
+    Distributed triangle counting in its standard shape: edges are
+    already canonical (doc_a < doc_b), so each triangle a<b<c is
+    found exactly once as (a,b)⋈(b,c)⋈(a,c) — two equi-join
+    exchanges over the EDGE set (tiny next to the corpus), never a
+    per-node adjacency materialization. Skew is bounded by the miner's
+    own blocking; at 100 TB the hot-node mitigation is degree-ordered
+    orientation, which canonical ordering already approximates."""
+    edges = neardup_edit_distance(spark, sf_dir).select(
+        "lang", F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    tri = (
+        edges.join(
+            edges.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        )
+        .join(edges.select(F.col("a"), F.col("b").alias("c")), ["a", "c"])
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = edges.select("lang", F.explode(F.array("a", "b")).alias("n"))
+    stats = nodes.groupBy("lang").agg(
+        F.count_distinct("n").alias("n_nodes"),
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+    )
+    return stats.join(tri, "lang", "left").select(
+        "lang",
+        "n_nodes",
+        "n_edges",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH edges AS (
+  SELECT least(a.doc_id, b.doc_id) AS a,
+         greatest(a.doc_id, b.doc_id) AS b,
+         a.lang
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= {_EDIT_BAND}
+  WHERE levenshtein(substr(trim(lower(a.text)), 1, {_EDIT_PREFIX}),
+                    substr(trim(lower(b.text)), 1, {_EDIT_PREFIX}))
+        <= {_EDIT_MAX}
+),
+tri AS (
+  SELECT e1.lang, count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b
+  GROUP BY 1
+),
+stats AS (
+  SELECT lang, count(DISTINCT n) AS n_nodes,
+         CAST(count(*) / 2 AS BIGINT) AS n_edges
+  FROM (
+    SELECT lang, unnest([a, b]) AS n FROM edges
+  ) GROUP BY 1
+)
+SELECT s.lang, s.n_nodes, s.n_edges,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM stats s LEFT JOIN tri t USING (lang)
+"""
+
+
 QUERIES = {
     "bm25_retrieval": bm25_retrieval,
+    "neardup_triangle_stats": neardup_triangle_stats,
     "inverted_index_stats": inverted_index_stats,
     "neardup_edit_distance": neardup_edit_distance,
 }
 
 ORACLES = {
     "bm25_retrieval": BM25_SQL,
+    "neardup_triangle_stats": TRIANGLE_SQL,
     "inverted_index_stats": INVERTED_INDEX_SQL,
     "neardup_edit_distance": EDIT_NEARDUP_SQL,
 }
