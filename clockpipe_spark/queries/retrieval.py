@@ -53,7 +53,11 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange every token statistic pays); df and the query-term list
     are term-keyed aggregates of it; stats and query terms broadcast
     (1 row / 10 rows) back onto tf, so scoring runs at scan speed and
-    the final top-k is a 10-partition window."""
+    the final top-k is a 10-partition window. Catalyst recomputes the
+    tf lineage per consuming branch (.explain shows 4 scans) — cheap
+    at bench scale, but the deployment shape persists tf once
+    (ModelStore.save_table) and derives df/dl/stats from the persisted
+    table, the same train-once split build_bigram_lm documents."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
