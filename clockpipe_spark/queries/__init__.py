@@ -18,6 +18,7 @@ from clockpipe_spark.queries import corpusstats as _corpusstats
 from clockpipe_spark.queries import llmprep as _llmprep
 from clockpipe_spark.queries import llmprep2 as _llmprep2
 from clockpipe_spark.queries import llmprep3 as _llmprep3
+from clockpipe_spark.queries import profiling as _profiling
 from clockpipe_spark.queries import relational as _relational
 from clockpipe_spark.queries import retrieval as _retrieval
 from clockpipe_spark.queries import relational2 as _relational2
@@ -52,6 +53,7 @@ _MODULES = (
     _llmprep2,
     _llmprep3,
     _retrieval,
+    _profiling,
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
