@@ -170,12 +170,109 @@ FROM tot
 """
 
 
+_DRIFT_BIN_CENTS = 1 << 13  # fixed-width bins: 8192 cents per bucket
+
+
+def dist_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event type, the L1 distance (in
+    ppm, i.e. total-variation x2e6) between the value histograms of
+    the stream's first and second time halves — the deploy-time drift
+    alarm an ML pipeline keeps on its feature streams. PSI's log-ratio
+    is replaced by L1 so the statistic stays exact integer arithmetic
+    (log of a count ratio is not engine-portable at the ulp level).
+
+    The half boundary is the midpoint of [min ts, max ts] in integer
+    microseconds (broadcast 1-row aggregate, never a collect); bins
+    are fixed 8192-cent buckets, so histograms are mergeable and the
+    binning never depends on the data beyond the scan. One (type, bin,
+    half) aggregation, then a bin-grid-sized rollup; runs at scan
+    speed at any corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    # `div`, not `/2 + cast`: DuckDB CAST(x.5) rounds while Spark's
+    # cast truncates — integer division floors identically in both
+    bounds = events.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2L"
+        ).alias("mid_us")
+    )
+    binned = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.unix_micros("ts") > F.col("mid_us")).cast("int").alias("half"),
+        F.expr(
+            f"CAST(floor(value * 100) AS BIGINT) div {_DRIFT_BIN_CENTS}"
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    from pyspark.sql import Window
+
+    tw = Window.partitionBy("event_type")
+    with_tot = cells.select(
+        "event_type",
+        "bin",
+        "c0",
+        "c1",
+        F.sum("c0").over(tw).alias("n0"),
+        F.sum("c1").over(tw).alias("n1"),
+    )
+    # ppm shares per half; guard the degenerate all-in-one-half type
+    diff = F.abs(
+        F.expr("CASE WHEN n0 > 0 THEN c0 * 1000000L div n0 ELSE 0L END")
+        - F.expr("CASE WHEN n1 > 0 THEN c1 * 1000000L div n1 ELSE 0L END")
+    )
+    return with_tot.groupBy("event_type").agg(
+        F.max("n0").alias("n_first_half"),
+        F.max("n1").alias("n_second_half"),
+        F.count("*").alias("n_bins"),
+        F.sum(diff).cast("bigint").alias("l1_ppm"),
+    )
+
+
+DRIFT_SQL = f"""
+WITH bounds AS (
+  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT) AS mid_us
+  FROM events
+),
+binned AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) > b.mid_us AS INT) AS half,
+         CAST(floor(value * 100) AS BIGINT) // {_DRIFT_BIN_CENTS} AS bin
+  FROM events, bounds b
+),
+cells AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, bin, c0, c1,
+         sum(c0) OVER (PARTITION BY event_type) AS n0,
+         sum(c1) OVER (PARTITION BY event_type) AS n1
+  FROM cells
+)
+SELECT event_type,
+       CAST(max(n0) AS BIGINT) AS n_first_half,
+       CAST(max(n1) AS BIGINT) AS n_second_half,
+       count(*) AS n_bins,
+       CAST(sum(abs(
+         (CASE WHEN n0 > 0 THEN c0 * 1000000 // n0 ELSE 0 END)
+         - (CASE WHEN n1 > 0 THEN c1 * 1000000 // n1 ELSE 0 END)
+       )) AS BIGINT) AS l1_ppm
+FROM tot GROUP BY event_type
+"""
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
+    "dist_drift_l1": dist_drift_l1,
     "chi_square_lang_source": chi_square_lang_source,
 }
 
 ORACLES = {
     "profile_table_stats": PROFILE_SQL,
+    "dist_drift_l1": DRIFT_SQL,
     "chi_square_lang_source": CHI_SQUARE_SQL,
 }
