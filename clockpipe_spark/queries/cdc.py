@@ -910,9 +910,68 @@ GROUP BY 1
 """
 
 
+_CK_P = 2147483647  # 2^31 - 1, shared with the corpus hash battery
+
+
+def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica anti-entropy checksum (the pt-table-checksum /
+    pg_comparator role): per routed table, an order-insensitive
+    content checksum of the FINAL keyed state — run the same statement
+    on source and replica and compare one row per table instead of
+    moving data. The reference has no verification pass at all; this
+    is the operational check its users run by hand after an incident.
+
+    The row digest is a portable polynomial hash over (user_id,
+    integer cents) mod 2^31-1 — pure int64 arithmetic both engines
+    compute bit-for-bit (never engine hash functions, which differ) —
+    and the table checksum is the SUM mod p of row digests: sum is
+    commutative, so the checksum is partition-order-free and MERGEABLE
+    (shard checksums add), which is what makes it a one-aggregation
+    scan at any scale. Collision odds are 1/2^31 per comparison —
+    the operational check, not a cryptographic one."""
+    clog = _changelog(spark, sf_dir)
+    w = Window.partitionBy("tbl", "user_id").orderBy(F.col("seq").desc())
+    final = (
+        clog.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "tbl",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    h = F.expr(
+        f"(pmod(user_id, {_CK_P}) * 31 + pmod(cents, {_CK_P})) % {_CK_P}"
+    )
+    return final.select("tbl", h.alias("h")).groupBy("tbl").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(f"sum(h) % {_CK_P}").cast("long").alias("checksum"),
+    )
+
+
+CDC_CHECKSUM_SQL = f"""
+{_CLOG_CTE},
+final AS (
+  SELECT tbl, user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM (
+    SELECT c.*, row_number() OVER (
+      PARTITION BY tbl, user_id ORDER BY seq DESC
+    ) AS rn
+    FROM changelog c
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT tbl, count(*) AS n_rows,
+       CAST(sum((((user_id % {_CK_P} + {_CK_P}) % {_CK_P}) * 31
+                 + (cents % {_CK_P} + {_CK_P}) % {_CK_P}) % {_CK_P})
+            % {_CK_P} AS BIGINT) AS checksum
+FROM final GROUP BY tbl
+"""
+
+
 QUERIES = {
     "cdc_changelog": cdc_keep_last_per_key,
     "cdc_scd2_asof_counts": cdc_scd2_asof_counts,
+    "cdc_table_checksum": cdc_table_checksum,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_conflict_audit": cdc_conflict_audit,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -936,6 +995,7 @@ ORACLES = {
     "cdc_changelog": CDC_KEEP_LAST_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_scd2_asof_counts": CDC_SCD2_ASOF_SQL,
+    "cdc_table_checksum": CDC_CHECKSUM_SQL,
     "cdc_conflict_audit": CDC_CONFLICT_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
     "cdc_lag_report": CDC_LAG_SQL,

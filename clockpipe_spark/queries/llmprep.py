@@ -273,8 +273,54 @@ LIMIT {_BOTTOMK}
 """
 
 
+def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-biased deterministic bottom-k: keep the 50 documents with
+    the smallest hash-priority divided by weight (weight = n_chars, so
+    longer documents are proportionally likelier) — the deterministic
+    integer analog of bottom-k priority sampling (exact PPS draws
+    u^(1/w); rank = h div w preserves the same monotone weight bias
+    with pure int64 arithmetic, which is what keeps it engine-portable
+    and replayable).
+
+    Same merge property and TakeOrderedAndProject plan as the uniform
+    bottom-k: per-partition bottom-ks merge to the global bottom-k,
+    only k x partitions rows leave the executors. The Knuth
+    multiplicative hash over doc_id is the shared residue generator
+    (sample_stratified_hash), computed overflow-free for any int64."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the 32-bit Knuth hash from sample_hash_residue, without the % 100
+    # residue: same 16-bit-halves form so no int64 overflow at any id
+    h = F.expr(
+        f"pmod(pmod(pmod(doc_id, 4294967296) div 65536 * {_KNUTH}, 65536)"
+        f" * 65536 + pmod(doc_id, 4294967296) % 65536 * {_KNUTH},"
+        f" 4294967296)"
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("h * 1000000L div n_chars").alias("weighted_rank"),
+        )
+        .orderBy("weighted_rank", "doc_id")
+        .limit(_BOTTOMK)
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       (((doc_id * {_KNUTH}) % 4294967296 + 4294967296) % 4294967296)
+         * 1000000 // n_chars AS weighted_rank
+FROM documents
+ORDER BY weighted_rank, doc_id
+LIMIT {_BOTTOMK}
+"""
+
+
 QUERIES = {
     "sample_bottomk_hash": sample_bottomk_hash,
+    "sample_weighted_bottomk": sample_weighted_bottomk,
     "pack_sequences_greedy": pack_sequences_greedy,
     "tfidf_top_terms": tfidf_top_terms,
     "sample_stratified_hash": sample_stratified_hash,
@@ -283,6 +329,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_bottomk_hash": SAMPLE_BOTTOMK_SQL,
+    "sample_weighted_bottomk": SAMPLE_WEIGHTED_SQL,
     "pack_sequences_greedy": PACK_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "sample_stratified_hash": SAMPLE_SQL,
