@@ -53,6 +53,20 @@ def get_spark(
         # with 10k+ dirs per read, lower this again.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "2048")
         .config("spark.ui.enabled", "false")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` under
+        # every non-outer explode and PushDownPredicates then inlines
+        # the generator's whole expression tree below the staging
+        # projections — for our staged HOF arrays (token hashes, gram
+        # folds, shingles) that re-evaluates the pipeline once per
+        # element_at reference (measured: contamination_bloom 522 s ->
+        # 1.9 s at sf0.1 with the rule off) and for pandas-UDF-built
+        # arrays (IVF cell assignment) it DOUBLE-INVOKES the UDF. The
+        # rule's upside (skip empty arrays before Generate) is noise
+        # for corpus-shaped data where arrays are rarely empty.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert (catalog.load_table) with the
         # same micros truncation DuckDB applies.
