@@ -6,11 +6,14 @@ optimizer behind Delta's OPTIMIZE ZORDER BY and ClickHouse's
 
 Why it matters at 100 TB: parquet readers prune row groups by min/max
 stats. A linear sort on `ts` gives perfect ts-pruning but every file
-spans ALL user_ids; z-ordering by (user_id, ts) makes each file a
-small rectangle in the (user, time) plane, so point-in-both-dims
-predicates skip almost everything. The win is measured, not asserted:
-tests/test_layout.py reads the written parquet footers and compares
-per-file bounding-box volumes against a linear sort.
+spans ALL user_ids — a user-keyed predicate reads everything.
+Z-ordering by (user_id, ts) makes BOTH mean per-file spans ~sqrt(1/N),
+so a point predicate on either dimension skips most files. The honest
+tradeoff (measured in tests/test_layout.py from the written parquet
+footers): the combined bounding-box area is ~2x worse than linear
+(curve segments straddle quad boundaries), so a workload that only
+ever range-scans ONE dimension should keep the linear sort; z-order
+is for mixed/point access on two keys.
 
 Everything is integer arithmetic JVM-side: quantize each dimension to
 `bits`-bit ranks against broadcast min/max bounds (exact `div`, never
@@ -46,17 +49,22 @@ def quantize_expr(col: str, lo: str, hi: str, bits: int = MORTON_BITS) -> Column
 
 def morton_interleave(xr: Column, yr: Column, bits: int = MORTON_BITS) -> Column:
     """Interleave the low `bits` bits of two non-negative ranks:
-    bit i of x lands at position 2i, bit i of y at 2i+1. A fold over
-    sequence(0, bits-1) — stays inside whole-stage codegen, no UDF."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: (
-            acc
-            + F.shiftleft(F.shiftright(xr, i).bitwiseAND(F.lit(1)), (i * 2))
-            + F.shiftleft(F.shiftright(yr, i).bitwiseAND(F.lit(1)), (i * 2 + 1))
-        ).cast("long"),
-    )
+    bit i of x lands at position 2i, bit i of y at 2i+1. The bit count
+    is static, so the fold unrolls at plan-build time into one flat
+    sum of masked shifts — a single codegen'd expression, no UDF (and
+    no HOF: shiftleft needs literal shift amounts)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(xr, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(yr, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
 
 
 def zorder_repartition(

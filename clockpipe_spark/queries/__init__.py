@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from clockpipe_spark.queries import approximate as _approximate
 from clockpipe_spark.queries import cdc as _cdc
 from clockpipe_spark.queries import corpusstats as _corpusstats
+from clockpipe_spark.queries import layout_stats as _layout_stats
 from clockpipe_spark.queries import llmprep as _llmprep
 from clockpipe_spark.queries import llmprep2 as _llmprep2
 from clockpipe_spark.queries import llmprep3 as _llmprep3
@@ -54,6 +55,7 @@ _MODULES = (
     _llmprep3,
     _retrieval,
     _profiling,
+    _layout_stats,
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
