@@ -265,14 +265,164 @@ FROM tot GROUP BY event_type
 """
 
 
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint screen (the Deequ / dbt-test role): one
+    row per declared rule with its violation count over the
+    lineitem/orders pair — uniqueness of the (orderkey, linenumber)
+    PK, referential integrity lineitem→orders, value-domain rules
+    (non-negative quantity/price, discount within [0, 1]), and a
+    cross-column rule (discounted price must not exceed list price).
+
+    Each rule is a scan-speed conditional aggregate; the PK check is
+    one groupBy on the key; the FK check a broadcast-able left anti
+    join. Counts union into the rule report — at 100 TB every rule
+    stays a single pass and the report is rule-count-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dup_pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("violations"))
+        .select(F.lit("pk_unique_orderkey_linenumber").alias("rule"), "violations")
+    )
+    fk_orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("fk_lineitem_orders").alias("rule"), "violations")
+    )
+    domain = li.agg(
+        F.sum((F.col("l_quantity") < 0).cast("long")).alias("neg_qty"),
+        F.sum((F.col("l_extendedprice") < 0).cast("long")).alias("neg_price"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bad_discount"),
+        F.sum(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                > F.col("l_extendedprice")
+            ).cast("long")
+        ).alias("discount_inflates"),
+    )
+    domain_rows = domain.select(
+        F.expr(
+            "stack(4,"
+            " 'domain_quantity_nonneg', neg_qty,"
+            " 'domain_price_nonneg', neg_price,"
+            " 'domain_discount_0_1', bad_discount,"
+            " 'cross_discount_not_inflating', discount_inflates"
+            ") AS (rule, violations)"
+        )
+    )
+    return dup_pk.unionByName(fk_orphans).unionByName(domain_rows)
+
+
+DQ_SQL = """
+SELECT 'pk_unique_orderkey_linenumber' AS rule,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS violations
+FROM (
+  SELECT count(*) AS c FROM lineitem
+  GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'fk_lineitem_orders',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+)
+UNION ALL
+SELECT 'domain_quantity_nonneg',
+       CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'domain_price_nonneg',
+       CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'domain_discount_0_1',
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'cross_discount_not_inflating',
+       CAST(sum(CASE WHEN l_extendedprice * (1 - l_discount) > l_extendedprice
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+"""
+
+
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each observation
+    holds until the next one, weighted by its holding duration in
+    integer microseconds; the last observation of a user carries zero
+    weight (nothing after it to hold over) — the standard irregular-
+    series mean that a plain AVG gets wrong whenever sampling is
+    bursty.
+
+    One lead() window per user (the same keyed exchange the rest of
+    the per-user battery shares); the weighted sum stays in integer
+    cents x micros, divided once at the end (floor-div, so both
+    engines agree). Users with a single event emit NULL (no interval)."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("hold_us"),
+    ).filter(F.col("hold_us").isNotNull())
+    # guard the all-zero-hold user (every event at one instant):
+    # div-by-zero must yield NULL, not an ANSI abort. Overflow bound:
+    # max_cents x user time range in µs must fit int64 (~3 years at
+    # cents <= 1e5) — the per-user holds sum to the user's range.
+    # Non-negative cents assumed (testdata: value >= 0); a negative
+    # domain would need a floor-div shim because Spark div truncates
+    # while DuckDB // floors.
+    return stepped.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("hold_us").alias("total_us"),
+        F.expr(
+            "CASE WHEN sum(hold_us) > 0"
+            " THEN sum(cents * hold_us) div sum(hold_us) END"
+        ).alias("twap_cents"),
+    )
+
+
+TWAP_SQL = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) - epoch_us(ts) AS hold_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(sum(hold_us) AS BIGINT) AS total_us,
+       CAST(CASE WHEN sum(hold_us) > 0
+                 THEN sum(cents * hold_us) // sum(hold_us) END
+            AS BIGINT) AS twap_cents
+FROM stepped WHERE hold_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "dist_drift_l1": dist_drift_l1,
+    "dq_constraint_violations": dq_constraint_violations,
+    "ts_time_weighted_avg": ts_time_weighted_avg,
     "chi_square_lang_source": chi_square_lang_source,
 }
 
 ORACLES = {
     "profile_table_stats": PROFILE_SQL,
     "dist_drift_l1": DRIFT_SQL,
+    "dq_constraint_violations": DQ_SQL,
+    "ts_time_weighted_avg": TWAP_SQL,
     "chi_square_lang_source": CHI_SQUARE_SQL,
 }
