@@ -508,10 +508,148 @@ ASOF LEFT JOIN (
 """
 
 
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's cents split
+    evenly across the user's view/click touches in the prior 7 days,
+    with the integer remainder credited to the LAST touch before
+    conversion (deterministic — no fractional cents, credits sum
+    exactly to the purchase). Output per touch event: conversions
+    influenced and total credited cents; the marketing-attribution
+    query every event replica serves.
+
+    Plan: a keyed interval join (user_id equi-join + time-range
+    residual — co-partitioned, never cartesian), one window per
+    purchase for the touch count/recency rank, then a per-touch
+    rollup. Two keyed exchanges total at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("p_cents"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _ATTR_WINDOW_US)
+    )
+    w = Window.partitionBy("p_id")
+    wrank = Window.partitionBy("p_id").orderBy(
+        F.col("t_us").desc(), F.col("t_id").desc()
+    )
+    credited = joined.select(
+        "t_id",
+        "user_id",
+        "p_cents",
+        F.count("*").over(w).alias("n_touch"),
+        F.row_number().over(wrank).alias("recency"),
+    ).select(
+        "t_id",
+        "user_id",
+        (
+            F.expr("p_cents div n_touch")
+            + F.when(F.col("recency") == 1, F.expr("p_cents % n_touch"))
+            .otherwise(F.lit(0))
+        ).alias("credit_cents"),
+    )
+    return credited.groupBy(F.col("t_id").alias("event_id"), "user_id").agg(
+        F.count("*").alias("n_conversions"),
+        F.sum("credit_cents").alias("credit_cents"),
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+         CAST(floor(value * 100) AS BIGINT) AS p_cents
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS t_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+joined AS (
+  SELECT p.p_id, t.t_id, p.user_id, p.p_cents,
+         count(*) OVER (PARTITION BY p.p_id) AS n_touch,
+         row_number() OVER (
+           PARTITION BY p.p_id ORDER BY t.t_us DESC, t.t_id DESC
+         ) AS recency
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_us < p.p_us
+   AND t.t_us >= p.p_us - {_ATTR_WINDOW_US}
+)
+SELECT t_id AS event_id, user_id,
+       count(*) AS n_conversions,
+       CAST(sum(p_cents // n_touch
+                + CASE WHEN recency = 1 THEN p_cents % n_touch ELSE 0 END)
+            AS BIGINT) AS credit_cents
+FROM joined
+GROUP BY t_id, user_id
+"""
+
+
+def dau_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative users — the growth dashboard's
+    first chart, computed the scalable way: DAU is one (day, user)
+    dedup + count; "new" attributes each user to their FIRST day (a
+    per-user min — never a growing-window COUNT DISTINCT, which
+    rescans history); cumulative is a running sum over the tiny
+    day-grained frame. Two keyed aggregations over the stream, then
+    window math on ~30 rows."""
+    events = load_table(spark, sf_dir, "events")
+    day_user = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("day").agg(F.count("*").alias("n_active"))
+    first_day = day_user.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_day.groupBy("day").agg(F.count("*").alias("n_new"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(new_users, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(wcum).cast("long"))
+    )
+
+
+DAU_SQL = """
+WITH day_user AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+dau AS (SELECT day, count(*) AS n_active FROM day_user GROUP BY day),
+newu AS (
+  SELECT day, count(*) AS n_new FROM (
+    SELECT user_id, min(day) AS day FROM day_user GROUP BY user_id
+  ) GROUP BY day
+)
+SELECT d.day, d.n_active,
+       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(n.n_new, 0)) OVER (
+         ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM dau d LEFT JOIN newu n USING (day)
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
     "asof_next_purchase": asof_next_purchase,
     "asof_purchase_recency_gated": asof_purchase_recency_gated,
+    "attribution_linear": attribution_linear,
+    "dau_cumulative": dau_cumulative,
     "quantile_histogram_rollup": quantile_histogram_rollup,
     "ts_seasonal_residual": ts_seasonal_residual,
     "event_transition_matrix": event_transition_matrix,
@@ -523,6 +661,8 @@ ORACLES = {
     "ts_resample_ohlc": OHLC_SQL,
     "asof_next_purchase": ASOF_FORWARD_SQL,
     "asof_purchase_recency_gated": ASOF_GATED_SQL,
+    "attribution_linear": ATTRIBUTION_SQL,
+    "dau_cumulative": DAU_SQL,
     "quantile_histogram_rollup": QUANTILE_ROLLUP_SQL,
     "ts_seasonal_residual": SEASONAL_RESIDUAL_SQL,
     "event_transition_matrix": TRANSITION_SQL,
