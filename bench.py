@@ -116,6 +116,34 @@ HEADLINE = [
     "mm_video_scene_cuts",
 ]
 
+# Timed like HEADLINE (min-of-2, noop sink) but recorded ONLY in
+# BENCH_DETAIL.json — the stdout line is at its 2000-char tail budget,
+# and these are the round's new tiers whose numbers belong on record
+# without evicting cross-round comparables from the compact line.
+EXTRA_DETAIL = [
+    "bm25_retrieval",
+    "inverted_index_stats",
+    "neardup_edit_distance",
+    "neardup_triangle_stats",
+    "attribution_linear",
+    "dau_cumulative",
+    "ts_time_weighted_avg",
+    "dist_drift_l1",
+    "profile_table_stats",
+    "chi_square_lang_source",
+    "dq_constraint_violations",
+    "cdc_table_checksum",
+    "cdc_scd2_asof_counts",
+    "cdc_conflict_audit",
+    "cdc_snapshot_diff",
+    "zorder_tile_stats",
+    "text_ngram_novelty",
+    "embedding_centroid_report",
+    "sample_weighted_bottomk",
+    "asof_next_purchase",
+    "asof_purchase_recency_gated",
+]
+
 
 def shared_vs_prev(timings: dict[str, float], here: str) -> dict | None:
     """Cross-round comparability: ratio of this run's total to the
@@ -472,6 +500,17 @@ def main() -> None:
         first_run[name] = trials[0]
         timings[name] = min(trials)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA_DETAIL:
+        trials = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            trials.append(round(time.perf_counter() - t0, 3))
+        extra[name] = min(trials)
+
     total = round(sum(timings.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
     full = {
@@ -483,6 +522,7 @@ def main() -> None:
         "trials": 2,
         "queries": timings,
         "queries_run1": first_run,
+        "extra_queries": extra,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "iso": iso,
         "ivf_prewarm_sec": ivf_prewarm_sec,
