@@ -15,7 +15,7 @@ the filter both engines must agree on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clockpipe_spark.catalog import load_table
@@ -339,14 +339,93 @@ FROM toks t LEFT JOIN scored s USING (doc_id)
 """
 
 
+_TREND_TOP = 15
+
+
+def trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rising-terms report: the 15 terms whose share of the corpus's
+    second doc-id half most exceeds their first-half share (delta in
+    ppm of each half's token mass) — the vocabulary-drift twin of
+    dist_drift_l1, at term granularity; on a crawl pipeline this is
+    the "what is the new crawl slice full of" dashboard. The halves
+    split on the median-free midpoint of [min, max] doc_id (broadcast
+    1-row aggregate, integer `div`).
+
+    One (term, half) aggregation with map-side combine + a 1-row
+    totals broadcast + a top-k window over the term table — the corpus
+    shuffles once, on term."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("(min(doc_id) + max(doc_id)) div 2L").alias("mid")
+    )
+    toks = docs.crossJoin(F.broadcast(bounds)).select(
+        (F.col("doc_id") > F.col("mid")).cast("int").alias("half"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    cells = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tots = cells.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    scored = cells.crossJoin(F.broadcast(tots)).select(
+        "term",
+        F.expr("c0 * 1000000L div n0").alias("share0_ppm"),
+        F.expr("c1 * 1000000L div n1").alias("share1_ppm"),
+        F.expr("c1 * 1000000L div n1 - c0 * 1000000L div n0").alias(
+            "delta_ppm"
+        ),
+    )
+    w = Window.orderBy(F.col("delta_ppm").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TREND_TOP)
+    )
+
+
+TRENDING_SQL = rf"""
+WITH bounds AS (
+  SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents
+),
+toks AS (
+  SELECT CAST(doc_id > b.mid AS INT) AS half,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents, bounds b
+),
+cells AS (
+  SELECT term,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+  FROM toks GROUP BY term
+),
+tots AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM cells),
+scored AS (
+  SELECT term,
+         CAST(c0 * 1000000 // n0 AS BIGINT) AS share0_ppm,
+         CAST(c1 * 1000000 // n1 AS BIGINT) AS share1_ppm,
+         CAST(c1 * 1000000 // n1 - c0 * 1000000 // n0 AS BIGINT)
+             AS delta_ppm
+  FROM cells, tots
+)
+SELECT term, share0_ppm, share1_ppm, delta_ppm, rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY delta_ppm DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= {_TREND_TOP}
+"""
+
+
 QUERIES = {
     "corpus_doclen_histogram": corpus_doclen_histogram,
     "contamination_bloom": contamination_bloom,
     "text_ngram_novelty": text_ngram_novelty,
+    "trending_terms": trending_terms,
 }
 
 ORACLES = {
     "corpus_doclen_histogram": DOCLEN_HIST_SQL,
     "contamination_bloom": CONTAM_BLOOM_SQL,
     "text_ngram_novelty": NGRAM_NOVELTY_SQL,
+    "trending_terms": TRENDING_SQL,
 }

@@ -644,12 +644,114 @@ FROM dau d LEFT JOIN newu n USING (day)
 """
 
 
+_AB_KNUTH = 2654435761  # shared multiplicative-hash constant
+
+
+def ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-analysis summary: users deterministically split into
+    two arms by multiplicative hash (the assignment every A/B platform
+    computes — stable across reruns and engines, never rand()), then
+    per arm: users, converters (>= 1 purchase), conversion rate in
+    ppm, and purchase value mass in cents; plus each arm's lift vs the
+    OTHER arm in ppm of the other's rate, from a 2-row self-join.
+    Significance testing needs sqrt/normal tables — floats that
+    diverge across libms — so the deterministic part ends at the
+    rate/lift integers and the z-test belongs to the notebook layer.
+
+    One (user) aggregation + a 2-row broadcast self-join; assignment
+    is a pure projection, so the scan parallelizes untouched at any
+    corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    # the repo's overflow-free 16-bit-halves Knuth hash (llmprep.
+    # sample_hash_residue), reduced mod 2 for the arm
+    arm = F.expr(
+        f"pmod(pmod(pmod(user_id, 4294967296) div 65536 * {_AB_KNUTH},"
+        f" 65536) * 65536"
+        f" + pmod(user_id, 4294967296) % 65536 * {_AB_KNUTH},"
+        f" 4294967296) % 2"
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("n_purch"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("purch_cents"),
+    ).select(arm.alias("arm"), "n_purch", "purch_cents")
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum((F.col("n_purch") > 0).cast("long")).alias("n_converters"),
+        F.sum("purch_cents").alias("total_cents"),
+    ).withColumn(
+        "conv_ppm", F.expr("n_converters * 1000000L div n_users")
+    )
+    other = arms.select(
+        (1 - F.col("arm")).alias("arm"),
+        F.col("conv_ppm").alias("other_ppm"),
+    )
+    return arms.join(other, "arm").select(
+        "arm",
+        "n_users",
+        "n_converters",
+        "conv_ppm",
+        "total_cents",
+        F.expr(
+            "CASE WHEN other_ppm > 0"
+            " THEN (conv_ppm - other_ppm) * 1000000L div other_ppm END"
+        ).alias("lift_ppm"),
+    )
+
+
+AB_TEST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+             AS purch_cents
+  FROM events GROUP BY user_id
+),
+halved AS (
+  SELECT *, (user_id % 4294967296 + 4294967296) % 4294967296 AS u32
+  FROM per_user
+),
+armed AS (
+  SELECT ((u32 // 65536 * {_AB_KNUTH}) % 65536 * 65536
+          + u32 % 65536 * {_AB_KNUTH}) % 4294967296 % 2 AS arm,
+         n_purch, purch_cents
+  FROM halved
+),
+arms AS (
+  SELECT arm, count(*) AS n_users,
+         sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS n_converters,
+         CAST(sum(purch_cents) AS BIGINT) AS total_cents
+  FROM armed GROUP BY arm
+),
+rated AS (
+  SELECT arm, n_users,
+         CAST(n_converters AS BIGINT) AS n_converters,
+         n_converters * 1000000 // n_users AS conv_ppm, total_cents
+  FROM arms
+)
+SELECT a.arm, a.n_users, a.n_converters,
+       CAST(a.conv_ppm AS BIGINT) AS conv_ppm, a.total_cents,
+       CAST(CASE WHEN b.conv_ppm > 0
+                 THEN (a.conv_ppm - b.conv_ppm) * 1000000 // b.conv_ppm END
+            AS BIGINT) AS lift_ppm
+FROM rated a JOIN rated b ON b.arm = 1 - a.arm
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
     "asof_next_purchase": asof_next_purchase,
     "asof_purchase_recency_gated": asof_purchase_recency_gated,
     "attribution_linear": attribution_linear,
     "dau_cumulative": dau_cumulative,
+    "ab_test_summary": ab_test_summary,
     "quantile_histogram_rollup": quantile_histogram_rollup,
     "ts_seasonal_residual": ts_seasonal_residual,
     "event_transition_matrix": event_transition_matrix,
@@ -663,6 +765,7 @@ ORACLES = {
     "asof_purchase_recency_gated": ASOF_GATED_SQL,
     "attribution_linear": ATTRIBUTION_SQL,
     "dau_cumulative": DAU_SQL,
+    "ab_test_summary": AB_TEST_SQL,
     "quantile_histogram_rollup": QUANTILE_ROLLUP_SQL,
     "ts_seasonal_residual": SEASONAL_RESIDUAL_SQL,
     "event_transition_matrix": TRANSITION_SQL,
