@@ -142,6 +142,9 @@ EXTRA_DETAIL = [
     "sample_weighted_bottomk",
     "asof_next_purchase",
     "asof_purchase_recency_gated",
+    "ab_test_summary",
+    "trending_terms",
+    "dedup_components_chain",
 ]
 
 

@@ -14,7 +14,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE
+from bench import EXTRA_DETAIL, HEADLINE
 from clockpipe_spark.queries import all_queries
 from clockpipe_spark.session import get_spark
 
@@ -25,7 +25,7 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=4)
     queries = all_queries()
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA_DETAIL:
         df = queries[name](spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
