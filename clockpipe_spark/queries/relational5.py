@@ -204,7 +204,96 @@ FROM base
 """
 
 
+_HIER_FANOUT = 10  # parent(doc) = doc_id div 10 — a synthetic 10-ary tree
+_HIER_MAX_DEPTH = 12  # loud guard far above log10(any plausible doc count)
+
+
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-query surface (WITH RECURSIVE has no Spark native):
+    ancestor-closure rollup over a synthetic 10-ary hierarchy
+    (parent = doc_id div 10, root 0) — per ancestor, its depth-tagged
+    descendant count and total character mass, the BOM-explosion /
+    org-rollup shape.
+
+    Spark-first: the closure builds by ITERATED JOIN of the frontier
+    with the edge table — depth rounds (log_10 of the id space), each
+    one co-partitioned equi-join on the frontier's parent, terminating
+    when a round adds no rows, with a loud guard at 12 rounds (the
+    components.py convergence discipline). The per-round frontier only
+    shrinks (paths above the root drop out), so peak memory is the
+    closure itself — the same O(n log n) paths a recursive CTE
+    materializes. The DuckDB oracle IS `WITH RECURSIVE`, so the
+    fixpoint semantics are checked against a real recursive engine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    edges = docs.filter(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("node"),
+        F.expr(f"doc_id div {_HIER_FANOUT}").alias("parent"),
+    )
+    # closure seeds: every node is its own ancestor at depth 0
+    closure = docs.select(
+        F.col("doc_id").alias("node"),
+        F.col("doc_id").alias("anc"),
+        F.lit(0).alias("depth"),
+    )
+    frontier = closure
+    for _ in range(_HIER_MAX_DEPTH):
+        stepped = (
+            frontier.join(
+                edges.select(
+                    F.col("node").alias("anc"),
+                    F.col("parent").alias("next_anc"),
+                ),
+                "anc",
+            )
+            .select(
+                "node",
+                F.col("next_anc").alias("anc"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+        if stepped.isEmpty():
+            break
+        closure = closure.unionByName(stepped)
+        frontier = stepped
+    else:
+        raise RuntimeError(
+            f"hierarchy deeper than {_HIER_MAX_DEPTH} — guard tripped"
+        )
+    rolled = (
+        closure.join(docs, closure.node == docs.doc_id)
+        .groupBy("anc")
+        .agg(
+            F.count("*").alias("n_subtree"),
+            F.max("depth").alias("max_depth"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    return rolled.select(
+        F.col("anc").alias("ancestor"),
+        "n_subtree",
+        "max_depth",
+        "total_chars",
+    )
+
+
+HIERARCHY_SQL = f"""
+WITH RECURSIVE closure(node, anc, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT c.node, c.anc // {_HIER_FANOUT}, c.depth + 1
+  FROM closure c WHERE c.anc > 0
+)
+SELECT c.anc AS ancestor,
+       count(*) AS n_subtree,
+       max(c.depth) AS max_depth,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM closure c JOIN documents d ON c.node = d.doc_id
+GROUP BY c.anc
+"""
+
+
 QUERIES = {
+    "hierarchy_rollup": hierarchy_rollup,
     "join_full_outer_daily": join_full_outer_daily,
     "setop_bag_ops": setop_bag_ops,
     "scalar_null_battery": scalar_null_battery,
@@ -212,6 +301,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hierarchy_rollup": HIERARCHY_SQL,
     "join_full_outer_daily": FULL_OUTER_SQL,
     "setop_bag_ops": SETOP_BAG_SQL,
     "scalar_null_battery": NULL_BATTERY_SQL,
