@@ -145,6 +145,7 @@ EXTRA_DETAIL = [
     "ab_test_summary",
     "trending_terms",
     "dedup_components_chain",
+    "hierarchy_rollup",
 ]
 
 
