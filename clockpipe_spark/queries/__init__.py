@@ -85,6 +85,21 @@ _MODULES = (
 # HUGEINT rendering, now cast (timeseries.py SESSIONIZE_SQL), and the
 # judge wants the green row on record.
 # tests/test_registry_window.py guards composition.
+#
+# Round-8 rotation QUEUE (round-7 session-3 additions, every one
+# already green on the local sf0.001+sf0.01 oracle twin, none with a
+# driver row yet): cdc_conflict_audit, cdc_snapshot_diff,
+# cdc_scd2_asof_counts, cdc_table_checksum, asof_next_purchase,
+# asof_purchase_recency_gated, bm25_retrieval, inverted_index_stats,
+# neardup_edit_distance, neardup_triangle_stats, text_ngram_novelty,
+# embedding_centroid_report, profile_table_stats,
+# chi_square_lang_source, dist_drift_l1, dq_constraint_violations,
+# ts_time_weighted_avg, attribution_linear, dau_cumulative,
+# ab_test_summary, trending_terms, sample_weighted_bottomk,
+# zorder_tile_stats, hierarchy_rollup — plus the 10 queued r7-LATE
+# names above. ~34 candidates for ~2 windows of churn; prioritize the
+# new FAMILIES first (retrieval, profiling/DQ, checksum, recursive,
+# zorder) since each brings a previously-unrepresented capability.
 _GATE_WINDOW = 50
 
 _PRIORITY = (
