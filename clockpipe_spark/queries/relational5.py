@@ -276,12 +276,20 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the recursion steps THROUGH the edge relation (join on e.node =
+# c.anc), exactly like the Spark loop — on a sparse id set a chain
+# stops at a missing intermediate node in BOTH engines, rather than
+# the oracle silently stepping arithmetically past it
 HIERARCHY_SQL = f"""
-WITH RECURSIVE closure(node, anc, depth) AS (
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS node, doc_id // {_HIER_FANOUT} AS parent
+  FROM documents WHERE doc_id > 0
+),
+closure(node, anc, depth) AS (
   SELECT doc_id, doc_id, 0 FROM documents
   UNION ALL
-  SELECT c.node, c.anc // {_HIER_FANOUT}, c.depth + 1
-  FROM closure c WHERE c.anc > 0
+  SELECT c.node, e.parent, c.depth + 1
+  FROM closure c JOIN edges e ON e.node = c.anc
 )
 SELECT c.anc AS ancestor,
        count(*) AS n_subtree,
