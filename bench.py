@@ -146,6 +146,7 @@ EXTRA_DETAIL = [
     "trending_terms",
     "dedup_components_chain",
     "hierarchy_rollup",
+    "fk_fanout_histogram",
 ]
 
 

@@ -411,11 +411,56 @@ GROUP BY user_id
 """
 
 
+def fk_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality profile of the customer→orders FK: the
+    log2-bucketed histogram of orders-per-customer, INCLUDING
+    zero-order customers (the left-join blind spot a naive GROUP BY
+    on the fact table misses) — what a planner consults to predict
+    join fan-out and what a modeler reads to spot hub keys.
+
+    floor(log2(n + 0.5)) buckets (the +0.5 keeps the argument off
+    exact powers of two so a 1-ulp libm difference can never flip the
+    floor — the corpus histogram's trick); n=0 lands in bucket -1.
+    One left-join aggregation on the key + a bucket-grained rollup."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.col("o_custkey").isNotNull().cast("long")).alias("n"))
+    )
+    bucket = F.floor(F.log2(F.col("n") + 0.5)).cast("long")
+    return per_cust.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_customers"),
+        F.min("n").alias("min_orders"),
+        F.max("n").alias("max_orders"),
+        F.sum("n").alias("total_orders"),
+    )
+
+
+FK_FANOUT_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(floor(log2(n + 0.5)) AS BIGINT) AS bucket,
+       count(*) AS n_customers,
+       min(n) AS min_orders,
+       max(n) AS max_orders,
+       CAST(sum(n) AS BIGINT) AS total_orders
+FROM per_cust GROUP BY 1
+"""
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "dist_drift_l1": dist_drift_l1,
     "dq_constraint_violations": dq_constraint_violations,
     "ts_time_weighted_avg": ts_time_weighted_avg,
+    "fk_fanout_histogram": fk_fanout_histogram,
     "chi_square_lang_source": chi_square_lang_source,
 }
 
@@ -424,5 +469,6 @@ ORACLES = {
     "dist_drift_l1": DRIFT_SQL,
     "dq_constraint_violations": DQ_SQL,
     "ts_time_weighted_avg": TWAP_SQL,
+    "fk_fanout_histogram": FK_FANOUT_SQL,
     "chi_square_lang_source": CHI_SQUARE_SQL,
 }
