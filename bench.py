@@ -147,6 +147,7 @@ EXTRA_DETAIL = [
     "dedup_components_chain",
     "hierarchy_rollup",
     "fk_fanout_histogram",
+    "neardup_jaccard_prefix",
 ]
 
 

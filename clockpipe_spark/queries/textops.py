@@ -500,6 +500,102 @@ FROM rn ORDER BY doc_id
 """
 
 
+def neardup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs — SAME semantics and oracle
+    as neardup_jaccard_pairs, but with PPJoin-style prefix filtering
+    (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): under a global
+    df-ascending canonical gram order, any pair with J >= tau must
+    share a gram inside each side's first |A| - ceil(tau/(1+tau)*|A|)
+    + 1 grams. Candidates therefore come from joining only the RARE
+    prefix grams; the hot shingles that give the baseline its df^2
+    blowup sit at the end of the order and never enter the join.
+    Survivor pairs verify exactly via array_intersect on the staged
+    per-doc gram arrays (one pair-level set op, not a gram-row join).
+
+    At 100 TB this is the difference between a join whose volume
+    follows sum(df^2) over every gram (hot templates explode it) and
+    one bounded by the rare-gram co-occurrence plus |candidates| set
+    intersections — the published exact-similarity-join shape. The
+    prefix bound uses tau/(1+tau) (valid for any |B|), conservative by
+    construction; the oracle replays the plain inverted-index join, so
+    a filtering bug would hash-fail.
+
+    Measured crossover (sf0.1, min-of-2): THIS corpus has a moderate
+    df distribution, so the baseline's gram join is cheap (2.05 s) and
+    the prefix machinery (df join + per-doc canonical sort + pair
+    verifies) costs more (11.4 s). The prefix plan's advantage is
+    worst-case robustness — its join volume cannot explode with a hot
+    template gram, the baseline's grows with df^2 — so the deployment
+    rule is: baseline for curated corpora, prefix for template-heavy
+    web crawl. Both ship, same oracle."""
+    from clockpipe_spark.operators.neardup import shingles_from_tokens
+
+    corpus = _doubled_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    docs_sh = toks.select(
+        "doc_id", shingles_from_tokens(F.col("toks"), _SHINGLE_K).alias("sh")
+    )
+    exploded = docs_sh.select("doc_id", F.explode("sh").alias("shingle"))
+    df_tbl = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    # per-doc grams in (df asc, shingle asc) canonical order, then the
+    # prefix slice; p = |A| - ceil(tau/(1+tau)|A|) + 1 with tau = 1/2
+    # -> ceil(|A|/3) done in exact ints as (|A| + 2) div 3
+    ordered = (
+        exploded.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("ordered_sh")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "slice(ordered_sh, 1,"
+                " size(ordered_sh) - (size(ordered_sh) + 2) div 3 + 1)"
+            ).alias("prefix_sh"),
+        )
+    )
+    pre = ordered.select(
+        "doc_id", F.explode("prefix_sh").alias("shingle")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = docs_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = docs_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return verified.filter(jac >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.floor(jac * 1e4).alias("jaccard")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -507,6 +603,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "dedup_exact": dedup_exact,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "neardup_jaccard_prefix": neardup_jaccard_prefix,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_components_chain": dedup_components_chain,
     "split_leakage_safe": split_leakage_safe,
@@ -523,5 +620,8 @@ ORACLES = {
     "text_fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "neardup_jaccard_pairs": NEARDUP_JACCARD_SQL,
+    # same semantics, same oracle — the prefix-filtered plan must
+    # reproduce the baseline bit-for-bit
+    "neardup_jaccard_prefix": NEARDUP_JACCARD_SQL,
     "dedup_cluster_assign": DEDUP_CLUSTER_SQL,
 }
