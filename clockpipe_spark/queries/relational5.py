@@ -300,8 +300,102 @@ GROUP BY c.anc
 """
 
 
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse the props JSON into a variant,
+    extract typed fields with variant_get, and branch on is_variant_null
+    — the semi-structured path modern Spark ships for JSON columns
+    (parse once, extract many, no per-extract re-parse). The DuckDB
+    oracle extracts from JSON directly; agreement pins the typed
+    extraction including the int cast.
+
+    Scan-speed projection; at 100 TB the parse-once property is the
+    point — a query touching 5 fields of a JSON column pays one parse,
+    not five."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+        F.is_variant_null(F.try_variant_get(v, "$.k", "variant")).cast(
+            "int"
+        ).alias("k_is_null"),
+    )
+
+
+VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       CAST(json_extract(props, '$.missing') AS INT) AS missing_int,
+       CAST(json_extract(props, '$.k') IS NULL AS INT) AS k_is_null
+FROM events
+"""
+
+
+def map_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a per-user event_type -> count map with
+    map_from_entries, then exercise map_keys / map_values /
+    element_at / map_filter / transform_values in one projection.
+    Maps have no cross-engine canonical order, so every output renders
+    as a SORTED array of 'key:value' strings — the hash-safe form.
+
+    One keyed aggregation; the map column never leaves the executor
+    un-canonicalized."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    mapped = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    render = lambda m: F.sort_array(  # noqa: E731
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.concat_ws(
+                ":", e["key"], e["value"].cast("string")
+            ),
+        )
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", "purchase").alias("purchases"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_events"),
+        render(F.map_filter("m", lambda k, v: v >= 10)).alias(
+            "frequent_types"
+        ),
+        render(
+            F.transform_values("m", lambda k, v: v * 2)
+        ).alias("doubled"),
+    )
+
+
+MAP_BATTERY_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_types,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN n END) AS BIGINT)
+           AS purchases,
+       CAST(sum(n) AS BIGINT) AS total_events,
+       list_sort(list(event_type || ':' || CAST(n AS VARCHAR))
+                 FILTER (n >= 10)) AS frequent_types,
+       list_sort(list(event_type || ':' || CAST(n * 2 AS VARCHAR)))
+           AS doubled
+FROM per GROUP BY user_id
+"""
+
+
 QUERIES = {
     "hierarchy_rollup": hierarchy_rollup,
+    "scalar_variant_extract": scalar_variant_extract,
+    "map_function_battery": map_function_battery,
     "join_full_outer_daily": join_full_outer_daily,
     "setop_bag_ops": setop_bag_ops,
     "scalar_null_battery": scalar_null_battery,
@@ -310,6 +404,8 @@ QUERIES = {
 
 ORACLES = {
     "hierarchy_rollup": HIERARCHY_SQL,
+    "scalar_variant_extract": VARIANT_SQL,
+    "map_function_battery": MAP_BATTERY_SQL,
     "join_full_outer_daily": FULL_OUTER_SQL,
     "setop_bag_ops": SETOP_BAG_SQL,
     "scalar_null_battery": NULL_BATTERY_SQL,
