@@ -392,10 +392,50 @@ FROM per GROUP BY user_id
 """
 
 
+def unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot's inverse (`DataFrame.unpivot` / SQL UNPIVOT): order
+    revenue pivoted wide by status (one column per o_orderstatus),
+    then melted back to (month, status, revenue_cents) long form —
+    the round-trip every BI export pipeline runs. The oracle computes
+    the long form directly, so the wide->long melt must reconstruct
+    the original grouping exactly, including the NULL-for-absent cells
+    unpivot drops (include_nulls=False, the default match for the
+    direct aggregation's absent rows).
+
+    Pivot is one hash aggregation over (month x 3 statuses); unpivot
+    is a zero-shuffle projection explode."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        )
+    )
+    return wide.unpivot(
+        ["month"],
+        ["O", "F", "P"],
+        "status",
+        "revenue_cents",
+    ).filter(F.col("revenue_cents").isNotNull())
+
+
+UNPIVOT_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       o_orderstatus AS status,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+WHERE o_orderstatus IN ('O', 'F', 'P')
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "hierarchy_rollup": hierarchy_rollup,
     "scalar_variant_extract": scalar_variant_extract,
     "map_function_battery": map_function_battery,
+    "unpivot_status_revenue": unpivot_status_revenue,
     "join_full_outer_daily": join_full_outer_daily,
     "setop_bag_ops": setop_bag_ops,
     "scalar_null_battery": scalar_null_battery,
@@ -406,6 +446,7 @@ ORACLES = {
     "hierarchy_rollup": HIERARCHY_SQL,
     "scalar_variant_extract": VARIANT_SQL,
     "map_function_battery": MAP_BATTERY_SQL,
+    "unpivot_status_revenue": UNPIVOT_SQL,
     "join_full_outer_daily": FULL_OUTER_SQL,
     "setop_bag_ops": SETOP_BAG_SQL,
     "scalar_null_battery": NULL_BATTERY_SQL,
