@@ -97,7 +97,9 @@ _MODULES = (
 # ts_time_weighted_avg, attribution_linear, dau_cumulative,
 # ab_test_summary, trending_terms, sample_weighted_bottomk,
 # zorder_tile_stats, hierarchy_rollup, fk_fanout_histogram,
-# neardup_jaccard_prefix — plus the 10 queued r7-LATE
+# neardup_jaccard_prefix, scalar_variant_extract,
+# map_function_battery, unpivot_status_revenue — plus the 10 queued
+# r7-LATE
 # names above. ~34 candidates for ~2 windows of churn; prioritize the
 # new FAMILIES first (retrieval, profiling/DQ, checksum, recursive,
 # zorder) since each brings a previously-unrepresented capability.
