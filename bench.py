@@ -148,6 +148,9 @@ EXTRA_DETAIL = [
     "hierarchy_rollup",
     "fk_fanout_histogram",
     "neardup_jaccard_prefix",
+    "scalar_variant_extract",
+    "map_function_battery",
+    "unpivot_status_revenue",
 ]
 
 
