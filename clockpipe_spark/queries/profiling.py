@@ -20,11 +20,17 @@ from clockpipe_spark.catalog import load_table
 _PROFILE_TABLE = "orders"
 
 
-def _repr_col(col: str, dtype: T.DataType):
-    """A deterministic string rendering for min/max: raw for strings,
-    decimal text for integers, floor-cents for doubles, ISO for
-    dates/timestamps. NULL-safe (min/max of an all-null column)."""
-    c = F.col(col)
+def _repr_expr(c, dtype: T.DataType):
+    """A deterministic string rendering applied to an ALREADY
+    AGGREGATED native-typed value: raw for strings, decimal text for
+    integers, floor-cents for doubles, ISO for dates/timestamps.
+    NULL-safe (min/max of an all-null column).
+
+    The aggregate runs on the native type and the rendering wraps the
+    result — min(o_orderkey) then text, never min(text(o_orderkey)),
+    whose lexicographic order reports '999' as a max above 1499
+    (ADVICE r7). floor(x*100) is monotonic, so rendering after the
+    native min/max equals the true floor-cents extreme."""
     if isinstance(dtype, T.StringType):
         return c
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
@@ -38,32 +44,40 @@ def _repr_col(col: str, dtype: T.DataType):
 
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-statistics profile of the orders table: per column its
-    null count, exact distinct count, and min/max in a portable
-    rendering — the ANALYZE-pass every optimizer keeps (the reference
-    target's ClickHouse side stores the same per-part min/max; Spark's
-    CBO stores these in the catalog).
+    null count, exact distinct count, and NATIVE-TYPE min/max in a
+    portable rendering — the ANALYZE-pass every optimizer keeps (the
+    reference target's ClickHouse side stores the same per-part
+    min/max; Spark's CBO stores these in the catalog).
 
-    One scan, one aggregation row (3 aggregates per column, map-side
-    combined), exploded to long form on the driver-free stack path —
-    the profile never shuffles row data, only the single summary row.
-    Exact count_distinct is the correctness-gated choice here;
-    approx_count_distinct is the 100 TB default and is benched
+    Plan shape (VERDICT r7 #6): nulls + min/max come from ONE full
+    scan with no distinct aggregate; each exact count_distinct runs as
+    its OWN single-distinct aggregation, which Catalyst rewrites to a
+    two-phase hash aggregate — never the Expand (row multiplication x
+    N distinct columns) that a multi-distinct agg plans. The per-column
+    distinct scans are column-pruned parquet reads (one column each),
+    and all partial results are 1-row frames broadcast-crossjoined
+    back together, so no row data ever shuffles. Exact count_distinct
+    is the correctness-gated choice here; approx_count_distinct (one
+    scan, no rewrite needed) is the 100 TB default and is benched
     separately (approximate.py)."""
     df = load_table(spark, sf_dir, _PROFILE_TABLE)
     aggs, stack_parts = [], []
     for f in df.schema.fields:
         col = f.name
-        rep = _repr_col(col, f.dataType)
         aggs += [
             F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
-            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
-            F.min(rep).alias(f"{col}__min"),
-            F.max(rep).alias(f"{col}__max"),
+            _repr_expr(F.min(F.col(col)), f.dataType).alias(f"{col}__min"),
+            _repr_expr(F.max(F.col(col)), f.dataType).alias(f"{col}__max"),
         ]
         stack_parts.append(
             f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
         )
     wide = df.agg(*aggs)
+    for f in df.schema.fields:
+        one = df.agg(
+            F.count_distinct(F.col(f.name)).alias(f"{f.name}__distinct")
+        )
+        wide = wide.crossJoin(F.broadcast(one))
     n = len(df.schema.fields)
     return wide.select(
         F.expr(
@@ -74,8 +88,10 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_oracle() -> str:
-    # mirrors _repr_col per column of the orders table; schema is fixed
-    # by TESTDATA.md so the column list is static here
+    # mirrors _repr_expr per column of the orders table; schema is
+    # fixed by TESTDATA.md so the column list is static here. The
+    # template wraps the NATIVE aggregate (min(c)/max(c)), matching
+    # the Spark side's aggregate-then-render order.
     cols = {
         "o_orderkey": "CAST({c} AS VARCHAR)",
         "o_custkey": "CAST({c} AS VARCHAR)",
@@ -86,13 +102,14 @@ def _profile_oracle() -> str:
     }
     parts = []
     for c, tmpl in cols.items():
-        rep = tmpl.format(c=c)
+        rep_min = tmpl.format(c=f"min({c})")
+        rep_max = tmpl.format(c=f"max({c})")
         parts.append(
             f"SELECT '{c}' AS column_name,"
             f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
             f"   AS n_nulls,"
             f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
-            f" min({rep}) AS min_repr, max({rep}) AS max_repr"
+            f" {rep_min} AS min_repr, {rep_max} AS max_repr"
             f" FROM {_PROFILE_TABLE}"
         )
     return " UNION ALL ".join(parts)
@@ -138,9 +155,15 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "obs",
-        F.expr("row_tot * col_tot * 1000000L div (n * n)").alias(
-            "expected_ppm"
-        ),
+        # DECIMAL(38,0)-widened like contrib_ppm (ADVICE r7): in
+        # int64, row_tot * col_tot * 1e6 overflows past ~3e6 docs
+        # while the DuckDB oracle auto-promotes to HUGEINT — the
+        # widening keeps the Spark side exact to the same ~1e9-doc
+        # envelope the docstring promises.
+        F.expr(
+            "CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("expected_ppm"),
         F.expr(
             "CAST((CAST(obs * n - row_tot * col_tot AS DECIMAL(38,0))"
             " * (obs * n - row_tot * col_tot) * 1000000)"

@@ -154,7 +154,15 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fold), exists, reverse, slice, and containment — the Spark HOF
     lambda surface against DuckDB's list_* lambda family. Arrays are
     materialized as a column BEFORE the lambdas (the repo-wide no-CSE-
-    inside-lambdas rule). Pure projection, whole-stage codegen."""
+    inside-lambdas rule). Pure projection, whole-stage codegen.
+
+    Every array-valued output is rendered as a comma-joined string at
+    the final projection: the driver's canonicalizer sorts result
+    frames with pandas and raw list cells crash it (unhashable type —
+    the r7 red row). The lambdas under test are untouched; only the
+    rendering is scalar. The empty-array case joins to '' on both
+    sides (DuckDB's array_to_string yields NULL for [], hence the
+    oracle-side coalesce)."""
     events = load_table(spark, sf_dir, "events")
     with_arr = events.select(
         "event_id",
@@ -163,19 +171,20 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     squares = F.transform(F.col("arr"), lambda x: x * x)
+    j = lambda c: F.array_join(c.cast("array<string>"), ",")  # noqa: E731
     return with_arr.select(
         "event_id",
-        F.col("arr"),
-        squares.alias("squares"),
-        F.filter(F.col("arr"), lambda x: x % 2 == 0).alias("evens"),
+        j(F.col("arr")).alias("arr"),
+        j(squares).alias("squares"),
+        j(F.filter(F.col("arr"), lambda x: x % 2 == 0)).alias("evens"),
         F.aggregate(
             F.col("arr"),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x * x,
         ).alias("sum_squares"),
         F.exists(F.col("arr"), lambda x: x > 6).cast("int").alias("has_gt6"),
-        F.reverse(F.col("arr")).alias("reversed"),
-        F.slice(F.col("arr"), 2, 3).alias("middle"),
+        j(F.reverse(F.col("arr"))).alias("reversed"),
+        j(F.slice(F.col("arr"), 2, 3)).alias("middle"),
         F.array_contains(F.col("arr"), 5).cast("int").alias("contains_5"),
         F.size(F.col("arr")).alias("n"),
     )
@@ -189,15 +198,17 @@ WITH base AS (
   FROM events
 )
 SELECT event_id,
-       arr,
-       list_transform(arr, x -> x * x) AS squares,
-       list_filter(arr, x -> x % 2 = 0) AS evens,
+       coalesce(array_to_string(arr, ','), '') AS arr,
+       coalesce(array_to_string(list_transform(arr, x -> x * x), ','), '')
+           AS squares,
+       coalesce(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '')
+           AS evens,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
                                 list_transform(arr, x -> CAST(x AS BIGINT))),
                    (acc, x) -> acc + x * x) AS sum_squares,
        CAST(len(list_filter(arr, x -> x > 6)) > 0 AS INT) AS has_gt6,
-       list_reverse(arr) AS reversed,
-       list_slice(arr, 2, 4) AS middle,
+       coalesce(array_to_string(list_reverse(arr), ','), '') AS reversed,
+       coalesce(array_to_string(list_slice(arr, 2, 4), ','), '') AS middle,
        CAST(list_contains(arr, 5) AS INT) AS contains_5,
        len(arr) AS n
 FROM base
@@ -308,6 +319,13 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle extracts from JSON directly; agreement pins the typed
     extraction including the int cast.
 
+    k_is_null means PRESENT-AND-JSON-NULL, pinned on both sides
+    (ADVICE r7): a missing key coalesces to 0 in Spark (where
+    is_variant_null of an absent path is SQL NULL) and the oracle
+    tests json_type = 'NULL' (which is SQL NULL for a missing path,
+    also coalesced to 0) — so missing vs json-null cannot silently
+    diverge when the data grows a sparse key.
+
     Scan-speed projection; at 100 TB the parse-once property is the
     point — a query touching 5 fields of a JSON column pays one parse,
     not five."""
@@ -317,8 +335,11 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
-        F.is_variant_null(F.try_variant_get(v, "$.k", "variant")).cast(
-            "int"
+        F.coalesce(
+            F.is_variant_null(F.try_variant_get(v, "$.k", "variant")).cast(
+                "int"
+            ),
+            F.lit(0),
         ).alias("k_is_null"),
     )
 
@@ -327,7 +348,8 @@ VARIANT_SQL = """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INT) AS k_int,
        CAST(json_extract(props, '$.missing') AS INT) AS missing_int,
-       CAST(json_extract(props, '$.k') IS NULL AS INT) AS k_is_null
+       CAST(coalesce(json_type(props, '$.k') = 'NULL', FALSE) AS INT)
+           AS k_is_null
 FROM events
 """
 
@@ -337,7 +359,15 @@ def map_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_from_entries, then exercise map_keys / map_values /
     element_at / map_filter / transform_values in one projection.
     Maps have no cross-engine canonical order, so every output renders
-    as a SORTED array of 'key:value' strings — the hash-safe form.
+    as a SORTED, comma-joined string of 'key:value' entries — fully
+    scalar, so the driver's pandas canonicalizer can sort it (raw
+    list cells crash it, the r7 array_hof lesson).
+
+    The empty map_filter result is pinned explicitly: Spark yields []
+    (joined to ''), DuckDB's list(...) FILTER yields NULL for zero
+    matching rows — the oracle coalesces to '' so a user whose max
+    per-type count sits below the threshold cannot diverge (ADVICE
+    r7: at sf0.1 the minimum was 11, one notch from a gate failure).
 
     One keyed aggregation; the map column never leaves the executor
     un-canonicalized."""
@@ -350,13 +380,16 @@ def map_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("event_type", "n")))
         ).alias("m")
     )
-    render = lambda m: F.sort_array(  # noqa: E731
-        F.transform(
-            F.map_entries(m),
-            lambda e: F.concat_ws(
-                ":", e["key"], e["value"].cast("string")
-            ),
-        )
+    render = lambda m: F.array_join(  # noqa: E731
+        F.sort_array(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat_ws(
+                    ":", e["key"], e["value"].cast("string")
+                ),
+            )
+        ),
+        ",",
     )
     return mapped.select(
         "user_id",
@@ -384,10 +417,12 @@ SELECT user_id,
        CAST(max(CASE WHEN event_type = 'purchase' THEN n END) AS BIGINT)
            AS purchases,
        CAST(sum(n) AS BIGINT) AS total_events,
-       list_sort(list(event_type || ':' || CAST(n AS VARCHAR))
-                 FILTER (n >= 10)) AS frequent_types,
-       list_sort(list(event_type || ':' || CAST(n * 2 AS VARCHAR)))
-           AS doubled
+       coalesce(array_to_string(
+         list_sort(list(event_type || ':' || CAST(n AS VARCHAR))
+                   FILTER (n >= 10)), ','), '') AS frequent_types,
+       coalesce(array_to_string(
+         list_sort(list(event_type || ':' || CAST(n * 2 AS VARCHAR))), ','),
+         '') AS doubled
 FROM per GROUP BY user_id
 """
 

@@ -142,7 +142,10 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Postings are ordered inside sort_array over struct(-tf, doc_id)
     (Spark's collect_list has no ORDER BY; the struct sort is the
     portable twin of DuckDB's list(... ORDER BY ...)). Strings are
-    synthesized from integers only — engine-safe to hash. One
+    synthesized from integers only — engine-safe to hash — and the
+    posting list is comma-joined to ONE scalar string (the driver's
+    pandas canonicalizer crashes on raw list cells, the r7
+    array_hof lesson; every gate-window output must be scalar). One
     (term)-keyed aggregation over tf; at 100 TB the per-term state is
     capped by the slice, the full posting lists would go to a
     partitioned sink instead of a summary row."""
@@ -153,19 +156,26 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("df"),
             F.sum("tf").alias("cf"),
-            F.slice(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct((-F.col("tf")).alias("ntf"), F.col("doc_id"))
-                        )
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("tf")).alias("ntf"), F.col("doc_id")
+                                )
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["doc_id"].cast("string"),
+                            (-s["ntf"]).cast("string"),
+                        ),
                     ),
-                    lambda s: F.concat_ws(
-                        ":", s["doc_id"].cast("string"), (-s["ntf"]).cast("string")
-                    ),
+                    1,
+                    _POSTINGS,
                 ),
-                1,
-                _POSTINGS,
+                ",",
             ).alias("top_postings"),
         )
     )
@@ -178,11 +188,11 @@ WITH toks AS (
 ),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
 SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
-       list_slice(
+       coalesce(array_to_string(list_slice(
          list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
               ORDER BY tf DESC, doc_id),
          1, {_POSTINGS}
-       ) AS top_postings
+       ), ','), '') AS top_postings
 FROM tf GROUP BY term
 """
 
