@@ -56,8 +56,12 @@ HEADLINE = [
     "cdc_pgoutput_roundtrip",
     "text_bpe_token_stats",
     "dedup_exact",
+    # neardup_jaccard_pairs DEMOTED to EXTRA_DETAIL (VERDICT r7 #5):
+    # it is the quadratic inverted-index ORACLE BASELINE, not a serving
+    # plan — the 100 TB design routes near-dup through LSH, which keeps
+    # the headline slot. Still correctness-gated in the registry and
+    # still timed below (detail block + iso A/B).
     "dedup_minhash_lsh",
-    "neardup_jaccard_pairs",
     "cosine_topk_brute",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -151,6 +155,8 @@ EXTRA_DETAIL = [
     "scalar_variant_extract",
     "map_function_battery",
     "unpivot_status_revenue",
+    # r8: demoted from HEADLINE (oracle baseline, not a serving plan)
+    "neardup_jaccard_pairs",
 ]
 
 
@@ -463,20 +469,29 @@ def main() -> None:
 
     spark.range(1024).repartition(32).mapInPandas(_noop, "id long").count()
 
-    # dedup_exact in ISOLATION, immediately after warm-up (VERDICT r6
-    # directive #4): r6 measured it at 0.69 s in suite position vs the
-    # 0.25 s r1 recording with an unchanged one-shuffle plan. Measuring
-    # the same query first-in-suite and again at its usual position
-    # turns "measurement position vs real slowdown" into a number.
+    # Isolation A/B, immediately after warm-up: each query here runs
+    # first-in-suite (quiet JVM, no position effects) so a suite-order
+    # or co-tenant artifact separates from a real plan regression.
+    # dedup_exact carried from r6 directive #4 (watch item); the three
+    # r7 bench movers join per VERDICT r7 directive #4 — all three were
+    # code-untouched in r7 and read as host drift; this block confirms
+    # or kills that attribution with a number.
+    ISO_QUERIES = [
+        "dedup_exact",
+        "neardup_jaccard_pairs",
+        "ann_lsh_topk",
+        "embedding_neardup_pairs",
+    ]
     iso: dict[str, float] = {}
-    for _ in range(2):
-        t0 = time.perf_counter()
-        queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        iso["dedup_exact"] = min(
-            iso.get("dedup_exact", 9e9), round(time.perf_counter() - t0, 3)
-        )
+    for name in ISO_QUERIES:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            iso[name] = min(
+                iso.get(name, 9e9), round(time.perf_counter() - t0, 3)
+            )
 
     # build the IVF index OUTSIDE the timed region so the prebuilt
     # entry's trials measure serving only. Prewarm time disclosed; it

@@ -5,7 +5,21 @@ that window via ``_PRIORITY``.  Round 2 lost three CDC queries from the
 gate because a registry edit silently shifted the window — these tests make
 that failure mode loud (VERDICT r3 "Next round" #6, ADVICE r3 #4).
 
-No SparkSession needed: this only inspects registry composition.
+Round 8 adds the no-non-scalar-output guard (VERDICT r7 #1, ADVICE r7):
+the driver's canonicalizer sorts result frames with pandas, and a raw
+ARRAY/MAP/STRUCT cell crashes it (``TypeError: unhashable type: 'list'``
+— the r7 ``array_hof_battery`` red row).  Every registry query must
+render non-scalar values to strings at its final projection; the guard
+runs over ALL queries, not just the window, so a rotation can never
+reintroduce the crash class.
+
+Round 8 also coarsens the family-canary granularity to SURVEY §2 section
+level: the 39-query never-driver-checked backlog rotates in at once
+(VERDICT r7 directive #2), and fitting 39 rotations + canaries into 50
+slots leaves no room for one canary per SQL feature.  Each family set
+below lists every registry query that honestly represents the family;
+the test asserts the window intersects all of them.  r9 restores finer
+granularity once the backlog is zero.
 """
 
 from __future__ import annotations
@@ -16,72 +30,98 @@ sys.path.insert(0, "/root/repo")
 
 from clockpipe_spark.queries import _GATE_WINDOW, _PRIORITY, all_oracles, all_queries
 
-# At least one in-window canary per SURVEY §2 family.  Each entry maps a
-# family to the registry names that can represent it; the test asserts the
+# At least one in-window canary per SURVEY §2 family.  Sets list the
+# registry names that can represent the family; the test asserts the
 # window intersects every set.
 _FAMILY_CANARIES = {
-    "S4 pgoutput decode": {"cdc_pgoutput_roundtrip"},
-    "P1 alignment": {"cdc_align_projection"},
-    "P3 cast matrix": {"cdc_cast_matrix"},
-    "P4 message-type filter": {"cdc_changelog", "cdc_pgoutput_roundtrip"},
-    "S6b change-stream decode": {"cdc_changestream_decode"},
-    "A1 keep-last dedup": {"cdc_keep_last"},
-    "K1/K2 upsert+delete": {"cdc_apply_to_snapshot"},
+    # --- §2 CDC operator families -----------------------------------
+    "CDC decode (S4/S6b)": {"cdc_pgoutput_roundtrip", "cdc_changestream_decode"},
+    "CDC row ops (P1/P2/P3/P6)": {"cdc_align_projection", "cdc_cast_matrix",
+                                  "cdc_keep_last"},
+    "CDC apply (K1/K2)": {"cdc_apply_to_snapshot"},
     "FINAL dedup-on-read": {"cdc_replica_state"},
-    "hash agg": {"q1_pricing_summary"},
+    "replica time travel / SCD2": {"cdc_replica_asof", "cdc_scd2_asof_counts",
+                                   "cdc_scd2_history"},
+    "derived-state maintenance": {"cdc_incremental_agg", "cdc_conflict_audit",
+                                  "cdc_snapshot_diff", "cdc_table_checksum",
+                                  "cdc_lag_report"},
+    # --- §2.9 relational surface ------------------------------------
+    "hash/CASE aggregation": {"q1_pricing_summary"},
     "joins": {"q3_shipping_priority", "join_broadcast_brand_volume",
-              "join_full_outer_daily"},
-    "rollup/cube/grouping sets": {"agg_rollup_lineitem", "agg_cube_orders",
-                                  "grouping_sets_lineitem"},
-    "pivot": {"pivot_status_by_priority"},
+              "join_full_outer_daily", "fk_fanout_histogram"},
+    "multi-grain agg (rollup/cube/grouping-sets/pivot/unpivot)": {
+        "agg_rollup_lineitem", "agg_cube_orders", "grouping_sets_lineitem",
+        "pivot_status_by_priority", "unpivot_status_revenue",
+        "hierarchy_rollup"},
     "window functions": {"window_frame_moving_avg", "window_function_battery",
-                         "ntile_customer_quartiles", "window_range_time_frame"},
-    "sort/top-k": {"topk_orders_by_price"},
-    "set ops": {"setop_union_segments", "setop_bag_ops"},
-    "scalar battery": {"scalar_math_battery", "scalar_string_funcs",
-                       "scalar_date_parts", "scalar_json_extract",
-                       "scalar_url_parse"},
+                         "ntile_customer_quartiles", "window_range_time_frame",
+                         "dau_cumulative", "ts_ewma_bounded"},
+    "sort/top-k": {"topk_orders_by_price", "bm25_retrieval",
+                   "ann_hard_negatives"},
+    "set ops / relation diff": {"setop_union_segments", "setop_bag_ops",
+                                "cdc_snapshot_diff"},
+    "scalar batteries": {"scalar_math_battery", "scalar_string_funcs",
+                         "scalar_date_parts", "scalar_json_extract",
+                         "scalar_url_parse", "scalar_bitops_battery",
+                         "scalar_null_battery", "scalar_variant_extract"},
     "pg quirk functions (§2.8)": {"pg_array_literal_parse", "cdc_cast_matrix"},
-    "array functions": {"array_agg_per_nation", "array_hof_battery"},
+    "array/map functions": {"array_agg_per_nation", "array_hof_battery",
+                            "map_function_battery"},
     "as-of/range/subquery/skew joins": {"asof_last_purchase",
+                                        "asof_next_purchase",
+                                        "asof_purchase_recency_gated",
                                         "range_join_ship_latency",
                                         "subquery_in_filter",
                                         "skew_salted_user_revenue"},
+    "recursive surface": {"hierarchy_rollup"},
     "watermark windows (T6)": {"stream_tumbling_hourly",
                                "stream_session_windows",
                                "stream_sliding_30m",
                                "stream_interval_join"},
-    "incremental view maintenance": {"cdc_incremental_agg"},
-    # §2.10 LLM-pipeline families
+    # --- profiling / retrieval / layout tiers -----------------------
+    "profiling / data quality": {"profile_table_stats",
+                                 "chi_square_lang_source", "dist_drift_l1",
+                                 "dq_constraint_violations"},
+    "ranked retrieval": {"bm25_retrieval", "inverted_index_stats"},
+    "data layout": {"zorder_tile_stats"},
+    # --- §2.10 LLM-pipeline families --------------------------------
     "exact dedup": {"dedup_exact"},
-    "near-dup (LSH/SimHash/Jaccard)": {"dedup_minhash_lsh", "dedup_simhash",
-                                       "neardup_jaccard_pairs"},
+    "near-dup (LSH/SimHash/Jaccard/edit)": {"dedup_minhash_lsh",
+                                            "dedup_simhash",
+                                            "neardup_jaccard_pairs",
+                                            "neardup_jaccard_prefix",
+                                            "neardup_edit_distance"},
     "dedup clustering": {"dedup_cluster_assign", "dedup_cluster_assign_lsh",
-                         "dedup_components_chain"},
+                         "dedup_components_chain", "neardup_triangle_stats"},
     "similarity search": {"cosine_topk_brute", "ann_lsh_topk", "ann_ivf_topk",
-                          "ann_ivf_topk_prebuilt", "ann_ivfpq_topk"},
-    "semantic clustering": {"embedding_kmeans_clusters"},
-    "leakage-safe split": {"split_leakage_safe"},
-    "text quality": {"text_quality_scores", "text_repetition_stats"},
+                          "ann_ivf_topk_prebuilt", "ann_ivfpq_topk",
+                          "ann_hard_negatives"},
+    "embedding toolset": {"embedding_kmeans_clusters", "embedding_pq_codes",
+                          "embedding_int8_quantize", "embedding_pca_project",
+                          "embedding_centroid_report"},
+    "text quality / corpus stats": {"text_quality_scores",
+                                    "text_repetition_stats",
+                                    "text_ngram_novelty",
+                                    "corpus_doclen_histogram"},
     "multimodal": {"mm_bmp_decode", "mm_wav_decode", "mm_bytes_meta",
-                   "mm_audio_resample", "mm_image_phash_neardup"},
-    "heavy hitters / sketches": {"frequent_items_mg"},
-    "anomaly detection": {"ts_anomaly_mad"},
-    "replica time travel": {"cdc_replica_asof"},
-    "sequence packing": {"pack_sequences_greedy"},
-    "tf-idf": {"tfidf_top_terms"},
-    "sampling": {"sample_stratified_hash", "sample_bottomk_hash"},
-    "quantization": {"embedding_int8_quantize"},
-    "UDF surface": {"udf_zscore_per_user"},
-    "time-series gap-fill": {"ts_gapfill_locf"},
-    "funnel/retention analytics": {"funnel_conversion", "retention_cohorts",
-                                   "sequence_match_pattern"},
-    "sessionization": {"sessionize_lag_gap", "stream_session_windows"},
-    "data mixing": {"mixture_temperature_weights"},
-    "model-based quality scoring": {"quality_classifier_score"},
-    "export sharding": {"export_shard_manifest"},
-    "PII redaction": {"text_pii_redact"},
-    "chunking": {"doc_chunk_overlap"},
+                   "mm_audio_resample", "mm_image_phash_neardup",
+                   "mm_video_scene_cuts"},
+    "sketches (MG/HLL/quantile)": {"frequent_items_mg", "hll_user_rollup",
+                                   "quantile_histogram_rollup",
+                                   "approx_distinct_users"},
+    "anomaly / robust stats": {"ts_anomaly_mad", "ts_seasonal_residual"},
+    "time-series resample/gap-fill": {"ts_gapfill_locf", "ts_resample_ohlc",
+                                      "ts_time_weighted_avg"},
+    "product analytics": {"funnel_conversion", "retention_cohorts",
+                          "sequence_match_pattern", "sessionize_lag_gap",
+                          "attribution_linear", "ab_test_summary",
+                          "event_transition_matrix", "trending_terms"},
+    "sampling / mixing / split": {"sample_stratified_hash",
+                                  "sample_bottomk_hash",
+                                  "sample_weighted_bottomk",
+                                  "sample_by_mixture",
+                                  "mixture_temperature_weights",
+                                  "split_leakage_safe"},
     "contamination": {"benchmark_contamination", "contamination_bloom"},
 }
 
@@ -103,6 +143,14 @@ def test_every_family_has_in_window_canary():
     assert not missing, f"families with no in-window canary: {missing}"
 
 
+def test_family_canary_names_exist():
+    registered = set(all_queries())
+    ghosts = {fam: names - registered
+              for fam, names in _FAMILY_CANARIES.items()
+              if names - registered}
+    assert not ghosts, f"canary sets name unregistered queries: {ghosts}"
+
+
 def test_priority_names_all_registered():
     registered = set(all_queries())
     assert set(_PRIORITY) <= registered
@@ -110,3 +158,28 @@ def test_priority_names_all_registered():
 
 def test_oracles_subset_of_queries():
     assert set(all_oracles()) <= set(all_queries())
+
+
+def test_no_nonscalar_output_columns(spark, sf_dir):
+    """No registry query may emit an ARRAY/MAP/STRUCT column: the
+    driver's canonicalizer crashes sorting raw list cells (the r7
+    ``array_hof_battery`` red row).  Non-scalar values must render as
+    strings (array_join / to_json) at the final projection.  Runs over
+    the WHOLE registry so a future rotation can't reintroduce it —
+    schema derivation is plan-only analysis, no jobs execute for it
+    (``hierarchy_rollup`` runs its bounded convergence probes; that is
+    its own documented cost)."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, sf_dir)
+        bad = [f"{f.name}:{f.dataType.simpleString()}"
+               for f in df.schema.fields
+               if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "queries emitting non-scalar output columns (stringify at the "
+        f"final projection): {offenders}"
+    )
