@@ -229,7 +229,8 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
     line = dumps(payload)
     # cheapest losses first: coarser per-query rounding (full precision
     # lives in BENCH_DETAIL.json), then the auxiliary blocks, and only
-    # then the blocks the verdict reads every round (cdc / state10x /
+    # then the blocks the verdict reads every round (iso — the r8
+    # mover-attribution directive reads it — then cdc / state10x /
     # shared_vs_prev).
     if len(line) > budget and "queries" in payload:
         payload["queries"] = {
@@ -237,10 +238,10 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
         }
         line = dumps(payload)
     for key in (
-        "iso",
         "ingest_dps_by_batches",
         "ivf_prewarm_sec",
         "ingest",
+        "iso",
         "state10x",
         "cdc",
         "shared_vs_prev",
@@ -481,6 +482,11 @@ def main() -> None:
         "neardup_jaccard_pairs",
         "ann_lsh_topk",
         "embedding_neardup_pairs",
+        # the near-dup HEADLINE representative since r8; its in-suite
+        # number flip-flops with position (r7: 2.8 suite / 1.3-1.7 iso;
+        # r8: 3.2 suite / 1.2-1.4 iso, plan unchanged) so the iso
+        # number is the one to read
+        "dedup_minhash_lsh",
     ]
     iso: dict[str, float] = {}
     for name in ISO_QUERIES:

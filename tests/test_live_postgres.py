@@ -1,0 +1,447 @@
+"""Live-PostgreSQL integration tests — the real-wire drive that closed
+round 7's "What's missing #2" (carried since r4 as environment-blocked).
+
+The sandbox ships PostgreSQL 15 server binaries (no JDBC jar, no
+psycopg2), so the live path runs through a THROWAWAY cluster: initdb
+into a temp dir, ``wal_level=logical``, unix-socket only, torn down
+after the session.  Binary frames come from
+``pg_logical_slot_peek_binary_changes(...)`` — the exact server call
+the reference's peek path issues (adapter/postgres.rs:102-107,
+pipes/postgres.rs:521-612) — so ``cdc/pgoutput.py`` is validated
+against GENUINE server bytes rather than the repo's own wire-conformant
+encoder, and ``cdc/copy_decoder.py`` against genuine ``COPY TO STDOUT``
+output.  ``psql`` (rows via a row_to_json wrap) stands in for the
+absent JDBC driver on ``JdbcPostgresSource``'s injectable seams, which
+means the adapter's generated SQL (information_schema introspection,
+reltuples estimate, publication/slot find-or-create) executes verbatim
+against a real server instead of a mocked contract.
+
+Every test skips cleanly when the server cannot start (no postgres
+binaries, no root/postgres user, read-only /tmp).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from clockpipe_spark.cdc.copy_decoder import decode_copy_field, split_copy_line
+from clockpipe_spark.cdc.pgoutput import decode_pgoutput, parse_pg_output
+
+_PORT = 54411  # only names the socket file; listen_addresses is empty
+
+
+def _find_pgbin() -> str | None:
+    cands = sorted(glob.glob("/usr/lib/postgresql/*/bin"), reverse=True)
+    for c in cands:
+        if os.path.exists(os.path.join(c, "initdb")):
+            return c
+    return None
+
+
+def _run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/tmp", **kw
+    )
+
+
+class LivePg:
+    """Minimal psql-backed client for the throwaway cluster."""
+
+    def __init__(self, sockdir: str):
+        self.sockdir = sockdir
+        self.psql = [
+            "psql", "-h", sockdir, "-p", str(_PORT), "-U", "postgres",
+            "-d", "postgres", "-v", "ON_ERROR_STOP=1",
+        ]
+
+    def sql(self, statement: str) -> None:
+        r = _run(self.psql + ["-q", "-c", statement])
+        if r.returncode != 0:
+            raise RuntimeError(f"psql failed: {r.stderr}\nSQL: {statement}")
+
+    def rows(self, query: str) -> list[dict]:
+        """Typed rows via row_to_json — booleans/ints survive, unlike CSV."""
+        r = _run(self.psql + ["-t", "-A", "-c",
+                              f"SELECT row_to_json(q)::text FROM ({query}) q"])
+        if r.returncode != 0:
+            raise RuntimeError(f"psql failed: {r.stderr}\nSQL: {query}")
+        return [json.loads(line) for line in r.stdout.splitlines() if line]
+
+    def copy_bytes(self, table: str) -> bytes:
+        r = subprocess.run(
+            self.psql + ["-c", f"COPY {table} TO STDOUT"],
+            capture_output=True, cwd="/tmp",
+        )
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.decode())
+        return r.stdout
+
+    def peek_frames(self, slot: str, pub: str) -> list[tuple[int, int, bytes]]:
+        """The reference's peek call, verbatim semantics: peek (not get),
+        binary changes, pgoutput proto 1."""
+        out = self.rows(
+            "SELECT lsn::text AS lsn, xid::text AS xid, encode(data,'hex') AS hx "
+            f"FROM pg_logical_slot_peek_binary_changes('{slot}', NULL, NULL, "
+            f"'proto_version','1','publication_names','{pub}')"
+        )
+        frames = []
+        for r in out:
+            hi, lo = r["lsn"].split("/")
+            frames.append(
+                ((int(hi, 16) << 32) | int(lo, 16), int(r["xid"]),
+                 bytes.fromhex(r["hx"]))
+            )
+        return frames
+
+    def oid(self, table: str) -> int:
+        return int(self.rows(f"SELECT '{table}'::regclass::oid AS o")[0]["o"])
+
+
+@pytest.fixture(scope="module")
+def pg():
+    pgbin = _find_pgbin()
+    if pgbin is None or shutil.which("psql") is None:
+        pytest.skip("no PostgreSQL server binaries in this environment")
+    root = tempfile.mkdtemp(prefix="clockpipe_livepg_")
+    os.chmod(root, 0o777)
+    data = os.path.join(root, "data")
+
+    def as_pg(cmd: str) -> subprocess.CompletedProcess:
+        # initdb/postgres refuse to run as root; drop to the postgres
+        # user when needed, run directly otherwise
+        if os.geteuid() == 0:
+            return _run(["su", "postgres", "-c", cmd])
+        return _run(["bash", "-c", cmd])
+
+    started = False
+    try:
+        r = as_pg(f"{pgbin}/initdb -D {data} -A trust --no-sync")
+        if r.returncode != 0:
+            pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+        with open(os.path.join(data, "postgresql.conf"), "a") as f:
+            f.write(
+                "\nwal_level = logical\nmax_replication_slots = 8\n"
+                "max_wal_senders = 8\nlisten_addresses = ''\n"
+                f"unix_socket_directories = '{root}'\nfsync = off\n"
+            )
+        r = as_pg(
+            f"{pgbin}/pg_ctl -D {data} -l {root}/server.log -o '-p {_PORT}' -w start"
+        )
+        if r.returncode != 0:
+            pytest.skip(f"postgres failed to start: {r.stderr[-200:]}")
+        started = True
+        yield LivePg(root)
+    finally:
+        if started:
+            as_pg(f"{pgbin}/pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# pgoutput decoder against genuine server frames
+
+
+def _writes(frames):
+    """Decode, keeping only write records (skips drop as in decode)."""
+    out = []
+    for _, _, data in frames:
+        rec = parse_pg_output(data)
+        if rec is not None:
+            out.append(rec)
+    return out
+
+
+def test_live_insert_types_and_nulls(pg):
+    pg.sql(
+        "CREATE TABLE live_t1 (id int PRIMARY KEY, name text, flag bool, "
+        "price numeric(10,2), payload bytea)"
+    )
+    pg.sql("CREATE PUBLICATION live_pub1 FOR TABLE live_t1")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot1', 'pgoutput')"
+    )
+    pg.sql(
+        "INSERT INTO live_t1 VALUES "
+        "(1, E'café 日本\\t\"tab\"', true, 19.99, '\\x00ff10'), "
+        "(2, NULL, false, NULL, NULL)"
+    )
+    frames = pg.peek_frames("live_slot1", "live_pub1")
+    # B(egin) / R(elation) / C(ommit) frames must be skip-decoded, not raise
+    first_bytes = {chr(f[2][0]) for f in frames}
+    assert {"B", "R", "C", "I"} <= first_bytes
+    writes = _writes(frames)
+    assert [w["msg_type"] for w in writes] == ["I", "I"]
+    assert all(w["relation_id"] == pg.oid("live_t1") for w in writes)
+    # postgres type-output renderings arrive as 't' text cells
+    assert [t for _, t, _ in writes[0]["cells"]] == [
+        "1", 'café 日本\t"tab"', "t", "19.99", "\\x00ff10"
+    ]
+    # SQL NULLs arrive as 'n' cells
+    assert [k for k, _, _ in writes[1]["cells"]] == ["t", "n", "t", "n", "n"]
+
+
+def test_live_update_delete_replica_identities(pg):
+    pg.sql("CREATE TABLE live_full (id int PRIMARY KEY, v text)")
+    pg.sql("ALTER TABLE live_full REPLICA IDENTITY FULL")
+    pg.sql("CREATE TABLE live_dflt (id int PRIMARY KEY, v text)")
+    pg.sql("CREATE PUBLICATION live_pub2 FOR TABLE live_full, live_dflt")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot2', 'pgoutput')"
+    )
+    pg.sql("INSERT INTO live_full VALUES (1, 'a'); UPDATE live_full SET v='b'; "
+           "DELETE FROM live_full")
+    pg.sql("INSERT INTO live_dflt VALUES (2, 'x'); UPDATE live_dflt SET v='y'; "
+           "DELETE FROM live_dflt")
+    writes = _writes(pg.peek_frames("live_slot2", "live_pub2"))
+    by_type = [(w["msg_type"], w["tuple_type"],
+                [t for _, t, _ in w["cells"]],
+                [t for _, t, _ in w["old_cells"]]) for w in writes]
+    assert by_type == [
+        # REPLICA IDENTITY FULL: update carries 'O' old tuple (decoder
+        # normalizes tuple_type to the new 'N'); delete carries full row
+        ("I", "N", ["1", "a"], []),
+        ("U", "N", ["1", "b"], ["1", "a"]),
+        ("D", "O", ["1", "b"], []),
+        # default identity: no old tuple on update; delete is key-only 'K'
+        ("I", "N", ["2", "x"], []),
+        ("U", "N", ["2", "y"], []),
+        ("D", "K", ["2", None], []),
+    ]
+
+
+def test_live_toast_both_resolution_paths(pg):
+    """The two TOAST branches (pgoutput.rs:517-551), against real
+    unchanged-TOAST 'u' cells: resolved from the old tuple when REPLICA
+    IDENTITY FULL ships one, NULL (the reference's warn path) when the
+    default identity ships none."""
+    big = "SELECT string_agg(md5(g::text), '') FROM generate_series(1,400) g"
+    pg.sql("CREATE TABLE live_toast_full (id int PRIMARY KEY, flag bool, big text)")
+    pg.sql("ALTER TABLE live_toast_full REPLICA IDENTITY FULL")
+    pg.sql("CREATE TABLE live_toast_dflt (id int PRIMARY KEY, flag bool, big text)")
+    pg.sql("CREATE PUBLICATION live_pub3 FOR TABLE live_toast_full, live_toast_dflt")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot3', 'pgoutput')"
+    )
+    pg.sql(f"INSERT INTO live_toast_full VALUES (1, true, ({big}))")
+    pg.sql(f"INSERT INTO live_toast_dflt VALUES (2, true, ({big}))")
+    # touch only `flag` so the TOASTed `big` arrives as an unchanged 'u'
+    pg.sql("UPDATE live_toast_full SET flag = false WHERE id = 1")
+    pg.sql("UPDATE live_toast_dflt SET flag = false WHERE id = 2")
+    writes = _writes(pg.peek_frames("live_slot3", "live_pub3"))
+    updates = [w for w in writes if w["msg_type"] == "U"]
+    assert len(updates) == 2
+    u_full = next(u for u in updates if u["cells"][0][1] == "1")
+    u_dflt = next(u for u in updates if u["cells"][0][1] == "2")
+    # RI FULL: 'u' resolved from the old tuple — full 12800-char value
+    assert u_full["cells"][2][0] == "t"
+    assert len(u_full["cells"][2][1]) == 400 * 32
+    # default identity: no old tuple -> NULL (warn path)
+    assert u_dflt["old_cells"] == []
+    assert u_dflt["cells"][2] == ("n", None, None)
+
+
+def test_live_truncate_first_relid_quirk(pg):
+    pg.sql("CREATE TABLE live_tr_a (id int PRIMARY KEY)")
+    pg.sql("CREATE TABLE live_tr_b (id int PRIMARY KEY)")
+    pg.sql("CREATE PUBLICATION live_pub4 FOR TABLE live_tr_a, live_tr_b")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot4', 'pgoutput')"
+    )
+    pg.sql("TRUNCATE live_tr_a, live_tr_b")
+    writes = _writes(pg.peek_frames("live_slot4", "live_pub4"))
+    assert [w["msg_type"] for w in writes] == ["T"]
+    # a real multi-relation truncate frame; the decoder keeps the FIRST
+    # relid only (the reference's quirk, pgoutput.rs:427-448)
+    assert writes[0]["relation_id"] in (pg.oid("live_tr_a"), pg.oid("live_tr_b"))
+
+
+def test_live_frames_through_spark_decode(pg, spark):
+    """The full mapInPandas decode stage over genuine frames — the
+    exact (lsn, xid, data) PeekWalChangeResult shape."""
+    pg.sql("CREATE TABLE live_sp (id int PRIMARY KEY, v text)")
+    pg.sql("CREATE PUBLICATION live_pub5 FOR TABLE live_sp")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot5', 'pgoutput')"
+    )
+    pg.sql("INSERT INTO live_sp VALUES (1, 'x'), (2, NULL); "
+           "UPDATE live_sp SET v = 'y' WHERE id = 1; "
+           "DELETE FROM live_sp WHERE id = 2")
+    frames = pg.peek_frames("live_slot5", "live_pub5")
+    df = spark.createDataFrame(frames, "lsn long, xid long, data binary")
+    got = decode_pgoutput(df).orderBy("lsn").collect()
+    assert [r["msg_type"] for r in got] == ["I", "I", "U", "D"]
+    assert got[0]["cell_texts"] == ["1", "x"]
+    assert got[1]["cell_kinds"] == ["t", "n"]
+    assert got[2]["cell_texts"] == ["1", "y"]
+    assert got[3]["tuple_type"] == "K"
+    # lsn strictly increasing and positive — the ordering key T4 uses
+    lsns = [r["lsn"] for r in got]
+    assert lsns == sorted(lsns) and lsns[0] > 0
+
+
+def test_live_copy_decoder_conformance(pg):
+    """COPY TO STDOUT from the real server through the escape decoder:
+    every escape class the reference's table covers (adapter/
+    postgres.rs:373-471), produced by postgres itself."""
+    pg.sql("CREATE TABLE live_copy (id int, v text)")
+    pg.sql(
+        "INSERT INTO live_copy VALUES "
+        "(1, E'tab\\there'), (2, E'nl\\nthere'), (3, E'back\\\\slash'), "
+        "(4, E'cr\\rhere'), (5, 'café 日本'), (6, NULL), "
+        "(7, E'mix\\t\\n\\\\\\x0b\\x08end')"
+    )
+    expected = {
+        1: "tab\there", 2: "nl\nthere", 3: "back\\slash", 4: "cr\rhere",
+        5: "café 日本", 6: None, 7: "mix\t\n\\\x0b\x08end",
+    }
+    got = {}
+    for line in pg.copy_bytes("live_copy").split(b"\n"):
+        if line:
+            vals = [decode_copy_field(f) for f in split_copy_line(line)]
+            got[int(vals[0])] = vals[1]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# JdbcPostgresSource seams against the live server: the adapter's
+# generated SQL executes verbatim (no JDBC jar in the sandbox, so psql
+# backs the reader/sql_runner seams — everything BUT the jar is real)
+
+
+def _psql_source(spark, pg):
+    from clockpipe_spark.sources.jdbc_adapter import JdbcPostgresSource
+
+    def reader(options: dict):
+        q = options.get("query") or f"SELECT * FROM {options['dbtable']}"
+        rows = pg.rows(q)
+        if not rows:
+            return spark.createDataFrame([], "empty string")
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    return JdbcPostgresSource(
+        spark, "jdbc:postgresql://unused/postgres",
+        reader=reader, sql_runner=pg.sql,
+    )
+
+
+def test_live_adapter_introspection(pg, spark):
+    pg.sql(
+        "CREATE TABLE live_intro (id int PRIMARY KEY, name text, "
+        "price numeric(10,2), created timestamptz NOT NULL, blob bytea)"
+    )
+    src = _psql_source(spark, pg)
+    cols = src.list_columns("live_intro")
+    assert [(c.column_name, c.data_type, c.nullable, c.is_primary_key)
+            for c in cols] == [
+        ("id", "int4", False, True),
+        ("name", "text", True, False),
+        ("price", "numeric", True, False),
+        ("created", "timestamptz", False, False),
+        ("blob", "bytea", True, False),
+    ]
+    assert [c.column_index for c in cols] == [1, 2, 3, 4, 5]
+    assert src.primary_key("live_intro") == ["id"]
+    pg.sql("INSERT INTO live_intro SELECT g, 'n', 1.5, now(), NULL "
+           "FROM generate_series(1, 500) g")
+    pg.sql("ANALYZE live_intro")
+    assert src.estimate_row_count("live_intro") == 500
+
+
+def test_live_adapter_setup_publication_idempotent(pg, spark):
+    pg.sql("CREATE TABLE live_setup_a (id int PRIMARY KEY)")
+    pg.sql("CREATE TABLE live_setup_b (id int PRIMARY KEY)")
+    src = _psql_source(spark, pg)
+    issued = src.setup_publication(
+        "live_pub_adapter", "live_slot_adapter", ["live_setup_a"]
+    )
+    assert issued == [
+        "CREATE PUBLICATION live_pub_adapter FOR TABLE public.live_setup_a",
+        "SELECT pg_create_logical_replication_slot('live_slot_adapter', 'pgoutput')",
+    ]
+    # the created objects are REAL: the slot peeks, the publication routes
+    pg.sql("INSERT INTO live_setup_a VALUES (1)")
+    writes = _writes(pg.peek_frames("live_slot_adapter", "live_pub_adapter"))
+    assert [w["msg_type"] for w in writes] == ["I"]
+    # second call: find-or-create finds everything, issues nothing
+    assert src.setup_publication(
+        "live_pub_adapter", "live_slot_adapter", ["live_setup_a"]
+    ) == []
+    # add-missing-table path issues exactly the ALTER
+    issued = src.setup_publication(
+        "live_pub_adapter", "live_slot_adapter",
+        ["live_setup_a", "live_setup_b"],
+    )
+    assert issued == [
+        "ALTER PUBLICATION live_pub_adapter ADD TABLE public.live_setup_b"
+    ]
+
+
+def test_live_end_to_end_snapshot_plus_cdc(pg, spark):
+    """The reference's whole loop against a real server: snapshot the
+    table, then decode the slot's genuine pgoutput frames, keep-last
+    per key, and apply upsert/delete — the reconstructed replica must
+    equal the live table exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pg.sql("CREATE TABLE live_e2e (id int PRIMARY KEY, v text, n int)")
+    pg.sql("INSERT INTO live_e2e SELECT g, 'v' || g, g * 10 "
+           "FROM generate_series(1, 50) g")
+    src = _psql_source(spark, pg)
+    src.setup_publication("live_pub_e2e", "live_slot_e2e", ["live_e2e"])
+    snapshot = src.snapshot("live_e2e").select("id", "v", "n")
+
+    # post-snapshot churn: updates, inserts, deletes, re-insert
+    pg.sql("UPDATE live_e2e SET v = 'updated', n = n + 1 WHERE id <= 10")
+    pg.sql("DELETE FROM live_e2e WHERE id BETWEEN 41 AND 50")
+    pg.sql("INSERT INTO live_e2e SELECT g, 'new' || g, -g "
+           "FROM generate_series(51, 60) g")
+    pg.sql("DELETE FROM live_e2e WHERE id = 55")
+    pg.sql("INSERT INTO live_e2e VALUES (55, 'reborn', 0)")
+
+    frames = pg.peek_frames("live_slot_e2e", "live_pub_e2e")
+    decoded = decode_pgoutput(
+        spark.createDataFrame(frames, "lsn long, xid long, data binary")
+    )
+    changes = decoded.filter(F.col("msg_type").isin("I", "U", "D")).select(
+        "lsn",
+        "msg_type",
+        F.col("cell_texts")[0].cast("int").alias("id"),
+        F.col("cell_texts")[1].alias("v"),
+        F.col("cell_texts")[2].cast("int").alias("n"),
+    )
+    # keep-last per PK by lsn (A1), then merge over the snapshot (K1/K2)
+    w = Window.partitionBy("id").orderBy(F.col("lsn").desc())
+    last = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "lsn")
+    )
+    replica = (
+        snapshot.join(last.select("id"), "id", "left_anti")
+        .unionByName(
+            last.filter(F.col("msg_type") != "D").drop("msg_type")
+        )
+    )
+    live = {(r["id"], r["v"], r["n"])
+            for r in pg.rows("SELECT id, v, n FROM live_e2e")}
+    got = {(r["id"], r["v"], r["n"]) for r in replica.collect()}
+    assert got == live
+    assert len(got) == 50  # 50 - 10 deleted + 10 inserted
