@@ -86,12 +86,16 @@ class LivePg:
             raise RuntimeError(r.stderr.decode())
         return r.stdout
 
-    def peek_frames(self, slot: str, pub: str) -> list[tuple[int, int, bytes]]:
+    def peek_frames(
+        self, slot: str, pub: str, nchanges: int | None = None
+    ) -> list[tuple[int, int, bytes]]:
         """The reference's peek call, verbatim semantics: peek (not get),
-        binary changes, pgoutput proto 1."""
+        binary changes, pgoutput proto 1, optional change cap (the
+        peek_changes_limit role, config.rs:146-149)."""
+        cap = "NULL" if nchanges is None else str(nchanges)
         out = self.rows(
             "SELECT lsn::text AS lsn, xid::text AS xid, encode(data,'hex') AS hx "
-            f"FROM pg_logical_slot_peek_binary_changes('{slot}', NULL, NULL, "
+            f"FROM pg_logical_slot_peek_binary_changes('{slot}', NULL, {cap}, "
             f"'proto_version','1','publication_names','{pub}')"
         )
         frames = []
@@ -105,6 +109,14 @@ class LivePg:
 
     def oid(self, table: str) -> int:
         return int(self.rows(f"SELECT '{table}'::regclass::oid AS o")[0]["o"])
+
+    def advance(self, slot: str, lsn: int) -> None:
+        """Consume through `lsn` — the reference's advance-after-write
+        step (T2: peek, process, then move the cursor)."""
+        txt = f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+        self.rows(
+            f"SELECT pg_replication_slot_advance('{slot}', '{txt}')::text AS r"
+        )
 
 
 @pytest.fixture(scope="module")
@@ -267,6 +279,39 @@ def test_live_truncate_first_relid_quirk(pg):
     # a real multi-relation truncate frame; the decoder keeps the FIRST
     # relid only (the reference's quirk, pgoutput.rs:427-448)
     assert writes[0]["relation_id"] in (pg.oid("live_tr_a"), pg.oid("live_tr_b"))
+
+
+def test_live_peek_cap_and_advance_offset_discipline(pg):
+    """S3/T2 against the real server: peek doesn't consume (two peeks
+    are byte-identical), the change cap is TRANSACTION-ATOMIC (postgres
+    finishes the transaction that crosses ``upto_nchanges``, so a
+    capped peek is a strict prefix of the full stream — the reference's
+    65,536 cap has the same property on txn boundaries), and advancing
+    the slot to a commit LSN consumes exactly the transactions at or
+    before it — the peek-then-advance cursor discipline the pipe
+    replays (streaming/pipeline.py:55-70)."""
+    pg.sql("CREATE TABLE live_adv (id int PRIMARY KEY)")
+    pg.sql("CREATE PUBLICATION live_pub6 FOR TABLE live_adv")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot6', 'pgoutput')"
+    )
+    for i in range(1, 5):  # 4 separate autocommit transactions
+        pg.sql(f"INSERT INTO live_adv VALUES ({i})")
+    full = pg.peek_frames("live_slot6", "live_pub6")
+    assert pg.peek_frames("live_slot6", "live_pub6") == full  # non-destructive
+    capped = pg.peek_frames("live_slot6", "live_pub6", nchanges=5)
+    assert capped == full[: len(capped)]  # prefix, never a re-order
+    assert len(capped) < len(full)
+    # the cap completed its in-flight transaction: last frame is a Commit
+    assert chr(capped[-1][2][0]) == "C"
+    # advance to the SECOND commit -> inserts 1 and 2 are consumed
+    commits = [f for f in full if chr(f[2][0]) == "C"]
+    pg.advance("live_slot6", commits[1][0])
+    rest = _writes(pg.peek_frames("live_slot6", "live_pub6"))
+    assert [(w["msg_type"], w["cells"][0][1]) for w in rest] == [
+        ("I", "3"), ("I", "4"),
+    ]
 
 
 def test_live_frames_through_spark_decode(pg, spark):
