@@ -291,3 +291,55 @@ class JdbcPostgresSource:
             self._sql_runner(sql)
             issued.append(sql)
         return issued
+
+    # -- WAL change peek + cursor advance (S3/T2 live form) -----------------
+    # PeekWalChangeResult shape (adapter/postgres.rs:102-107); the hex
+    # rendering keeps ONE SQL working through any reader — the JDBC
+    # relation (which would deliver bytea as text anyway under a
+    # query-pushdown SELECT) and the test seams alike — with the
+    # hex->binary fold done JVM-side by unhex().
+    _PEEK_SQL = (
+        "SELECT lsn::text AS lsn_txt, xid::text AS xid_txt, "
+        "encode(data, 'hex') AS data_hex "
+        "FROM pg_logical_slot_peek_binary_changes('{slot}', NULL, {cap}, "
+        "'proto_version', '1', 'publication_names', '{publication}')"
+    )
+
+    def peek_changes(
+        self, slot: str, publication: str, limit: int | None = None
+    ) -> DataFrame:
+        """Peek (never consume) up to ``limit`` changes from the slot as
+        (lsn long, xid long, data binary) frames — ready for
+        cdc/pgoutput.decode_pgoutput.  ``limit`` is the reference's
+        peek_changes_limit (config.rs:146-149); postgres applies it
+        TRANSACTION-ATOMICALLY (finishes the txn that crosses the cap,
+        so a capped peek is a strict prefix of the stream ending at a
+        commit frame — pinned live in test_live_postgres.py)."""
+        from pyspark.sql import functions as F
+
+        cap = "NULL" if limit is None else str(int(limit))
+        raw = self._reader({
+            "query": self._PEEK_SQL.format(
+                slot=_ident(slot), publication=_ident(publication), cap=cap
+            )
+        })
+        hi = F.split(F.col("lsn_txt"), "/")[0]
+        lo = F.split(F.col("lsn_txt"), "/")[1]
+        return raw.select(
+            (
+                F.conv(hi, 16, 10).cast("long") * F.lit(1 << 32).cast("long")
+                + F.conv(lo, 16, 10).cast("long")
+            ).alias("lsn"),
+            F.col("xid_txt").cast("long").alias("xid"),
+            F.unhex(F.col("data_hex")).alias("data"),
+        )
+
+    def advance_slot(self, slot: str, lsn: int) -> str:
+        """Consume through ``lsn`` — the advance-after-write step of the
+        peek-then-advance cursor discipline (T2).  Returns the pg_lsn
+        text it issued (callers persist it as the checkpoint)."""
+        txt = f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+        self._sql_runner(
+            f"SELECT pg_replication_slot_advance('{_ident(slot)}', '{txt}')"
+        )
+        return txt

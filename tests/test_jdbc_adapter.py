@@ -213,3 +213,40 @@ def test_live_introspection_roundtrip(spark):
     df = src.snapshot("clockpipe_live_t")
     assert df.count() == 100
     assert src.estimate_row_count("clockpipe_live_t") >= 0
+
+
+def test_peek_changes_sql_and_frame_shape(spark):
+    """peek_changes issues the reference's peek call (peek, not get;
+    pgoutput proto 1; publication routed; NULL cap by default) and
+    folds the portable (lsn_txt, xid_txt, data_hex) wire rendering
+    into the (lsn long, xid long, data binary) PeekWalChangeResult
+    shape — including the 64-bit X/Y pg_lsn split."""
+    rows = [
+        ("0/15ADB30", "748", "49000040024e0002740000000131740000000161"),
+        ("1/A", "749", "43" + "00" * 25),
+    ]
+    db_results = [("pg_logical_slot_peek_binary_changes", rows,
+                   "lsn_txt string, xid_txt string, data_hex string")]
+    src, db = _source(spark, db_results)
+    got = src.peek_changes("slot9", "pub9").collect()
+    sql = db.queries[-1]
+    assert "pg_logical_slot_peek_binary_changes('slot9', NULL, NULL" in sql
+    assert "'proto_version', '1', 'publication_names', 'pub9'" in sql
+    assert got[0]["lsn"] == 0x15ADB30 and got[0]["xid"] == 748
+    assert bytes(got[0]["data"])[:1] == b"I"
+    assert got[1]["lsn"] == (1 << 32) | 0xA  # X/Y halves weighted 2^32
+    assert bytes(got[1]["data"])[:1] == b"C"
+
+
+def test_peek_changes_cap_and_advance_contract(spark):
+    src, db = _source(spark, [("peek_binary_changes", [],
+                               "lsn_txt string, xid_txt string, data_hex string")])
+    src.peek_changes("s", "p", limit=65_536).collect()
+    assert "pg_logical_slot_peek_binary_changes('s', NULL, 65536" in db.queries[-1]
+    issued = src.advance_slot("s", (1 << 32) | 0x15ADB30)
+    assert issued == "1/15ADB30"
+    assert db.ddl == [
+        "SELECT pg_replication_slot_advance('s', '1/15ADB30')"
+    ]
+    with pytest.raises(ValueError):
+        src.advance_slot("bad; DROP TABLE x", 0)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -142,8 +143,8 @@ def pg():
             pytest.skip(f"initdb failed: {r.stderr[-200:]}")
         with open(os.path.join(data, "postgresql.conf"), "a") as f:
             f.write(
-                "\nwal_level = logical\nmax_replication_slots = 8\n"
-                "max_wal_senders = 8\nlisten_addresses = ''\n"
+                "\nwal_level = logical\nmax_replication_slots = 32\n"
+                "max_wal_senders = 32\nlisten_addresses = ''\n"
                 f"unix_socket_directories = '{root}'\nfsync = off\n"
             )
         r = as_pg(
@@ -375,7 +376,13 @@ def _psql_source(spark, pg):
         q = options.get("query") or f"SELECT * FROM {options['dbtable']}"
         rows = pg.rows(q)
         if not rows:
-            return spark.createDataFrame([], "empty string")
+            # a real JDBC relation carries the result schema even for
+            # zero rows; psql's json rendering loses it, so the seam
+            # reconstructs it from the statement's aliases
+            cols = re.findall(r"AS (\w+)", q.split("FROM")[0]) or ["empty"]
+            return spark.createDataFrame(
+                [], ", ".join(f"{c} string" for c in cols)
+            )
         import pandas as pd
 
         return spark.createDataFrame(pd.DataFrame(rows))
@@ -436,6 +443,68 @@ def test_live_adapter_setup_publication_idempotent(pg, spark):
     assert issued == [
         "ALTER PUBLICATION live_pub_adapter ADD TABLE public.live_setup_b"
     ]
+
+
+def test_live_micro_batch_loop_through_adapter(pg, spark):
+    """The reference's whole sync loop (T1 micro-batches + T2
+    peek-then-advance), against the real server, through the ADAPTER's
+    product surface: setup_publication, then iterate
+    peek_changes(limit) -> decode -> keep-last merge -> advance_slot
+    until a peek returns nothing.  The capped iterations force multiple
+    loop turns; the final replica must equal the live table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pg.sql("CREATE TABLE live_loop (id int PRIMARY KEY, v text)")
+    pg.sql("INSERT INTO live_loop SELECT g, 'seed' || g FROM generate_series(1, 20) g")
+    src = _psql_source(spark, pg)
+    src.setup_publication("live_pub_loop", "live_slot_loop", ["live_loop"])
+    state = {
+        r["id"]: r["v"]
+        for r in src.snapshot("live_loop").select("id", "v").collect()
+    }
+    # churn in MANY small transactions so the cap splits the stream
+    for i in range(1, 11):
+        pg.sql(f"UPDATE live_loop SET v = 'u{i}' WHERE id = {i}")
+    for i in range(16, 21):
+        pg.sql(f"DELETE FROM live_loop WHERE id = {i}")
+    pg.sql("INSERT INTO live_loop SELECT g, 'new' || g FROM generate_series(21, 25) g")
+
+    iterations = 0
+    while True:
+        frames = src.peek_changes("live_slot_loop", "live_pub_loop", limit=6)
+        decoded = decode_pgoutput(frames).filter(
+            F.col("msg_type").isin("I", "U", "D")
+        )
+        w = Window.partitionBy(F.col("cell_texts")[0]).orderBy(
+            F.col("lsn").desc()
+        )
+        rows = (
+            decoded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("msg_type"),
+                F.col("cell_texts")[0].cast("int").alias("id"),
+                F.col("cell_texts")[1].alias("v"),
+            )
+            .collect()
+        )
+        last_lsn = frames.agg(F.max("lsn").alias("m")).first()["m"]
+        if last_lsn is None:
+            break  # drained: the loop's natural exit (T1)
+        for r in rows:
+            if r["msg_type"] == "D":
+                state.pop(r["id"], None)
+            else:
+                state[r["id"]] = r["v"]
+        src.advance_slot("live_slot_loop", last_lsn)  # T2: only after apply
+        iterations += 1
+        assert iterations < 30, "loop failed to drain"
+
+    assert iterations >= 3  # the cap really split the stream
+    live = {r["id"]: r["v"] for r in pg.rows("SELECT id, v FROM live_loop")}
+    assert state == live
+    assert len(live) == 20  # 20 - 5 deleted + 5 inserted
 
 
 def test_live_end_to_end_snapshot_plus_cdc(pg, spark):
