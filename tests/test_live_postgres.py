@@ -22,14 +22,7 @@ binaries, no root/postgres user, read-only /tmp).
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import re
-import shutil
-import subprocess
 import sys
-import tempfile
 
 import pytest
 
@@ -37,127 +30,20 @@ sys.path.insert(0, "/root/repo")
 
 from clockpipe_spark.cdc.copy_decoder import decode_copy_field, split_copy_line
 from clockpipe_spark.cdc.pgoutput import decode_pgoutput, parse_pg_output
-
-_PORT = 54411  # only names the socket file; listen_addresses is empty
-
-
-def _find_pgbin() -> str | None:
-    cands = sorted(glob.glob("/usr/lib/postgresql/*/bin"), reverse=True)
-    for c in cands:
-        if os.path.exists(os.path.join(c, "initdb")):
-            return c
-    return None
-
-
-def _run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        cmd, capture_output=True, text=True, cwd="/tmp", **kw
-    )
-
-
-class LivePg:
-    """Minimal psql-backed client for the throwaway cluster."""
-
-    def __init__(self, sockdir: str):
-        self.sockdir = sockdir
-        self.psql = [
-            "psql", "-h", sockdir, "-p", str(_PORT), "-U", "postgres",
-            "-d", "postgres", "-v", "ON_ERROR_STOP=1",
-        ]
-
-    def sql(self, statement: str) -> None:
-        r = _run(self.psql + ["-q", "-c", statement])
-        if r.returncode != 0:
-            raise RuntimeError(f"psql failed: {r.stderr}\nSQL: {statement}")
-
-    def rows(self, query: str) -> list[dict]:
-        """Typed rows via row_to_json — booleans/ints survive, unlike CSV."""
-        r = _run(self.psql + ["-t", "-A", "-c",
-                              f"SELECT row_to_json(q)::text FROM ({query}) q"])
-        if r.returncode != 0:
-            raise RuntimeError(f"psql failed: {r.stderr}\nSQL: {query}")
-        return [json.loads(line) for line in r.stdout.splitlines() if line]
-
-    def copy_bytes(self, table: str) -> bytes:
-        r = subprocess.run(
-            self.psql + ["-c", f"COPY {table} TO STDOUT"],
-            capture_output=True, cwd="/tmp",
-        )
-        if r.returncode != 0:
-            raise RuntimeError(r.stderr.decode())
-        return r.stdout
-
-    def peek_frames(
-        self, slot: str, pub: str, nchanges: int | None = None
-    ) -> list[tuple[int, int, bytes]]:
-        """The reference's peek call, verbatim semantics: peek (not get),
-        binary changes, pgoutput proto 1, optional change cap (the
-        peek_changes_limit role, config.rs:146-149)."""
-        cap = "NULL" if nchanges is None else str(nchanges)
-        out = self.rows(
-            "SELECT lsn::text AS lsn, xid::text AS xid, encode(data,'hex') AS hx "
-            f"FROM pg_logical_slot_peek_binary_changes('{slot}', NULL, {cap}, "
-            f"'proto_version','1','publication_names','{pub}')"
-        )
-        frames = []
-        for r in out:
-            hi, lo = r["lsn"].split("/")
-            frames.append(
-                ((int(hi, 16) << 32) | int(lo, 16), int(r["xid"]),
-                 bytes.fromhex(r["hx"]))
-            )
-        return frames
-
-    def oid(self, table: str) -> int:
-        return int(self.rows(f"SELECT '{table}'::regclass::oid AS o")[0]["o"])
-
-    def advance(self, slot: str, lsn: int) -> None:
-        """Consume through `lsn` — the reference's advance-after-write
-        step (T2: peek, process, then move the cursor)."""
-        txt = f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
-        self.rows(
-            f"SELECT pg_replication_slot_advance('{slot}', '{txt}')::text AS r"
-        )
+from clockpipe_spark.sources.livepg_cluster import LivePgCluster
 
 
 @pytest.fixture(scope="module")
 def pg():
-    pgbin = _find_pgbin()
-    if pgbin is None or shutil.which("psql") is None:
-        pytest.skip("no PostgreSQL server binaries in this environment")
-    root = tempfile.mkdtemp(prefix="clockpipe_livepg_")
-    os.chmod(root, 0o777)
-    data = os.path.join(root, "data")
-
-    def as_pg(cmd: str) -> subprocess.CompletedProcess:
-        # initdb/postgres refuse to run as root; drop to the postgres
-        # user when needed, run directly otherwise
-        if os.geteuid() == 0:
-            return _run(["su", "postgres", "-c", cmd])
-        return _run(["bash", "-c", cmd])
-
-    started = False
+    cluster = LivePgCluster()
     try:
-        r = as_pg(f"{pgbin}/initdb -D {data} -A trust --no-sync")
-        if r.returncode != 0:
-            pytest.skip(f"initdb failed: {r.stderr[-200:]}")
-        with open(os.path.join(data, "postgresql.conf"), "a") as f:
-            f.write(
-                "\nwal_level = logical\nmax_replication_slots = 32\n"
-                "max_wal_senders = 32\nlisten_addresses = ''\n"
-                f"unix_socket_directories = '{root}'\nfsync = off\n"
-            )
-        r = as_pg(
-            f"{pgbin}/pg_ctl -D {data} -l {root}/server.log -o '-p {_PORT}' -w start"
-        )
-        if r.returncode != 0:
-            pytest.skip(f"postgres failed to start: {r.stderr[-200:]}")
-        started = True
-        yield LivePg(root)
+        try:
+            cluster.start()
+        except RuntimeError as ex:
+            pytest.skip(f"live postgres unavailable: {ex}")
+        yield cluster
     finally:
-        if started:
-            as_pg(f"{pgbin}/pg_ctl -D {data} -m immediate stop")
-        shutil.rmtree(root, ignore_errors=True)
+        cluster.stop()
 
 
 # ---------------------------------------------------------------------------
@@ -370,27 +256,7 @@ def test_live_copy_decoder_conformance(pg):
 
 
 def _psql_source(spark, pg):
-    from clockpipe_spark.sources.jdbc_adapter import JdbcPostgresSource
-
-    def reader(options: dict):
-        q = options.get("query") or f"SELECT * FROM {options['dbtable']}"
-        rows = pg.rows(q)
-        if not rows:
-            # a real JDBC relation carries the result schema even for
-            # zero rows; psql's json rendering loses it, so the seam
-            # reconstructs it from the statement's aliases
-            cols = re.findall(r"AS (\w+)", q.split("FROM")[0]) or ["empty"]
-            return spark.createDataFrame(
-                [], ", ".join(f"{c} string" for c in cols)
-            )
-        import pandas as pd
-
-        return spark.createDataFrame(pd.DataFrame(rows))
-
-    return JdbcPostgresSource(
-        spark, "jdbc:postgresql://unused/postgres",
-        reader=reader, sql_runner=pg.sql,
-    )
+    return pg.adapter(spark)
 
 
 def test_live_adapter_introspection(pg, spark):
