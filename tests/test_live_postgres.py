@@ -152,6 +152,30 @@ def test_live_toast_both_resolution_paths(pg):
     assert u_dflt["cells"][2] == ("n", None, None)
 
 
+def test_live_pk_update_ships_old_key_tuple(pg):
+    """A primary-key UPDATE is the one case where an update cannot be
+    applied as a same-key upsert: postgres ships the OLD key as a 'K'
+    tuple before the new row, and the decoder must surface both — the
+    old key drives the delete half of the apply, the new tuple the
+    insert half.  Pinned against a real PK change (the fixtures never
+    exercised the 'K'-old-tuple-in-UPDATE arm; pgoutput.rs:369-410)."""
+    pg.sql("CREATE TABLE live_pkup (id int PRIMARY KEY, v text)")
+    pg.sql("CREATE PUBLICATION live_pub7 FOR TABLE live_pkup")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot7', 'pgoutput')"
+    )
+    pg.sql("INSERT INTO live_pkup VALUES (1, 'a')")
+    pg.sql("UPDATE live_pkup SET id = 2 WHERE id = 1")
+    writes = _writes(pg.peek_frames("live_slot7", "live_pub7"))
+    assert [w["msg_type"] for w in writes] == ["I", "U"]
+    upd = writes[1]
+    # old key tuple: key column populated, non-key column 'n'
+    assert [(k, t) for k, t, _ in upd["old_cells"]] == [("t", "1"), ("n", None)]
+    # new image carries the NEW key and the unchanged payload
+    assert [t for _, t, _ in upd["cells"]] == ["2", "a"]
+
+
 def test_live_truncate_first_relid_quirk(pg):
     pg.sql("CREATE TABLE live_tr_a (id int PRIMARY KEY)")
     pg.sql("CREATE TABLE live_tr_b (id int PRIMARY KEY)")
