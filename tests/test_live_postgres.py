@@ -273,6 +273,73 @@ def test_live_copy_decoder_conformance(pg):
     assert got == expected
 
 
+def test_live_pg_array_literal_renderings(pg, spark):
+    """PG array columns arrive in pgoutput as TEXT CELLS holding the
+    array literal rendering; this pins the §2.8 quirk parsers
+    (functions/casts.py pg_array_parse / pg_string_array_parse,
+    mirroring pgoutput.rs:183-201) against literals the SERVER
+    produced, including where the reference's naive split is and is
+    not faithful:
+
+    - integer arrays render unquoted -> pg_array_parse exact;
+    - a NULL element renders as the bare token NULL -> the parser
+      yields the string 'NULL' (the reference's behavior, pinned);
+    - text arrays render quoted only PER-ELEMENT-AS-NEEDED; uniformly
+      quoted elements (spaces force quoting) -> pg_string_array_parse
+      exact; a single unquoted word does NOT match the quoted
+      grammar — the reference's documented quirk (pgoutput.rs:560-596
+      tests only the uniformly-quoted form), replicated for parity."""
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.functions.casts import (
+        pg_array_parse,
+        pg_string_array_parse,
+    )
+
+    pg.sql("CREATE TABLE live_arr (id int PRIMARY KEY, ints int[], words text[])")
+    pg.sql("CREATE PUBLICATION live_pub8 FOR TABLE live_arr")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot8', 'pgoutput')"
+    )
+    pg.sql(
+        "INSERT INTO live_arr VALUES "
+        "(1, ARRAY[1,2,3], ARRAY['hello world','a b']), "
+        "(2, ARRAY[7,NULL], ARRAY['one']), "
+        "(3, '{}', '{}')"
+    )
+    writes = _writes(pg.peek_frames("live_slot8", "live_pub8"))
+    lits = {int(w["cells"][0][1]): (w["cells"][1][1], w["cells"][2][1])
+            for w in writes}
+    # the server's actual renderings — quoting is per-element-as-needed
+    assert lits == {
+        1: ("{1,2,3}", '{"hello world","a b"}'),
+        2: ("{7,NULL}", "{one}"),
+        3: ("{}", "{}"),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in lits.items()],
+        "id int, ints string, words string",
+    )
+    got = {
+        r["id"]: (r["pi"], r["pw"])
+        for r in df.select(
+            "id",
+            pg_array_parse(F.col("ints")).alias("pi"),
+            pg_string_array_parse(F.col("words")).alias("pw"),
+        ).collect()
+    }
+    assert got[1] == (["1", "2", "3"], ["hello world", "a b"])
+    # NULL element -> bare 'NULL' token (reference behavior, pinned)
+    assert got[2][0] == ["7", "NULL"]
+    # the documented quirk: an UNQUOTED single word doesn't match the
+    # quoted grammar, so the braces survive — same output the
+    # reference's split produces; pinned so a "fix" here is a
+    # deliberate parity break, not an accident
+    assert got[2][1] == ["{one}"]
+    assert got[3] == ([], [])
+
+
 # ---------------------------------------------------------------------------
 # JdbcPostgresSource seams against the live server: the adapter's
 # generated SQL executes verbatim (no JDBC jar in the sandbox, so psql
