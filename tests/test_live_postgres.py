@@ -340,6 +340,78 @@ def test_live_pg_array_literal_renderings(pg, spark):
     assert got[3] == ([], [])
 
 
+def test_live_scalar_renderings_through_cast_matrix(pg, spark):
+    """What the wire ACTUALLY carries for bool / numeric / timestamp /
+    timestamptz columns, and that the P3 cast matrix lands them: bool
+    renders 't'/'f' (the short form pg_bool_parse keys on),
+    timestamptz renders in the SESSION TimeZone — the cluster pins
+    TimeZone=UTC at CREATE so the offset-less rendering the reference
+    assumes ('+00' suffix stripped upstream) holds; a deployment whose
+    server runs another zone must pin the slot session the same way
+    (this test is that requirement, written down)."""
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.functions.casts import (
+        pg_bool_parse,
+        pg_datetime_trunc,
+        pg_to_int,
+        pg_to_real,
+    )
+
+    pg.sql("ALTER DATABASE postgres SET timezone TO 'UTC'")
+    pg.sql(
+        "CREATE TABLE live_scalar (id int PRIMARY KEY, ok bool, "
+        "price numeric(12,4), ts timestamp, tstz timestamptz)"
+    )
+    pg.sql("CREATE PUBLICATION live_pub9 FOR TABLE live_scalar")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot9', 'pgoutput')"
+    )
+    pg.sql(
+        "INSERT INTO live_scalar VALUES "
+        "(1, true, 1234.5000, '2024-01-02 03:04:05.678901', "
+        " '2024-01-02 03:04:05.678901+00'), "
+        "(2, false, -0.0001, '1999-12-31 23:59:59', "
+        " '1999-12-31 23:59:59+05')"
+    )
+    writes = _writes(pg.peek_frames("live_slot9", "live_pub9"))
+    lits = {int(w["cells"][0][1]): [t for _, t, _ in w["cells"][1:]]
+            for w in writes}
+    # the server's actual wire renderings
+    assert lits[1] == ["t", "1234.5000",
+                      "2024-01-02 03:04:05.678901",
+                      "2024-01-02 03:04:05.678901+00"]
+    assert lits[2] == ["f", "-0.0001",
+                      "1999-12-31 23:59:59",
+                      "1999-12-31 18:59:59+00"]  # +05 resolved to UTC
+    df = spark.createDataFrame(
+        [(k, *v) for k, v in lits.items()],
+        "id int, ok string, price string, ts string, tstz string",
+    )
+    got = {
+        r["id"]: (r["b"], r["p"], str(r["t"]), str(r["tz"]), r["bad_int"])
+        for r in df.select(
+            "id",
+            pg_bool_parse(F.col("ok")).alias("b"),
+            pg_to_real(F.col("price")).alias("p"),
+            pg_datetime_trunc(
+                F.to_timestamp(F.col("ts"))
+            ).alias("t"),
+            # the reference strips the offset upstream with the session
+            # pinned UTC; substring(1, 26) is that strip on '+00'
+            pg_datetime_trunc(
+                F.to_timestamp(F.substring(F.col("tstz"), 1, 26))
+            ).alias("tz"),
+            pg_to_int(F.col("price")).alias("bad_int"),
+        ).collect()
+    }
+    assert got[1] == (True, 1234.5, "2024-01-02 03:04:05",
+                      "2024-01-02 03:04:05", 0)
+    assert got[2] == (False, -0.0001, "1999-12-31 23:59:59",
+                      "1999-12-31 18:59:59", 0)
+
+
 # ---------------------------------------------------------------------------
 # JdbcPostgresSource seams against the live server: the adapter's
 # generated SQL executes verbatim (no JDBC jar in the sandbox, so psql
