@@ -273,6 +273,70 @@ def test_live_copy_decoder_conformance(pg):
     assert got == expected
 
 
+def test_live_randomized_dml_replay(pg):
+    """Seeded random DML storm (inserts, value updates, PK-changing
+    updates, deletes, truncates — each its own transaction) against a
+    default-replica-identity table; replaying the slot's genuine
+    frames through the correct apply rule must reproduce the live
+    table exactly.  The apply rule exercises the PK-change arm the
+    fixed e2e tests don't: an UPDATE with an old-key tuple deletes the
+    old key before upserting the new image."""
+    import random
+
+    rng = random.Random(20260814)
+    pg.sql("CREATE TABLE live_rand (id int PRIMARY KEY, v text)")
+    pg.sql("CREATE PUBLICATION live_pub10 FOR TABLE live_rand")
+    pg.rows(
+        "SELECT slot_name::text AS s FROM "
+        "pg_create_logical_replication_slot('live_slot10', 'pgoutput')"
+    )
+    live_ids: set[int] = set()
+    next_id = 1
+    n_truncates = n_pk_moves = 0
+    for _ in range(60):
+        roll = rng.random()
+        if roll < 0.40 or not live_ids:
+            pg.sql(f"INSERT INTO live_rand VALUES ({next_id}, 'v{next_id}')")
+            live_ids.add(next_id)
+            next_id += 1
+        elif roll < 0.70:
+            tid = rng.choice(sorted(live_ids))
+            pg.sql(f"UPDATE live_rand SET v = v || '+' WHERE id = {tid}")
+        elif roll < 0.80:
+            tid = rng.choice(sorted(live_ids))
+            pg.sql(f"UPDATE live_rand SET id = {next_id} WHERE id = {tid}")
+            live_ids.discard(tid)
+            live_ids.add(next_id)
+            next_id += 1
+            n_pk_moves += 1
+        elif roll < 0.95:
+            tid = rng.choice(sorted(live_ids))
+            pg.sql(f"DELETE FROM live_rand WHERE id = {tid}")
+            live_ids.discard(tid)
+        else:
+            pg.sql("TRUNCATE live_rand")
+            live_ids.clear()
+            n_truncates += 1
+    assert n_pk_moves and n_truncates  # the seed exercises both arms
+
+    state: dict[str, str] = {}
+    for w in _writes(pg.peek_frames("live_slot10", "live_pub10")):
+        if w["msg_type"] == "T":
+            state.clear()
+        elif w["msg_type"] == "I":
+            state[w["cells"][0][1]] = w["cells"][1][1]
+        elif w["msg_type"] == "U":
+            if w["old_cells"]:  # PK change: drop the old key first
+                state.pop(w["old_cells"][0][1], None)
+            state[w["cells"][0][1]] = w["cells"][1][1]
+        elif w["msg_type"] == "D":
+            state.pop(w["cells"][0][1], None)
+    live = {str(r["id"]): r["v"]
+            for r in pg.rows("SELECT id, v FROM live_rand")}
+    assert state == live
+    assert set(state) == {str(i) for i in live_ids}
+
+
 def test_live_pg_array_literal_renderings(pg, spark):
     """PG array columns arrive in pgoutput as TEXT CELLS holding the
     array literal rendering; this pins the §2.8 quirk parsers
