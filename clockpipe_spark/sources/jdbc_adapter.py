@@ -57,6 +57,21 @@ _INTEGRAL = {"int2", "int4", "int8"}
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# the pgoutput options tail every peek in this repo issues — shared so
+# the live-cluster test helper and the adapter cannot drift apart
+PGOUTPUT_PEEK_OPTIONS = "'proto_version', '1', 'publication_names'"
+
+
+def lsn_to_text(lsn: int) -> str:
+    """64-bit LSN -> pg_lsn 'X/Y' text (upper half / lower half, hex)."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+def lsn_from_text(txt: str) -> int:
+    """pg_lsn 'X/Y' text -> 64-bit int (the ordering key T4 sorts on)."""
+    hi, lo = txt.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
 
 def _ident(name: str) -> str:
     """Validate an identifier before interpolation (the reference
@@ -301,8 +316,8 @@ class JdbcPostgresSource:
     _PEEK_SQL = (
         "SELECT lsn::text AS lsn_txt, xid::text AS xid_txt, "
         "encode(data, 'hex') AS data_hex "
-        "FROM pg_logical_slot_peek_binary_changes('{slot}', NULL, {cap}, "
-        "'proto_version', '1', 'publication_names', '{publication}')"
+        f"FROM pg_logical_slot_peek_binary_changes('{{slot}}', NULL, {{cap}}, "
+        f"{PGOUTPUT_PEEK_OPTIONS}, '{{publication}}')"
     )
 
     def peek_changes(
@@ -314,7 +329,18 @@ class JdbcPostgresSource:
         peek_changes_limit (config.rs:146-149); postgres applies it
         TRANSACTION-ATOMICALLY (finishes the txn that crosses the cap,
         so a capped peek is a strict prefix of the stream ending at a
-        commit frame — pinned live in test_live_postgres.py)."""
+        commit frame — pinned live in test_live_postgres.py).
+
+        The result is MATERIALIZED before returning (eager
+        localCheckpoint): ``pg_logical_slot_peek_binary_changes`` is a
+        volatile server function, so a lazy plan would re-peek at a
+        different moment on EVERY action — a caller that applies the
+        frames in one action and computes the advance LSN in another
+        would advance past transactions it never applied (silent
+        replica loss).  One execution, stable frames; memory is bounded
+        by the peek cap, exactly like the reference's in-memory
+        PeekWalChangeResult vec.  A lost-executor recompute raises
+        loudly instead of silently re-peeking."""
         from pyspark.sql import functions as F
 
         cap = "NULL" if limit is None else str(int(limit))
@@ -325,7 +351,7 @@ class JdbcPostgresSource:
         })
         hi = F.split(F.col("lsn_txt"), "/")[0]
         lo = F.split(F.col("lsn_txt"), "/")[1]
-        return raw.select(
+        frames = raw.select(
             (
                 F.conv(hi, 16, 10).cast("long") * F.lit(1 << 32).cast("long")
                 + F.conv(lo, 16, 10).cast("long")
@@ -333,12 +359,13 @@ class JdbcPostgresSource:
             F.col("xid_txt").cast("long").alias("xid"),
             F.unhex(F.col("data_hex")).alias("data"),
         )
+        return frames.localCheckpoint(eager=True)
 
     def advance_slot(self, slot: str, lsn: int) -> str:
         """Consume through ``lsn`` — the advance-after-write step of the
         peek-then-advance cursor discipline (T2).  Returns the pg_lsn
         text it issued (callers persist it as the checkpoint)."""
-        txt = f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+        txt = lsn_to_text(lsn)
         self._sql_runner(
             f"SELECT pg_replication_slot_advance('{_ident(slot)}', '{txt}')"
         )

@@ -27,8 +27,22 @@ _CMD_TIMEOUT = 60  # seconds; a wedged server must never wedge a bench
 
 
 def find_pgbin() -> str | None:
-    """Newest locally-installed PostgreSQL server bin dir, or None."""
-    for c in sorted(glob.glob("/usr/lib/postgresql/*/bin"), reverse=True):
+    """Newest locally-installed PostgreSQL server bin dir, or None.
+
+    Sorted NUMERICALLY on the version path segment — a lexicographic
+    sort would prefer 9.6 over 10..17 on hosts with accreted installs
+    (and logical-slot advance needs PG >= 11)."""
+
+    def version_key(path: str):
+        seg = os.path.basename(os.path.dirname(path))
+        try:
+            return tuple(int(x) for x in seg.split("."))
+        except ValueError:
+            return (-1,)
+
+    for c in sorted(
+        glob.glob("/usr/lib/postgresql/*/bin"), key=version_key, reverse=True
+    ):
         if os.path.exists(os.path.join(c, "initdb")):
             return c
     return None
@@ -70,7 +84,17 @@ class LivePgCluster:
             raise RuntimeError("no PostgreSQL server binaries")
         self._pgbin = pgbin
         self.root = tempfile.mkdtemp(prefix="clockpipe_livepg_")
-        os.chmod(self.root, 0o777)
+        # hand the dir to the postgres user, NOT world-writable: 0777 +
+        # trust auth would give every local user password-less
+        # superuser through the socket. root traverses 0700 regardless;
+        # the non-root path keeps the mkdtemp owner.
+        if os.geteuid() == 0:
+            try:
+                shutil.chown(self.root, user="postgres", group="postgres")
+            except (LookupError, PermissionError, OSError) as ex:
+                self.stop()
+                raise RuntimeError(f"no postgres user to own the cluster: {ex}")
+        os.chmod(self.root, 0o700)
         data = os.path.join(self.root, "data")
         r = self._as_pg(f"{pgbin}/initdb -D {data} -A trust --no-sync")
         if r.returncode != 0:
@@ -140,21 +164,26 @@ class LivePgCluster:
     ) -> list[tuple[int, int, bytes]]:
         """The reference's peek call, verbatim semantics: peek (not
         get), binary changes, pgoutput proto 1, optional change cap
-        (the peek_changes_limit role, config.rs:146-149)."""
+        (the peek_changes_limit role, config.rs:146-149).  Issues the
+        SAME options tail the adapter's peek_changes does (shared
+        constant) and decodes LSNs with the shared codec, so the
+        Spark-free tests exercise the identical server call — the two
+        cannot drift apart."""
+        from clockpipe_spark.sources.jdbc_adapter import (
+            PGOUTPUT_PEEK_OPTIONS,
+            lsn_from_text,
+        )
+
         cap = "NULL" if nchanges is None else str(nchanges)
         out = self.rows(
             "SELECT lsn::text AS lsn, xid::text AS xid, encode(data,'hex') AS hx "
             f"FROM pg_logical_slot_peek_binary_changes('{slot}', NULL, {cap}, "
-            f"'proto_version','1','publication_names','{pub}')"
+            f"{PGOUTPUT_PEEK_OPTIONS}, '{pub}')"
         )
-        frames = []
-        for r in out:
-            hi, lo = r["lsn"].split("/")
-            frames.append(
-                ((int(hi, 16) << 32) | int(lo, 16), int(r["xid"]),
-                 bytes.fromhex(r["hx"]))
-            )
-        return frames
+        return [
+            (lsn_from_text(r["lsn"]), int(r["xid"]), bytes.fromhex(r["hx"]))
+            for r in out
+        ]
 
     def oid(self, table: str) -> int:
         return int(self.rows(f"SELECT '{table}'::regclass::oid AS o")[0]["o"])
@@ -162,9 +191,11 @@ class LivePgCluster:
     def advance(self, slot: str, lsn: int) -> None:
         """Consume through ``lsn`` — the reference's advance-after-write
         step (T2: peek, process, then move the cursor)."""
-        txt = f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+        from clockpipe_spark.sources.jdbc_adapter import lsn_to_text
+
         self.rows(
-            f"SELECT pg_replication_slot_advance('{slot}', '{txt}')::text AS r"
+            "SELECT pg_replication_slot_advance("
+            f"'{slot}', '{lsn_to_text(lsn)}')::text AS r"
         )
 
     # -- adapter seams ------------------------------------------------------

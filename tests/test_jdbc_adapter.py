@@ -250,3 +250,43 @@ def test_peek_changes_cap_and_advance_contract(spark):
     ]
     with pytest.raises(ValueError):
         src.advance_slot("bad; DROP TABLE x", 0)
+
+
+def test_peek_changes_is_materialized_and_stable(spark):
+    """pg_logical_slot_peek_binary_changes is a VOLATILE server
+    function: a lazy plan would re-peek on every action, so a caller
+    applying frames in one action and computing the advance LSN in
+    another could advance past transactions it never applied.
+    peek_changes must therefore materialize ONE execution.  The fake
+    reader returns a non-deterministic frame (rand-derived lsn); two
+    actions over the result must agree."""
+    from pyspark.sql import functions as F
+
+    def volatile_reader(options):
+        return spark.range(8).select(
+            F.concat(
+                F.lit("0/"),
+                F.upper(F.hex((F.rand() * 1e9).cast("long"))),
+            ).alias("lsn_txt"),
+            F.lit("7").alias("xid_txt"),
+            F.lit("42").alias("data_hex"),
+        )
+
+    src = JdbcPostgresSource(
+        spark, "jdbc:postgresql://db:5432/app",
+        reader=volatile_reader, sql_runner=lambda sql: None,
+    )
+    frames = src.peek_changes("s", "p")
+    first = [r["lsn"] for r in frames.collect()]
+    second = [r["lsn"] for r in frames.collect()]
+    third = frames.agg(F.max("lsn")).first()[0]
+    assert first == second
+    assert third == max(first)
+
+
+def test_lsn_codec_roundtrip():
+    from clockpipe_spark.sources.jdbc_adapter import lsn_from_text, lsn_to_text
+
+    for txt in ("0/15ADB30", "1/A", "FFFFFFFF/FFFFFFFF", "0/0"):
+        assert lsn_to_text(lsn_from_text(txt)) == txt
+    assert lsn_from_text("1/A") == (1 << 32) | 0xA

@@ -165,10 +165,14 @@ def test_no_nonscalar_output_columns(spark, sf_dir):
     driver's canonicalizer crashes sorting raw list cells (the r7
     ``array_hof_battery`` red row).  Non-scalar values must render as
     strings (array_join / to_json) at the final projection.  Runs over
-    the WHOLE registry so a future rotation can't reintroduce it —
-    schema derivation is plan-only analysis, no jobs execute for it
-    (``hierarchy_rollup`` runs its bounded convergence probes; that is
-    its own documented cost)."""
+    the WHOLE registry so a future rotation can't reintroduce it.
+
+    Cost disclosure: schema derivation itself is plan-only, but
+    CONSTRUCTING some queries runs real bounded driver-side jobs —
+    ``hierarchy_rollup``'s convergence probes and the ANN/k-means/PQ
+    constructors' sample-collect training (similarity.py) — so this
+    guard costs ~1 min at sf0.001, not milliseconds.  Accepted: it is
+    the only place every registry output schema is checked."""
     from pyspark.sql import types as T
 
     offenders = {}
