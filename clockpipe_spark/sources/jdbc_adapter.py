@@ -361,6 +361,14 @@ class JdbcPostgresSource:
         )
         return frames.localCheckpoint(eager=True)
 
+    def current_wal_lsn(self) -> int:
+        """The server's current WAL write position, as a 64-bit int —
+        the snapshot version stamp: a snapshot finished at this LSN
+        dominates any replayed change at or before it (the
+        at-least-once idempotence anchor, pipes/postgres.rs:136-160)."""
+        rows = self._query("SELECT pg_current_wal_lsn()::text AS lsn")
+        return lsn_from_text(rows[0]["lsn"])
+
     def advance_slot(self, slot: str, lsn: int) -> str:
         """Consume through ``lsn`` — the advance-after-write step of the
         peek-then-advance cursor discipline (T2).  Returns the pg_lsn

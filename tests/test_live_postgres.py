@@ -25,6 +25,7 @@ from __future__ import annotations
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 
@@ -652,3 +653,126 @@ def test_live_end_to_end_snapshot_plus_cdc(pg, spark):
     got = {(r["id"], r["v"], r["n"]) for r in replica.collect()}
     assert got == live
     assert len(got) == 50  # 50 - 10 deleted + 10 inserted
+
+
+# ---------------------------------------------------------------------------
+# LivePostgresCdcPipe: the full IPipe lifecycle against the real server
+
+
+def test_live_pipe_full_lifecycle(pg, spark, tmp_path):
+    """initialize -> first_sync -> churn -> capped sync_loop: the
+    replica must equal the live table after multiple peek-capped
+    iterations, with during-snapshot changes absorbed idempotently by
+    the WAL-stamped snapshot."""
+    from clockpipe_spark.config import PipeConfig
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    pg.sql(
+        "CREATE TABLE live_pipe_t (id int PRIMARY KEY, v text, "
+        "ok bool, price numeric(10,2), at timestamp)"
+    )
+    pg.sql(
+        "INSERT INTO live_pipe_t SELECT g, 'v' || g, g % 2 = 0, "
+        "g * 1.25, '2024-01-01'::timestamp + g * interval '1 min' "
+        "FROM generate_series(1, 40) g"
+    )
+    pipe = LivePostgresCdcPipe(
+        spark, pg.adapter(spark), "live_pipe_t", str(tmp_path),
+        publication="live_pipe_pub", slot="live_pipe_slot",
+        config=PipeConfig(peek_changes_limit=30),
+    )
+    assert pipe.keys == ["id"]
+    issued = pipe.initialize()
+    assert len(issued) == 2  # publication + slot created
+    assert pipe.initialize() == []  # idempotent
+    assert pipe.first_sync() == 40
+    assert pipe.first_sync() is None  # K6 guard
+
+    # churn in many single-statement transactions so the cap splits it
+    for i in range(1, 21):
+        pg.sql(f"UPDATE live_pipe_t SET v = 'u{i}', price = price + 1 "
+               f"WHERE id = {i}")
+    for i in range(36, 41):
+        pg.sql(f"DELETE FROM live_pipe_t WHERE id = {i}")
+    pg.sql("INSERT INTO live_pipe_t VALUES "
+           "(41, 'n41', true, 9.99, '2030-01-01')")
+    iters = pipe.sync_loop()
+    assert iters >= 2  # the 30-change cap forced multiple iterations
+
+    got = {
+        (r["id"], r["v"], r["ok"], str(r["price"]), str(r["at"]))
+        for r in pipe.replica().select(
+            "id", "v", "ok",
+            F.col("price").cast("decimal(10,2)").alias("price"), "at"
+        ).collect()
+    }
+    live = {
+        (r["id"], r["v"], r["ok"], str(r["price"]), str(r["at"]).replace("T", " "))
+        for r in pg.rows(
+            "SELECT id, v, ok, price::text AS price, at::text AS at "
+            "FROM live_pipe_t"
+        )
+    }
+    assert got == live
+    assert len(got) == 36  # 40 - 5 deleted + 1 inserted
+    # drained: another loop turn is a no-op
+    assert pipe.sync_loop() == 0
+
+
+def test_live_pipe_truncate_propagation(pg, spark, tmp_path):
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    pg.sql("CREATE TABLE live_pipe_tr (id int PRIMARY KEY, v text)")
+    pg.sql("INSERT INTO live_pipe_tr VALUES (1, 'a'), (2, 'b')")
+    pipe = LivePostgresCdcPipe(
+        spark, pg.adapter(spark), "live_pipe_tr", str(tmp_path),
+        publication="live_pipe_pub2", slot="live_pipe_slot2",
+    )
+    pipe.initialize()
+    pipe.first_sync()
+    pg.sql("INSERT INTO live_pipe_tr VALUES (3, 'c')")
+    pg.sql("TRUNCATE live_pipe_tr")
+    pg.sql("INSERT INTO live_pipe_tr VALUES (9, 'reborn')")
+    counters = pipe.sync_iteration()
+    assert counters.get("T") == 1
+    got = [(r["id"], r["v"]) for r in pipe.replica().collect()]
+    assert got == [(9, "reborn")]  # only the post-truncate row survives
+
+
+def test_live_pipe_crash_between_merge_and_advance_replays(pg, spark, tmp_path):
+    """T2's at-least-once window, simulated for real: the first
+    iteration merges but 'crashes' before advancing the slot, so the
+    next iteration re-peeks and re-merges the SAME frames — the
+    versioned keyed merge must absorb the duplicates and the slot must
+    end fully advanced."""
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    pg.sql("CREATE TABLE live_pipe_cr (id int PRIMARY KEY, v text)")
+    pg.sql("INSERT INTO live_pipe_cr VALUES (1, 'a')")
+    src = pg.adapter(spark)
+    pipe = LivePostgresCdcPipe(
+        spark, src, "live_pipe_cr", str(tmp_path),
+        publication="live_pipe_pub3", slot="live_pipe_slot3",
+    )
+    pipe.initialize()
+    pipe.first_sync()
+    pg.sql("UPDATE live_pipe_cr SET v = 'b' WHERE id = 1")
+    pg.sql("INSERT INTO live_pipe_cr VALUES (2, 'x')")
+
+    real_advance = src.advance_slot
+    calls = {"n": 0}
+
+    def crashing_advance(slot, lsn):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between merge and advance")
+        return real_advance(slot, lsn)
+
+    src.advance_slot = crashing_advance
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.sync_iteration()  # merged, NOT advanced
+    counters = pipe.sync_iteration()  # replays the same frames
+    assert counters == {"U": 1, "I": 1}
+    got = sorted((r["id"], r["v"]) for r in pipe.replica().collect())
+    assert got == [(1, "b"), (2, "x")]
+    assert pipe.sync_iteration() == {}  # now drained — advance stuck
