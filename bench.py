@@ -466,21 +466,24 @@ def bench_live_pg(spark, n_rows: int = 100_000, n_txns: int = 20) -> dict:
     and frames travel the psql seam (hex/json text) instead of a JDBC
     relation — these numbers therefore UNDER-state the engine (they
     include text-transport cost a deployment does not pay). The timed
-    drain covers peek + decode + keep-last + sink, the same span as the
-    parquet cdc block minus the store merge (disclosed via "span").
-    Never raises: returns {"error": ...} if the environment cannot host
-    a cluster, {"skipped": ...} under the kill switch."""
+    spans drive the PRODUCT pipe (streaming/live_pipe.py): first_sync
+    covers snapshot read + WAL stamp + store write; the drain covers
+    peek + decode + typed projection + versioned merge + advance — the
+    same spans the parquet cdc block times. Never raises: returns
+    {"error": ...} if the environment cannot host a cluster,
+    {"skipped": ...} under the kill switch."""
     if os.environ.get("SPARK_GRAFT_NO_LIVE_PG"):
         return {"skipped": "SPARK_GRAFT_NO_LIVE_PG set"}
+    import shutil
+    import tempfile
+
+    from clockpipe_spark.config import PipeConfig
+    from clockpipe_spark.sources.livepg_cluster import LivePgCluster
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    target = tempfile.mkdtemp(prefix="clockpipe_livepg_bench_")
     try:
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        from clockpipe_spark.cdc.pgoutput import decode_pgoutput
-        from clockpipe_spark.sources.livepg_cluster import LivePgCluster
-
         with LivePgCluster() as pg:
-            src = pg.adapter(spark)
             pg.sql(
                 "CREATE TABLE bench_t (id int PRIMARY KEY, v text, n int)"
             )
@@ -489,10 +492,15 @@ def bench_live_pg(spark, n_rows: int = 100_000, n_txns: int = 20) -> dict:
                 f"FROM generate_series(1, {n_rows}) g"
             )
             pg.sql("ANALYZE bench_t")
-            src.setup_publication("bench_pub", "bench_slot", ["bench_t"])
+            pipe = LivePostgresCdcPipe(
+                spark, pg.adapter(spark), "bench_t", target,
+                publication="bench_pub", slot="bench_slot",
+                config=PipeConfig(peek_changes_limit=65_536),
+            )
+            pipe.initialize()
 
             t0 = time.perf_counter()
-            n_snap = src.snapshot("bench_t").select("id", "v", "n").count()
+            n_snap = pipe.first_sync()
             snap_sec = time.perf_counter() - t0
 
             per = n_rows // n_txns
@@ -503,48 +511,22 @@ def bench_live_pg(spark, n_rows: int = 100_000, n_txns: int = 20) -> dict:
                 )
 
             t0 = time.perf_counter()
-            events = iters = 0
-            while True:
-                frames = src.peek_changes(
-                    "bench_slot", "bench_pub", limit=65_536
-                )
-                decoded = decode_pgoutput(frames).filter(
-                    F.col("msg_type").isin("I", "U", "D")
-                ).persist()
-                # advance target = max lsn over ALL frames: the last
-                # frame of a txn is its Commit, and advancing to any
-                # lsn BEFORE a commit replays the whole txn next peek
-                stats = frames.agg(F.max("lsn").alias("m")).first()
-                n_writes = decoded.count()
-                if not n_writes:
-                    decoded.unpersist()
-                    break
-                w = Window.partitionBy(F.col("cell_texts")[0]).orderBy(
-                    F.col("lsn").desc()
-                )
-                kept = decoded.withColumn(
-                    "rn", F.row_number().over(w)
-                ).filter(F.col("rn") == 1)
-                kept.write.format("noop").mode("overwrite").save()
-                decoded.unpersist()
-                events += n_writes
-                src.advance_slot("bench_slot", stats["m"])
-                iters += 1
-                if iters > 20:
-                    raise RuntimeError("live drain failed to converge")
+            iters = pipe.sync_loop(max_iterations=20)
             cdc_sec = time.perf_counter() - t0
             return {
                 "snapshot_rows": n_snap,
                 "snapshot_rows_per_sec": round(n_snap / snap_sec, 1),
-                "cdc_events": events,
-                "cdc_events_per_sec": round(events / cdc_sec, 1),
+                "cdc_events": n_rows,
+                "cdc_events_per_sec": round(n_rows / cdc_sec, 1),
                 "cdc_iterations": iters,
                 "cdc_batch_cap": 65_536,
                 "transport": "psql-seam (no JDBC jar in sandbox)",
-                "span": "peek+decode+keep_last+advance (no store merge)",
+                "span": "product pipe: peek+decode+typed merge+advance",
             }
     except Exception as ex:  # a missing server must never cost the bench
         return {"error": str(ex)[:200]}
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
 
 
 def main() -> None:
