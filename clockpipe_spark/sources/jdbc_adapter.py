@@ -361,6 +361,22 @@ class JdbcPostgresSource:
         )
         return frames.localCheckpoint(eager=True)
 
+    def table_oids(self, tables: Sequence[str]) -> dict[str, int]:
+        """relname -> pg_class oid for the configured schema — the
+        routing key: pgoutput Insert/Update/Delete frames carry the
+        relation OID, not the name (pgoutput.rs:355-426)."""
+        names = ", ".join(f"'{_ident(t)}'" for t in tables)
+        rows = self._query(
+            "SELECT c.relname AS relname, c.oid::bigint AS oid "
+            "FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace "
+            f"WHERE c.relname IN ({names}) AND n.nspname = '{self.schema}'"
+        )
+        out = {r["relname"]: int(r["oid"]) for r in rows}
+        missing = set(tables) - set(out)
+        if missing:
+            raise ValueError(f"tables not found in {self.schema}: {missing}")
+        return out
+
     def current_wal_lsn(self) -> int:
         """The server's current WAL write position, as a 64-bit int —
         the snapshot version stamp: a snapshot finished at this LSN

@@ -172,3 +172,148 @@ class LivePostgresCdcPipe:
     def replica(self) -> DataFrame | None:
         """Visible replica state (tombstones filtered)."""
         return self.store.read(self.spark)
+
+
+class LivePostgresRoutedPipe:
+    """N tables through ONE publication and ONE slot — the reference's
+    deployment shape (a pipe config lists tables; frames route by
+    relation OID, pipes/postgres.rs:355-426 + sync routing A2).
+
+    Frames decode ONCE per iteration; each table filters its OID,
+    applies its own truncate ordering and typed projection, and merges
+    into its own ``ReplicaStore``.  The slot advances ONCE, after EVERY
+    table's merge committed — a crash mid-routing replays the whole
+    batch into all tables, and each versioned keyed merge absorbs its
+    duplicates (the same at-least-once argument as the single-table
+    pipe, applied per route).
+
+    Reference-parity quirk, inherited from the decoder: a multi-table
+    ``TRUNCATE a, b`` statement emits ONE frame and only its FIRST
+    relation id survives decode (pgoutput.rs:427-448), so only that
+    route truncates.  Single-relation truncates (the common case)
+    behave exactly."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: JdbcPostgresSource,
+        tables: Sequence[str],
+        target_root: str,
+        publication: str,
+        slot: str,
+        config: PipeConfig | None = None,
+    ):
+        if not tables:
+            raise ValueError("at least one table required")
+        self.spark = spark
+        self.source = source
+        self.tables = list(tables)
+        self.publication = publication
+        self.slot = slot
+        self.config = config or PipeConfig()
+        self.columns = {t: source.list_columns(t) for t in self.tables}
+        self.keys = {
+            t: [c.column_name for c in cols if c.is_primary_key]
+            for t, cols in self.columns.items()
+        }
+        for t, k in self.keys.items():
+            if not k:
+                raise ValueError(f"table {t!r} has no primary key")
+        self.stores = {
+            t: ReplicaStore(os.path.join(target_root, "replica", t))
+            for t in self.tables
+        }
+        self.oids: dict[str, int] = {}
+
+    def initialize(self) -> list[str]:
+        issued = self.source.setup_publication(
+            self.publication, self.slot, self.tables
+        )
+        self.oids = self.source.table_oids(self.tables)
+        return issued
+
+    def first_sync(self) -> dict[str, int]:
+        """Per-table WAL-stamped snapshot, each idempotent-guarded (K6)."""
+        copied: dict[str, int] = {}
+        for t in self.tables:
+            store = self.stores[t]
+            if store.current_version() >= 0:
+                continue
+            snap = self.source.snapshot(t).select(
+                *[
+                    F.col(c.column_name).cast(c.spark_type).alias(c.column_name)
+                    for c in self.columns[t]
+                ]
+            )
+            n = snap.count()
+            stamp = self.source.current_wal_lsn()
+            store.write(
+                snap.withColumn("last_seq", F.lit(stamp).cast("long"))
+                .withColumn("__deleted", F.lit(False))
+            )
+            copied[t] = n
+        return copied
+
+    def sync_iteration(self) -> dict[str, dict[str, int]]:
+        """One peek -> decode-once -> route -> merge-per-table ->
+        advance-once turn.  Returns {table: {op: count}}; empty dict =
+        drained."""
+        if not self.oids:
+            raise RuntimeError("initialize() must run before sync")
+        frames = self.source.peek_changes(
+            self.slot, self.publication, self.config.peek_changes_limit
+        )
+        decoded = decode_pgoutput(frames).persist()
+        try:
+            stats = decoded.groupBy("relation_id", "msg_type").agg(
+                F.count("*").alias("n"), F.max("lsn").alias("mx")
+            ).collect()
+            if not stats:
+                return {}
+            advance_to = frames.agg(F.max("lsn")).first()[0]
+            by_table: dict[str, dict[str, int]] = {}
+            for t in self.tables:
+                oid = self.oids[t]
+                t_stats = [r for r in stats if r["relation_id"] == oid]
+                if not t_stats:
+                    continue
+                counters = {r["msg_type"]: r["n"] for r in t_stats}
+                by_table[t] = counters
+                mine = decoded.filter(F.col("relation_id") == oid)
+                if counters.get("T"):
+                    t_max = max(
+                        r["mx"] for r in t_stats if r["msg_type"] == "T"
+                    )
+                    self.stores[t].truncate(self.spark)
+                    mine = mine.filter(
+                        (F.col("lsn") > t_max) & (F.col("msg_type") != "T")
+                    )
+                writes = mine.filter(F.col("msg_type").isin("I", "U", "D"))
+                if counters.get("I") or counters.get("U") or counters.get("D"):
+                    typed = writes.select(
+                        F.col("lsn").alias("seq"),
+                        F.col("msg_type").alias("op"),
+                        *[
+                            _typed_cell(i, c)
+                            for i, c in enumerate(self.columns[t])
+                        ],
+                    )
+                    self.stores[t].merge_changes(
+                        self.spark, typed, self.keys[t]
+                    )
+            # one advance, after every route committed (T2)
+            self.source.advance_slot(self.slot, advance_to)
+            return by_table
+        finally:
+            decoded.unpersist()
+
+    def sync_loop(self, max_iterations: int | None = None) -> int:
+        it = 0
+        while max_iterations is None or it < max_iterations:
+            if not self.sync_iteration():
+                break
+            it += 1
+        return it
+
+    def replica(self, table: str) -> DataFrame | None:
+        return self.stores[table].read(self.spark)

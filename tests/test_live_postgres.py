@@ -776,3 +776,50 @@ def test_live_pipe_crash_between_merge_and_advance_replays(pg, spark, tmp_path):
     got = sorted((r["id"], r["v"]) for r in pipe.replica().collect())
     assert got == [(1, "b"), (2, "x")]
     assert pipe.sync_iteration() == {}  # now drained — advance stuck
+
+
+def test_live_routed_pipe_two_tables(pg, spark, tmp_path):
+    """The reference's deployment shape live: TWO tables with different
+    schemas through ONE publication + ONE slot, frames decoded once and
+    routed by relation OID; a single-relation TRUNCATE hits only its
+    route; both replicas equal their live tables after a capped
+    multi-iteration drain."""
+    from clockpipe_spark.config import PipeConfig
+    from clockpipe_spark.streaming.live_pipe import LivePostgresRoutedPipe
+
+    pg.sql("CREATE TABLE live_rt_a (id int PRIMARY KEY, v text)")
+    pg.sql("CREATE TABLE live_rt_b (k int PRIMARY KEY, n int, ok bool)")
+    pg.sql("INSERT INTO live_rt_a SELECT g, 'a' || g FROM generate_series(1, 10) g")
+    pg.sql("INSERT INTO live_rt_b SELECT g, g * 100, g % 2 = 0 "
+           "FROM generate_series(1, 10) g")
+    pipe = LivePostgresRoutedPipe(
+        spark, pg.adapter(spark), ["live_rt_a", "live_rt_b"], str(tmp_path),
+        publication="live_rt_pub", slot="live_rt_slot",
+        config=PipeConfig(peek_changes_limit=8),
+    )
+    pipe.initialize()
+    assert pipe.first_sync() == {"live_rt_a": 10, "live_rt_b": 10}
+    assert pipe.first_sync() == {}  # K6 guard per table
+
+    # interleaved churn across both tables, each its own transaction
+    for i in range(1, 6):
+        pg.sql(f"UPDATE live_rt_a SET v = 'u{i}' WHERE id = {i}")
+        pg.sql(f"UPDATE live_rt_b SET n = n + {i} WHERE k = {i}")
+    pg.sql("TRUNCATE live_rt_a")  # single-relation: routes exactly
+    pg.sql("INSERT INTO live_rt_a VALUES (99, 'reborn')")
+    pg.sql("DELETE FROM live_rt_b WHERE k = 10")
+
+    iters = pipe.sync_loop()
+    assert iters >= 2  # the 8-change cap forced multiple turns
+
+    got_a = sorted((r["id"], r["v"]) for r in pipe.replica("live_rt_a").collect())
+    assert got_a == [(99, "reborn")]
+    got_b = sorted(
+        (r["k"], r["n"], r["ok"]) for r in pipe.replica("live_rt_b").collect()
+    )
+    live_b = sorted(
+        (r["k"], r["n"], r["ok"])
+        for r in pg.rows("SELECT k, n, ok FROM live_rt_b")
+    )
+    assert got_b == live_b and len(got_b) == 9
+    assert pipe.sync_iteration() == {}  # drained
