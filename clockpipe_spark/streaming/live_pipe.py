@@ -42,12 +42,16 @@ def _typed_cell(idx: int, col: PgColumn) -> Column:
     """Positional text cell -> the column's Spark type.  pgoutput text
     renderings cast cleanly for the scalar tail ('t'/'f' bools included
     — Spark's boolean cast accepts them); bytea's '\\x…' hex rendering
-    folds through unhex.  NULL cells stay NULL through every branch."""
-    c = F.col("cell_texts")[idx]
+    folds through unhex.  NULL cells stay NULL through every branch.
+
+    ``F.get`` (NULL on out-of-range, even under ANSI) instead of the
+    ``[]`` accessor: after an ADD COLUMN, the same batch can carry
+    pre-ALTER frames with FEWER cells than the refreshed column list —
+    those rows never had the new column, so NULL is the correct value
+    (a no-default ADD COLUMN leaves them NULL server-side too)."""
+    c = F.get(F.col("cell_texts"), F.lit(idx))
     if col.data_type == "bytea":
-        return F.unhex(F.expr(f"substring(cell_texts[{idx}], 3)")).alias(
-            col.column_name
-        )
+        return F.unhex(F.substring(c, 3, 1 << 30)).alias(col.column_name)
     return c.cast(col.spark_type).alias(col.column_name)
 
 
@@ -142,6 +146,22 @@ class LivePostgresCdcPipe:
                 return {}
             advance_to = frames.agg(F.max("lsn")).first()[0]
             counters = {r["msg_type"]: r["n"] for r in stats}
+
+            # K5 (schema evolution, live form): a frame carrying MORE
+            # cells than the known column list means the source table
+            # grew a column mid-stream — re-introspect, and the store
+            # merge's unionByName NULL-fills history.  Pre-ALTER frames
+            # in the same batch read NULL for the tail via F.get —
+            # correct for a no-default ADD COLUMN; a DEFAULT-backfilled
+            # add converges on the next touch of each row (documented
+            # at-least-once parity).  Narrowing DDL (DROP/reorder)
+            # shifts positional cells and requires a pipe restart, the
+            # same contract the reference's introspect-once client has.
+            widest = decoded.agg(
+                F.max(F.size("cell_texts")).alias("w")
+            ).first()["w"]
+            if widest and widest > len(self.columns):
+                self.columns = self.source.list_columns(self.table)
 
             live = decoded
             if counters.get("T"):  # K3: truncate wipes state inline
@@ -280,6 +300,12 @@ class LivePostgresRoutedPipe:
                 counters = {r["msg_type"]: r["n"] for r in t_stats}
                 by_table[t] = counters
                 mine = decoded.filter(F.col("relation_id") == oid)
+                # K5 live, per route (see the single-table pipe's note)
+                widest = mine.agg(
+                    F.max(F.size("cell_texts")).alias("w")
+                ).first()["w"]
+                if widest and widest > len(self.columns[t]):
+                    self.columns[t] = self.source.list_columns(t)
                 if counters.get("T"):
                     t_max = max(
                         r["mx"] for r in t_stats if r["msg_type"] == "T"

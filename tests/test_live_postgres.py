@@ -823,3 +823,37 @@ def test_live_routed_pipe_two_tables(pg, spark, tmp_path):
     )
     assert got_b == live_b and len(got_b) == 9
     assert pipe.sync_iteration() == {}  # drained
+
+
+def test_live_pipe_add_column_evolution(pg, spark, tmp_path):
+    """K5 live: ALTER TABLE ADD COLUMN mid-stream.  The pipe detects
+    the wider frames, re-introspects, and the store merge NULL-fills
+    history — rows written BEFORE the ALTER (including pre-ALTER frames
+    inside the same sync batch) read NULL for the new column, matching
+    the server for a no-default add."""
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    pg.sql("CREATE TABLE live_evo (id int PRIMARY KEY, v text)")
+    pg.sql("INSERT INTO live_evo VALUES (1, 'a')")
+    pipe = LivePostgresCdcPipe(
+        spark, pg.adapter(spark), "live_evo", str(tmp_path),
+        publication="live_evo_pub", slot="live_evo_slot",
+    )
+    pipe.initialize()
+    pipe.first_sync()
+    # pre-ALTER and post-ALTER changes land in the SAME sync batch
+    pg.sql("INSERT INTO live_evo VALUES (2, 'b')")
+    pg.sql("ALTER TABLE live_evo ADD COLUMN score int")
+    pg.sql("INSERT INTO live_evo VALUES (3, 'c', 30)")
+    pg.sql("UPDATE live_evo SET score = 10 WHERE id = 1")
+    counters = pipe.sync_iteration()
+    assert counters == {"I": 2, "U": 1}
+    assert [c.column_name for c in pipe.columns] == ["id", "v", "score"]
+    got = sorted(
+        (r["id"], r["v"], r["score"]) for r in pipe.replica().collect()
+    )
+    live = sorted(
+        (r["id"], r["v"], r["score"])
+        for r in pg.rows("SELECT id, v, score FROM live_evo")
+    )
+    assert got == live == [(1, "a", 10), (2, "b", None), (3, "c", 30)]
