@@ -513,6 +513,10 @@ def bench_live_pg(spark, n_rows: int = 100_000, n_txns: int = 20) -> dict:
             t0 = time.perf_counter()
             iters = pipe.sync_loop(max_iterations=20)
             cdc_sec = time.perf_counter() - t0
+            if iters >= 20 and pipe.sync_iteration():
+                # never publish a rate over events that were not
+                # actually processed
+                raise RuntimeError("live drain failed to converge")
             return {
                 "snapshot_rows": n_snap,
                 "snapshot_rows_per_sec": round(n_snap / snap_sec, 1),

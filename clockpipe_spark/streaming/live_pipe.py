@@ -1,27 +1,43 @@
-"""LivePostgresCdcPipe — the IPipe lifecycle (initialize → first_sync →
-sync_loop, pipes/mod.rs:11-16) against a REAL PostgreSQL server, end to
-end: partitioned snapshot through ``JdbcPostgresSource``, changes
-through the capped ``peek_changes`` → ``decode_pgoutput`` → typed
+"""Live-PostgreSQL pipes — the IPipe lifecycle (initialize →
+first_sync → sync_loop, pipes/mod.rs:11-16) against a REAL server:
+partitioned snapshot through ``JdbcPostgresSource``, changes through
+the capped materialized ``peek_changes`` → ``decode_pgoutput`` → typed
 projection → keep-last → ``ReplicaStore.merge_changes`` chain, cursor =
-the replication slot itself, advanced only AFTER the merge commits
+the replication slot itself, advanced only AFTER every merge commits
 (T2's peek-then-advance at-least-once protocol, pipes/postgres.rs:
 487-499).  A crash between merge and advance replays the batch; the
 versioned keyed merge absorbs the duplicates, exactly like the
-parquet-changelog twin (`ParquetCdcPipe`).
+parquet-changelog twin (``ParquetCdcPipe``).
 
-Snapshot/replay idempotence anchor: the initial copy is stamped with
-``pg_current_wal_lsn()`` taken AFTER the slot exists and AFTER the
-snapshot read — any change the slot replays from during-snapshot
-transactions carries a lower LSN and loses to the snapshot rows in the
-keep-last merge, while post-snapshot changes win (pipes/postgres.rs:
-136-160's skip-guard plus ReplacingMergeTree versioning, in one rule).
+``LivePostgresRoutedPipe`` is the real unit — N tables through ONE
+publication and ONE slot, frames decoded once and routed by relation
+OID (the reference's deployment shape, pipes/postgres.rs:355-426 +
+sync routing A2).  ``LivePostgresCdcPipe`` is the single-table
+convenience wrapper over it, so every protocol rule lives in exactly
+one place.
 
-Documented parity limitation: a PRIMARY-KEY-changing UPDATE applies as
-an upsert of the NEW key only (the old-key row survives until a later
-delete), because the apply path keys on the new image — the same
-behavior the reference's ReplacingMergeTree sink exhibits.  The wire
-carries the old key ('K' tuple; pinned in test_live_postgres.py) so a
-future tombstone-splitting apply is possible without decoder changes.
+Snapshot/replay idempotence anchor: the WAL stamp is taken BEFORE the
+snapshot read.  Every change committed before the stamp is visible to
+the read's MVCC snapshot (commit < stamp < snapshot start) and replays
+with LSN ≤ stamp — losing to the snapshot rows, correctly.  Every
+change the read might NOT reflect commits after the stamp, replays
+with LSN > stamp, and wins the keep-last merge — converging,
+correctly.  (Stamping AFTER the read has a loss window: a change
+committed mid-read is invisible to the read's snapshot yet carries a
+lower LSN than the stamp, so its replay would lose forever.)
+
+Documented parity limitations:
+- a PRIMARY-KEY-changing UPDATE applies as an upsert of the NEW key
+  only (the old-key row survives until deleted) — the reference's
+  ReplacingMergeTree sink behaves identically; the wire's old-key 'K'
+  tuple is pinned by test so a tombstone-splitting apply remains
+  possible without decoder changes;
+- a multi-table ``TRUNCATE a, b`` emits one frame whose decode keeps
+  only the FIRST relation id (pgoutput.rs:427-448), so only that
+  route truncates;
+- narrowing DDL (DROP/reorder columns) shifts positional cells and
+  requires a pipe restart — the introspect-once contract the
+  reference's client has; widening (ADD COLUMN) is handled live (K5).
 """
 
 from __future__ import annotations
@@ -36,6 +52,11 @@ from clockpipe_spark.cdc.pgoutput import decode_pgoutput
 from clockpipe_spark.config import PipeConfig
 from clockpipe_spark.sources.jdbc_adapter import JdbcPostgresSource, PgColumn
 from clockpipe_spark.streaming.replica import ReplicaStore
+
+# pseudo-route key for a peeked batch that decodes to zero writes
+# (B/C/O/R/Y only — e.g. empty transactions from other tables' churn on
+# PostgreSQL < 16); the slot still advances past it
+SKIP_ONLY = "_skip_only"
 
 
 def _typed_cell(idx: int, col: PgColumn) -> Column:
@@ -55,163 +76,18 @@ def _typed_cell(idx: int, col: PgColumn) -> Column:
     return c.cast(col.spark_type).alias(col.column_name)
 
 
-class LivePostgresCdcPipe:
-    """One table, one publication, one pgoutput slot — the reference's
-    per-pipe unit — synced continuously into a local ``ReplicaStore``."""
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        source: JdbcPostgresSource,
-        table: str,
-        target_root: str,
-        publication: str,
-        slot: str,
-        config: PipeConfig | None = None,
-        keys: Sequence[str] | None = None,
-    ):
-        self.spark = spark
-        self.source = source
-        self.table = table
-        self.publication = publication
-        self.slot = slot
-        self.config = config or PipeConfig()
-        self.store = ReplicaStore(os.path.join(target_root, "replica"))
-        self.columns = source.list_columns(table)
-        if not self.columns:
-            raise ValueError(f"table {table!r} has no columns (missing?)")
-        self.keys = list(keys) if keys else [
-            c.column_name for c in self.columns if c.is_primary_key
-        ]
-        if not self.keys:
-            raise ValueError(
-                f"table {table!r} has no primary key and no explicit keys"
-            )
-
-    # -- lifecycle (pipes/mod.rs:11-16) -----------------------------------
-    def initialize(self) -> list[str]:
-        """Find-or-create the publication + slot (idempotent); the slot
-        MUST exist before the snapshot so during/after-snapshot changes
-        are retained for replay."""
-        return self.source.setup_publication(
-            self.publication, self.slot, [self.table]
-        )
-
-    def first_sync(self) -> int | None:
-        """Initial copy, idempotent-guarded (K6): skipped when the
-        target already has a version (pipes/postgres.rs:136-160).
-        Snapshot rows are stamped with the post-read WAL position."""
-        if self.store.current_version() >= 0:
-            return None
-        # cast to the introspected Spark types so snapshot state and
-        # decoded changes merge under ONE schema (a JDBC relation
-        # already delivers these types; the cast is a no-op there)
-        snap = self.source.snapshot(self.table).select(
-            *[
-                F.col(c.column_name).cast(c.spark_type).alias(c.column_name)
-                for c in self.columns
-            ]
-        )
-        n = snap.count()  # materialize the read BEFORE taking the stamp
-        stamp = self.source.current_wal_lsn()
-        self.store.write(
-            snap.withColumn("last_seq", F.lit(stamp).cast("long"))
-            .withColumn("__deleted", F.lit(False))
-        )
-        return n
-
-    def _typed_changes(self, decoded: DataFrame) -> DataFrame:
-        return decoded.select(
-            F.col("lsn").alias("seq"),
-            F.col("msg_type").alias("op"),
-            *[_typed_cell(i, c) for i, c in enumerate(self.columns)],
-        )
-
-    def sync_iteration(self) -> dict[str, int]:
-        """One peek → decode → (truncate) → typed merge → advance turn
-        (T1, pipes/postgres.rs:260-517).  Returns per-op counters (A3);
-        empty dict = drained.  The advance target is the max LSN over
-        ALL frames — the batch's trailing COMMIT — because advancing to
-        any LSN before a commit record replays that whole transaction."""
-        frames = self.source.peek_changes(
-            self.slot, self.publication, self.config.peek_changes_limit
-        )
-        # frames are materialized (one volatile peek); decode once, reuse
-        decoded = decode_pgoutput(frames).persist()
-        try:
-            stats = decoded.groupBy("msg_type").agg(
-                F.count("*").alias("n"), F.max("lsn").alias("mx")
-            ).collect()
-            if not stats:
-                return {}
-            advance_to = frames.agg(F.max("lsn")).first()[0]
-            counters = {r["msg_type"]: r["n"] for r in stats}
-
-            # K5 (schema evolution, live form): a frame carrying MORE
-            # cells than the known column list means the source table
-            # grew a column mid-stream — re-introspect, and the store
-            # merge's unionByName NULL-fills history.  Pre-ALTER frames
-            # in the same batch read NULL for the tail via F.get —
-            # correct for a no-default ADD COLUMN; a DEFAULT-backfilled
-            # add converges on the next touch of each row (documented
-            # at-least-once parity).  Narrowing DDL (DROP/reorder)
-            # shifts positional cells and requires a pipe restart, the
-            # same contract the reference's introspect-once client has.
-            widest = decoded.agg(
-                F.max(F.size("cell_texts")).alias("w")
-            ).first()["w"]
-            if widest and widest > len(self.columns):
-                self.columns = self.source.list_columns(self.table)
-
-            live = decoded
-            if counters.get("T"):  # K3: truncate wipes state inline
-                t_max = max(r["mx"] for r in stats if r["msg_type"] == "T")
-                self.store.truncate(self.spark)
-                live = decoded.filter(
-                    (F.col("lsn") > t_max) & (F.col("msg_type") != "T")
-                )
-            writes = live.filter(F.col("msg_type").isin("I", "U", "D"))
-            if counters.get("I") or counters.get("U") or counters.get("D"):
-                self.store.merge_changes(
-                    self.spark, self._typed_changes(writes), self.keys
-                )
-            # only after the merge committed (T2); a crash above replays
-            self.source.advance_slot(self.slot, advance_to)
-            return counters
-        finally:
-            decoded.unpersist()
-
-    def sync_loop(self, max_iterations: int | None = None) -> int:
-        it = 0
-        while max_iterations is None or it < max_iterations:
-            if not self.sync_iteration():
-                break
-            it += 1
-        return it
-
-    def replica(self) -> DataFrame | None:
-        """Visible replica state (tombstones filtered)."""
-        return self.store.read(self.spark)
-
-
 class LivePostgresRoutedPipe:
-    """N tables through ONE publication and ONE slot — the reference's
-    deployment shape (a pipe config lists tables; frames route by
-    relation OID, pipes/postgres.rs:355-426 + sync routing A2).
+    """N tables through ONE publication and ONE slot.  Frames decode
+    ONCE per iteration; each table filters its OID, applies its own
+    truncate ordering and typed projection, and merges into its own
+    ``ReplicaStore``.  The slot advances ONCE, after EVERY table's
+    merge committed — a crash mid-routing replays the whole batch into
+    all tables, and each versioned keyed merge absorbs its duplicates.
 
-    Frames decode ONCE per iteration; each table filters its OID,
-    applies its own truncate ordering and typed projection, and merges
-    into its own ``ReplicaStore``.  The slot advances ONCE, after EVERY
-    table's merge committed — a crash mid-routing replays the whole
-    batch into all tables, and each versioned keyed merge absorbs its
-    duplicates (the same at-least-once argument as the single-table
-    pipe, applied per route).
-
-    Reference-parity quirk, inherited from the decoder: a multi-table
-    ``TRUNCATE a, b`` statement emits ONE frame and only its FIRST
-    relation id survives decode (pgoutput.rs:427-448), so only that
-    route truncates.  Single-relation truncates (the common case)
-    behave exactly."""
+    Write frames for a relation OID outside the configured tables
+    RAISE instead of advancing past them: a publication that covers
+    more tables than the pipe would otherwise lose those tables'
+    changes unrecoverably (the slot cannot rewind)."""
 
     def __init__(
         self,
@@ -222,6 +98,7 @@ class LivePostgresRoutedPipe:
         publication: str,
         slot: str,
         config: PipeConfig | None = None,
+        key_overrides: dict[str, Sequence[str]] | None = None,
     ):
         if not tables:
             raise ValueError("at least one table required")
@@ -232,20 +109,32 @@ class LivePostgresRoutedPipe:
         self.slot = slot
         self.config = config or PipeConfig()
         self.columns = {t: source.list_columns(t) for t in self.tables}
+        for t, cols in self.columns.items():
+            if not cols:
+                raise ValueError(f"table {t!r} has no columns (missing?)")
+        overrides = key_overrides or {}
         self.keys = {
-            t: [c.column_name for c in cols if c.is_primary_key]
+            t: list(overrides[t]) if t in overrides else [
+                c.column_name for c in cols if c.is_primary_key
+            ]
             for t, cols in self.columns.items()
         }
         for t, k in self.keys.items():
             if not k:
-                raise ValueError(f"table {t!r} has no primary key")
+                raise ValueError(
+                    f"table {t!r} has no primary key and no explicit keys"
+                )
         self.stores = {
             t: ReplicaStore(os.path.join(target_root, "replica", t))
             for t in self.tables
         }
         self.oids: dict[str, int] = {}
 
+    # -- lifecycle (pipes/mod.rs:11-16) -----------------------------------
     def initialize(self) -> list[str]:
+        """Find-or-create the publication + slot (idempotent); the slot
+        MUST exist before the snapshot so during/after-snapshot changes
+        are retained for replay."""
         issued = self.source.setup_publication(
             self.publication, self.slot, self.tables
         )
@@ -253,44 +142,76 @@ class LivePostgresRoutedPipe:
         return issued
 
     def first_sync(self) -> dict[str, int]:
-        """Per-table WAL-stamped snapshot, each idempotent-guarded (K6)."""
+        """Per-table WAL-stamped snapshot, each idempotent-guarded
+        (K6, pipes/postgres.rs:136-160).  Stamp BEFORE read (see module
+        docstring); the row count comes from the WRITTEN store so a
+        lazy JDBC relation is scanned exactly once (by the write)."""
         copied: dict[str, int] = {}
         for t in self.tables:
             store = self.stores[t]
             if store.current_version() >= 0:
                 continue
+            stamp = self.source.current_wal_lsn()
+            # cast to the introspected Spark types so snapshot state
+            # and decoded changes merge under ONE schema (a JDBC
+            # relation already delivers these types; no-op there)
             snap = self.source.snapshot(t).select(
                 *[
                     F.col(c.column_name).cast(c.spark_type).alias(c.column_name)
                     for c in self.columns[t]
                 ]
             )
-            n = snap.count()
-            stamp = self.source.current_wal_lsn()
             store.write(
                 snap.withColumn("last_seq", F.lit(stamp).cast("long"))
                 .withColumn("__deleted", F.lit(False))
             )
-            copied[t] = n
+            copied[t] = store.read_raw(self.spark).count()
         return copied
 
     def sync_iteration(self) -> dict[str, dict[str, int]]:
-        """One peek -> decode-once -> route -> merge-per-table ->
-        advance-once turn.  Returns {table: {op: count}}; empty dict =
-        drained."""
+        """One peek → decode-once → route → merge-per-table →
+        advance-once turn (T1, pipes/postgres.rs:260-517).  Returns
+        {table: {op: count}} (plus a ``_skip_only`` pseudo-route when a
+        batch held only skipped frame types — the slot still advances);
+        empty dict = truly drained (zero frames)."""
         if not self.oids:
             raise RuntimeError("initialize() must run before sync")
         frames = self.source.peek_changes(
             self.slot, self.publication, self.config.peek_changes_limit
         )
+        head = frames.agg(
+            F.count("*").alias("n"), F.max("lsn").alias("m")
+        ).first()
+        if not head["n"]:
+            return {}
+        advance_to = head["m"]
         decoded = decode_pgoutput(frames).persist()
         try:
+            # one aggregation carries route stats AND the K5 widest
+            # probe — no separate per-iteration job for evolution
             stats = decoded.groupBy("relation_id", "msg_type").agg(
-                F.count("*").alias("n"), F.max("lsn").alias("mx")
+                F.count("*").alias("n"),
+                F.max("lsn").alias("mx"),
+                F.max(F.size("cell_texts")).alias("w"),
             ).collect()
             if not stats:
-                return {}
-            advance_to = frames.agg(F.max("lsn")).first()[0]
+                # skip-only batch (e.g. empty txns from other tables'
+                # churn): advancing is mandatory or the pipe stalls
+                # behind it forever and falsely reports drained
+                self.source.advance_slot(self.slot, advance_to)
+                return {SKIP_ONLY: {"frames": head["n"]}}
+
+            known = set(self.oids.values())
+            strays = sorted(
+                {r["relation_id"] for r in stats} - known
+            )
+            if strays:
+                raise RuntimeError(
+                    f"write frames for unconfigured relation oids {strays} "
+                    f"(publication {self.publication!r} covers more tables "
+                    "than this pipe) — refusing to advance past them"
+                )
+
             by_table: dict[str, dict[str, int]] = {}
             for t in self.tables:
                 oid = self.oids[t]
@@ -299,14 +220,16 @@ class LivePostgresRoutedPipe:
                     continue
                 counters = {r["msg_type"]: r["n"] for r in t_stats}
                 by_table[t] = counters
-                mine = decoded.filter(F.col("relation_id") == oid)
-                # K5 live, per route (see the single-table pipe's note)
-                widest = mine.agg(
-                    F.max(F.size("cell_texts")).alias("w")
-                ).first()["w"]
+                # K5 live: wider frames => the table grew a column
+                widest = max(r["w"] for r in t_stats)
                 if widest and widest > len(self.columns[t]):
                     self.columns[t] = self.source.list_columns(t)
-                if counters.get("T"):
+                mine = decoded.filter(F.col("relation_id") == oid)
+                w_maxes = [
+                    r["mx"] for r in t_stats if r["msg_type"] in "IUD"
+                ]
+                t_max = None
+                if counters.get("T"):  # K3: truncate wipes state inline
                     t_max = max(
                         r["mx"] for r in t_stats if r["msg_type"] == "T"
                     )
@@ -314,9 +237,13 @@ class LivePostgresRoutedPipe:
                     mine = mine.filter(
                         (F.col("lsn") > t_max) & (F.col("msg_type") != "T")
                     )
-                writes = mine.filter(F.col("msg_type").isin("I", "U", "D"))
-                if counters.get("I") or counters.get("U") or counters.get("D"):
-                    typed = writes.select(
+                # merge only when a write frame SURVIVES the truncate
+                # cut — an all-pre-truncate batch would otherwise
+                # rewrite a full state version with zero changes
+                if w_maxes and (t_max is None or max(w_maxes) > t_max):
+                    typed = mine.filter(
+                        F.col("msg_type").isin("I", "U", "D")
+                    ).select(
                         F.col("lsn").alias("seq"),
                         F.col("msg_type").alias("op"),
                         *[
@@ -327,7 +254,10 @@ class LivePostgresRoutedPipe:
                     self.stores[t].merge_changes(
                         self.spark, typed, self.keys[t]
                     )
-            # one advance, after every route committed (T2)
+            # one advance, after every route committed (T2); the target
+            # is the max LSN over ALL frames — the batch's trailing
+            # COMMIT — because advancing to any LSN before a commit
+            # record replays that whole transaction
             self.source.advance_slot(self.slot, advance_to)
             return by_table
         finally:
@@ -343,3 +273,59 @@ class LivePostgresRoutedPipe:
 
     def replica(self, table: str) -> DataFrame | None:
         return self.stores[table].read(self.spark)
+
+
+class LivePostgresCdcPipe:
+    """One table, one publication, one pgoutput slot — the reference's
+    per-pipe unit.  A thin wrapper over ``LivePostgresRoutedPipe`` with
+    ``tables=[table]`` and flattened return shapes, so the protocol
+    (stamp-before-read, skip-only advance, truncate ordering, K5,
+    merge-then-advance) lives in exactly one implementation."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: JdbcPostgresSource,
+        table: str,
+        target_root: str,
+        publication: str,
+        slot: str,
+        config: PipeConfig | None = None,
+        keys: Sequence[str] | None = None,
+    ):
+        self.table = table
+        self._routed = LivePostgresRoutedPipe(
+            spark, source, [table], target_root, publication, slot,
+            config=config,
+            key_overrides={table: keys} if keys else None,
+        )
+        self.store = self._routed.stores[table]
+
+    @property
+    def columns(self) -> list[PgColumn]:
+        return self._routed.columns[self.table]
+
+    @property
+    def keys(self) -> list[str]:
+        return self._routed.keys[self.table]
+
+    def initialize(self) -> list[str]:
+        return self._routed.initialize()
+
+    def first_sync(self) -> int | None:
+        copied = self._routed.first_sync()
+        return copied.get(self.table)
+
+    def sync_iteration(self) -> dict[str, int]:
+        routed = self._routed.sync_iteration()
+        if not routed:
+            return {}
+        if SKIP_ONLY in routed and self.table not in routed:
+            return {"skip_only_frames": routed[SKIP_ONLY]["frames"]}
+        return routed.get(self.table, {})
+
+    def sync_loop(self, max_iterations: int | None = None) -> int:
+        return self._routed.sync_loop(max_iterations)
+
+    def replica(self) -> DataFrame | None:
+        return self._routed.replica(self.table)

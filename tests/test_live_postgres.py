@@ -857,3 +857,28 @@ def test_live_pipe_add_column_evolution(pg, spark, tmp_path):
         for r in pg.rows("SELECT id, v, score FROM live_evo")
     )
     assert got == live == [(1, "a", 10), (2, "b", None), (3, "c", 30)]
+
+
+def test_live_stray_relation_refuses_to_advance(pg, spark, tmp_path):
+    """A pre-existing publication covering MORE tables than the pipe is
+    configured with: the stray table's frames must RAISE, not be
+    silently dropped and advanced past (the slot cannot rewind)."""
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    pg.sql("CREATE TABLE live_stray_a (id int PRIMARY KEY)")
+    pg.sql("CREATE TABLE live_stray_b (id int PRIMARY KEY)")
+    # seed a row: the psql seam cannot infer a zero-row SELECT *'s
+    # schema (a real JDBC relation can — seam limitation, not pipe's)
+    pg.sql("INSERT INTO live_stray_a VALUES (0)")
+    pg.sql("CREATE PUBLICATION live_stray_pub FOR TABLE live_stray_a, live_stray_b")
+    pipe = LivePostgresCdcPipe(
+        spark, pg.adapter(spark), "live_stray_a", str(tmp_path),
+        publication="live_stray_pub", slot="live_stray_slot",
+    )
+    pipe.initialize()
+    pipe.first_sync()
+    pg.sql("INSERT INTO live_stray_b VALUES (1)")  # stray route
+    with pytest.raises(RuntimeError, match="unconfigured relation oids"):
+        pipe.sync_iteration()
+    # nothing consumed: the stray frames are still peekable
+    assert pg.peek_frames("live_stray_slot", "live_stray_pub")
