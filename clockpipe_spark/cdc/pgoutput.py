@@ -17,8 +17,14 @@ Wire format mirrored exactly (quirks included, for parity):
 - Update: relid + optional 'K'|'O' old tuple, then 'N' + new tuple
   (pgoutput.rs:369-410);
 - Delete: relid + 'K'|'O' + tuple (pgoutput.rs:411-426);
-- Truncate: u32 relation count + 1 flags byte + FIRST relation id only —
-  the reference ignores the remaining relids (pgoutput.rs:427-448);
+- Truncate: u32 relation count + 1 flags byte + ALL relation ids.
+  DOCUMENTED DIVERGENCE from the reference, which reads only the FIRST
+  relid and silently drops the rest (pgoutput.rs:427-448): in a routed
+  multi-table pipe that quirk silently and permanently diverges every
+  non-first truncated table from the source, so this decoder keeps the
+  whole relid list (``relation_ids``) and ``decode_pgoutput`` emits one
+  T record per relid.  ``relation_id`` stays the first relid for
+  record-level parity with the reference's shape;
 - tuple cells: 'n' null / 'u' unchanged-TOAST / 't' u32-len text /
   'b' u32-len binary; unknown kind raises (pgoutput.rs:271-340);
 - TOAST fill: 'u' cells resolved from the old tuple when present, else
@@ -92,10 +98,11 @@ def parse_pg_output(data: bytes) -> dict | None:
         if n_rel == 0:
             raise ValueError("Truncate message with zero relations is invalid")
         pos += 1  # flags byte eaten, never interpreted (pgoutput.rs:438-440)
-        (relid,) = struct.unpack_from(">I", data, pos)
+        relids = list(struct.unpack_from(f">{n_rel}I", data, pos))
         return {
             "msg_type": "T",
-            "relation_id": relid,
+            "relation_id": relids[0],
+            "relation_ids": relids,  # divergence from pgoutput.rs:427-448
             "tuple_type": None,
             "cells": [],
             "old_cells": [],
@@ -141,7 +148,7 @@ def parse_pg_output(data: bytes) -> dict | None:
 _DECODED_SCHEMA = (
     "lsn long, xid long, msg_type string, relation_id long, "
     "tuple_type string, cell_kinds array<string>, cell_texts array<string>, "
-    "cell_bins array<binary>"
+    "cell_bins array<binary>, old_kinds array<string>, old_texts array<string>"
 )
 
 
@@ -155,6 +162,16 @@ def decode_pgoutput(frames: DataFrame) -> DataFrame:
     Arrow-friendly columnar layout (list<struct> object columns don't
     convert from pandas); downstream projection applies the cast matrix
     (functions/casts.py) per target schema via cell_texts[i].
+
+    An UPDATE/DELETE's old tuple (the 'K'/'O' image postgres sends when
+    the replica identity changed, or always under REPLICA IDENTITY
+    FULL) surfaces as old_kinds/old_texts so an apply layer can emit a
+    tombstone for the OLD key of a PK-changing update; both arrays are
+    empty when the wire carried no old tuple.
+
+    A multi-relation Truncate emits ONE record per relid (documented
+    divergence from the reference's first-relid quirk — see module
+    docstring) so every routed table's state truncates.
     """
     import pandas as pd
 
@@ -163,19 +180,23 @@ def decode_pgoutput(frames: DataFrame) -> DataFrame:
             out = {k: [] for k in (
                 "lsn", "xid", "msg_type", "relation_id", "tuple_type",
                 "cell_kinds", "cell_texts", "cell_bins",
+                "old_kinds", "old_texts",
             )}
             for lsn, xid, data in zip(pdf["lsn"], pdf["xid"], pdf["data"]):
                 rec = parse_pg_output(bytes(data))
                 if rec is None:
                     continue
-                out["lsn"].append(lsn)
-                out["xid"].append(xid)
-                out["msg_type"].append(rec["msg_type"])
-                out["relation_id"].append(rec["relation_id"])
-                out["tuple_type"].append(rec["tuple_type"])
-                out["cell_kinds"].append([k for k, _, _ in rec["cells"]])
-                out["cell_texts"].append([t for _, t, _ in rec["cells"]])
-                out["cell_bins"].append([b for _, _, b in rec["cells"]])
+                for rid in rec.get("relation_ids", [rec["relation_id"]]):
+                    out["lsn"].append(lsn)
+                    out["xid"].append(xid)
+                    out["msg_type"].append(rec["msg_type"])
+                    out["relation_id"].append(rid)
+                    out["tuple_type"].append(rec["tuple_type"])
+                    out["cell_kinds"].append([k for k, _, _ in rec["cells"]])
+                    out["cell_texts"].append([t for _, t, _ in rec["cells"]])
+                    out["cell_bins"].append([b for _, _, b in rec["cells"]])
+                    out["old_kinds"].append([k for k, _, _ in rec["old_cells"]])
+                    out["old_texts"].append([t for _, t, _ in rec["old_cells"]])
             if out["lsn"]:  # empty frames have untyped columns Arrow rejects
                 yield pd.DataFrame(out)
 

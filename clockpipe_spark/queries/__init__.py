@@ -61,102 +61,88 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
-# Round-8 rotation (VERDICT r7 directives #1/#2/#3/#7): the ENTIRE
-# 39-query never-driver-checked backlog rotates in at once — every
-# round-7 session-3+ addition plus the 10-query r7-LATE queue — so the
-# backlog clears in one window instead of two.  All 39 are green on
-# the local sf0.001+sf0.01 oracle twin; registry growth is FROZEN this
-# round (directive #3: budget 0, count stays 180).  array_hof_battery
-# STAYS in — its r7 red was the driver canonicalizer crashing on raw
-# array columns, now stringified on both sides (directive #1), and the
-# judge wants the green row on record.  The three array-output queries
-# (array_hof_battery, map_function_battery, inverted_index_stats) are
-# scalar-only now, and tests/test_registry_window.py gained a
-# registry-wide guard that fails on ANY query emitting an array/map/
-# struct column, so the crash class cannot re-enter.
-#
-# 11 kept canaries (each green in CORRECTNESS_r07, one per load-
-# bearing family): q1 (hash/CASE agg), array_hof (must flip red->
-# green), pgoutput roundtrip (S4+P4 decode), cast matrix (P3 + §2.8
-# quirks), apply_to_snapshot (K1/K2), replica_state (FINAL),
-# dedup_exact (watch item #6), minhash_lsh (near-dup rows canary),
-# ivf_prebuilt (ANN serving rows canary), contamination_bloom (the
-# contamination family has no rotating twin), stream_interval_join
-# (T6 watermark twin).
-#
-# Canary granularity note: fitting 39 rotations + canaries into 50
-# slots coarsens this round's family canaries to SURVEY §2 section
-# level (the rotating queries themselves represent their families —
-# e.g. cdc_snapshot_diff is a FULL OUTER relation diff, dau_cumulative
-# a window function, ts_seasonal_residual an anomaly scorer).  The
-# canary sets in tests/test_registry_window.py document each mapping;
-# r9 returns to per-feature granularity once the backlog is zero.
+# Round-9 rotation (VERDICT r8 directives #1/#4/#5): the never-checked
+# backlog is ZERO, so the window turns to staleness.  Composition:
+# (a) the 5 r8 hash-RED rows stay IN — their oracles gained the
+#     CAST(... AS BIGINT) the judge verified was the whole defect, and
+#     the green flip must land on the driver's record (directive #1);
+# (b) 8 kept canaries for the load-bearing families whose only honest
+#     representatives are themselves;
+# (c) 5 family-forced r7/r8 members (their family sets have no older
+#     member: recursive, layout, profiling, retrieval, ts-resample);
+# (d) the longest-unchecked greens: ALL remaining r2 greens except 5
+#     TPC-H twins + most r3 greens, plus the r4-r6 stragglers
+#     pg_array_literal_parse / cosine_topk_brute / embedding_norm_stats
+#     / array_agg_per_nation / dedup_cluster_assign /
+#     sample_stratified_hash (directive #4c);
+# (e) the 2 stalest rows-only queries (approx_distinct_users r2,
+#     dedup_simhash r4) for fresh rows-rows.
+# Deferred to r10 (all green locally, youngest of the stale set):
+# distinct_users_per_event_type, q12, q16, q19, q22,
+# cdc_mongo_infer_project, cdc_route_counts, scalar_date_parts,
+# scalar_json_extract, skew_salted_user_revenue, subquery_in_filter,
+# text_repetition_stats, window_function_battery.
+# Registry growth stays frozen (directive #5: 180 entries, 0 added).
 _GATE_WINDOW = 50
 
 _PRIORITY = (
-    # ---- kept canaries (11) -------------------------------------
-    "q1_pricing_summary",
-    "array_hof_battery",           # r7 RED (canonicalizer) -> now scalar
-    "cdc_pgoutput_roundtrip",
-    "cdc_cast_matrix",
-    "cdc_apply_to_snapshot",
-    "cdc_replica_state",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "ann_ivf_topk_prebuilt",
-    "contamination_bloom",         # contamination family's only members are
-                                   # itself + the quadratic oracle baseline —
-                                   # no rotating twin can carry the canary
-    "stream_interval_join",
-    # ---- ranked retrieval (first driver rows) -------------------
-    "bm25_retrieval",              # integer BM25, stats broadcast
-    "inverted_index_stats",        # term dictionary + joined postings
-    "neardup_edit_distance",       # q-gram prefilter + banded verify
-    "neardup_triangle_stats",      # ordered-edge two-join census
-    # ---- profiling / data quality -------------------------------
-    "profile_table_stats",         # ANALYZE stats, Expand-free plan
-    "chi_square_lang_source",      # exact integer chi-square cells
-    "dist_drift_l1",               # split-half histogram L1 drift
-    "dq_constraint_violations",    # Deequ-role rule screen
-    "ts_time_weighted_avg",        # TWAP with integer-us weights
-    # ---- CDC operations tier ------------------------------------
-    "cdc_conflict_audit",          # concurrent-writer conflict report
-    "cdc_snapshot_diff",           # FULL OUTER replica diff (set-ops twin)
-    "cdc_scd2_asof_counts",        # SCD2 point-in-time lookup
-    "cdc_table_checksum",          # pt-table-checksum chunked digest
-    # ---- layout / recursive / join profile ----------------------
-    "zorder_tile_stats",           # Morton clustering + pruning spans
-    "hierarchy_rollup",            # iterated-join closure vs WITH RECURSIVE
-    "fk_fanout_histogram",         # log2-bucketed join-cardinality profile
-    # ---- as-of completions --------------------------------------
-    "asof_next_purchase",          # forward as-of direction
-    "asof_purchase_recency_gated", # tolerance-gated as-of
-    # ---- product analytics tier ---------------------------------
-    "attribution_linear",          # path-position credit split
-    "dau_cumulative",              # window-function canary this round
-    "ab_test_summary",             # deterministic bucket split + lift
-    "trending_terms",              # window-over-window term velocity
-    # ---- time-series r7-LATE ------------------------------------
-    "ts_resample_ohlc",            # bar downsample (first/last/min/max)
-    "event_transition_matrix",     # lag() Markov transition counts
-    "ts_ewma_bounded",             # bounded-window EWMA fold
-    "ts_seasonal_residual",        # seasonal baseline + residual score
-    # ---- scalar / array / map surface completions ---------------
-    "scalar_variant_extract",      # VARIANT parse-once extraction
-    "map_function_battery",        # MapType battery, scalar-rendered
-    "unpivot_status_revenue",      # pivot->unpivot round trip
-    "scalar_bitops_battery",       # bitwise scalar battery
-    "scalar_null_battery",         # 3VL / null-safe equality battery
-    # ---- corpus / sampling / sketches ---------------------------
-    "text_ngram_novelty",          # cross-half n-gram novelty rate
-    "corpus_doclen_histogram",     # log2 doc-length histogram
-    "sample_weighted_bottomk",     # weighted bottom-k (Efraimidis-Spirakis)
-    "hll_user_rollup",             # mergeable HLL rollup (rows-only)
-    "neardup_jaccard_prefix",      # PPJoin prefix-filtered Jaccard
-    # ---- embeddings / ANN / multimodal --------------------------
-    "embedding_centroid_report",   # per-cluster centroid norms report
-    "ann_hard_negatives",          # label-gated top-k negative mining
-    "mm_video_scene_cuts",         # frame-mean lag-diff cut detector
+    # ---- r8 RED rows, oracle-cast fixed — must flip green (5) ---
+    "cdc_conflict_audit",
+    "event_transition_matrix",
+    "ts_seasonal_residual",
+    "text_ngram_novelty",
+    "corpus_doclen_histogram",
+    # ---- kept canaries (8) --------------------------------------
+    "q1_pricing_summary",          # hash/CASE aggregation flagship
+    "cdc_pgoutput_roundtrip",      # S4+P4 decode (+ new iso entry)
+    "cdc_apply_to_snapshot",       # K1/K2 merge semantics
+    "cdc_replica_state",           # FINAL dedup-on-read (only member)
+    "cdc_replica_asof",            # replica time travel family
+    "dedup_exact",                 # r8 watch item, keeps its row
+    "dedup_minhash_lsh",           # near-dup HEADLINE rows canary
+    "contamination_bloom",         # family has no rotating twin
+    # ---- family-forced (sets have no pre-r7 member) (5) ---------
+    "hierarchy_rollup",            # recursive surface
+    "zorder_tile_stats",           # data layout
+    "profile_table_stats",         # profiling (r8 perf-fix evidence)
+    "bm25_retrieval",              # ranked retrieval + top-k
+    "ts_gapfill_locf",             # ts resample/gap-fill
+    # ---- longest-unchecked r4-r6 greens (6) ---------------------
+    "pg_array_literal_parse",      # §2.8 pg quirks (last row r4)
+    "cosine_topk_brute",           # similarity-search oracle (r4)
+    "embedding_norm_stats",        # embedding toolset (r4)
+    "array_agg_per_nation",        # array functions (r6)
+    "dedup_cluster_assign",        # dedup clustering, exact oracle (r6)
+    "sample_stratified_hash",      # sampling tier (r6)
+    # ---- stalest rows-only (2) ----------------------------------
+    "approx_distinct_users",       # HLL approx (rows row from r2)
+    "dedup_simhash",               # SimHash near-dup (rows row from r4)
+    # ---- r2 greens, last driver row 7 rounds ago (13) -----------
+    "correlated_above_avg_orders",
+    "join_anti_customers_without_orders",
+    "lateral_explode_tokens",
+    "q10_returned_items",
+    "q5_local_supplier_volume",
+    "q14_promo_revenue_pct",
+    "q18_large_orders",
+    "setop_active_both_statuses",
+    "setop_only_open_customers",
+    "stats_percentiles",
+    "window_lag_event_delta",
+    "window_running_revenue",
+    "window_top3_orders_per_customer",
+    # ---- r3 greens, last driver row 6 rounds ago (11) -----------
+    "agg_cube_orders",
+    "cdc_mask_columns",
+    "grouping_sets_lineitem",
+    "join_broadcast_brand_volume",
+    "join_semi_customers_with_orders",
+    "mm_wav_decode",
+    "ntile_customer_quartiles",
+    "q6_revenue_forecast",
+    "range_join_ship_latency",
+    "scalar_string_funcs",
+    "stream_tumbling_hourly",
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)

@@ -769,7 +769,7 @@ SELECT tbl,
        count(*) AS n_changes,
        CAST(sum(coalesce(is_late_raw, 0)) AS BIGINT) AS n_late,
        CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s,
-       (sum(coalesce(is_late_raw, 0)) * 1000000) // count(*) AS late_ppm
+       CAST((sum(coalesce(is_late_raw, 0)) * 1000000) // count(*) AS BIGINT) AS late_ppm
 FROM marked GROUP BY tbl
 """
 

@@ -78,7 +78,7 @@ g AS (
 SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS bucket_lo_chars,
        n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
        min_chars, max_chars,
-       (n_docs * 1000000) // sum(n_docs) OVER () AS share_ppm
+       CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT) AS share_ppm
 FROM g
 """
 
@@ -332,9 +332,9 @@ scored AS (
 SELECT t.doc_id,
        coalesce(s.n_grams, 0) AS n_grams,
        CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
-       CASE WHEN coalesce(s.n_grams, 0) > 0
+       CAST(CASE WHEN coalesce(s.n_grams, 0) > 0
             THEN (coalesce(s.n_novel, 0) * 1000000) // s.n_grams
-            ELSE 0 END AS novelty_ppm
+            ELSE 0 END AS BIGINT) AS novelty_ppm
 FROM toks t LEFT JOIN scored s USING (doc_id)
 """
 

@@ -109,7 +109,7 @@ cells AS (
   GROUP BY 1, 2
 )
 SELECT prev_type, next_type, cnt,
-       (cnt * 1000000) // sum(cnt) OVER (PARTITION BY prev_type) AS prob_ppm
+       CAST((cnt * 1000000) // sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
 FROM cells
 """
 
@@ -407,7 +407,7 @@ WITH keyed AS (
 ),
 baseline AS (
   SELECT event_type, dow, hod,
-         sum(cents) // count(*) AS baseline_cents,
+         CAST(sum(cents) // count(*) AS BIGINT) AS baseline_cents,
          count(*) AS n_cell
   FROM keyed GROUP BY 1, 2, 3
 )

@@ -16,25 +16,35 @@ sync routing A2).  ``LivePostgresCdcPipe`` is the single-table
 convenience wrapper over it, so every protocol rule lives in exactly
 one place.
 
-Snapshot/replay idempotence anchor: the WAL stamp is taken BEFORE the
-snapshot read.  Every change committed before the stamp is visible to
-the read's MVCC snapshot (commit < stamp < snapshot start) and replays
-with LSN ≤ stamp — losing to the snapshot rows, correctly.  Every
-change the read might NOT reflect commits after the stamp, replays
-with LSN > stamp, and wins the keep-last merge — converging,
-correctly.  (Stamping AFTER the read has a loss window: a change
-committed mid-read is invisible to the read's snapshot yet carries a
-lower LSN than the stamp, so its replay would lose forever.)
+Snapshot/replay idempotence anchor: snapshot rows are stamped with
+version 0, BELOW every replayable record LSN, so every replayed
+change wins the keep-last merge against the snapshot.  This is safe
+because pgoutput write frames carry FULL row images (or key images
+for deletes): replaying a change the snapshot already reflects just
+rewrites the same final state, and per-key record-LSN order matches
+commit order (row locks serialize writers of the same row — a second
+writer's WAL record is only emitted after the first writer's commit),
+so keep-last picks the true newest version per key.  Any WAL-derived
+stamp is unsound here: ``pg_logical_slot_peek_binary_changes``
+reports each change's record LSN, not its commit LSN — a transaction
+that wrote a row (record LSN < stamp) but commits after the snapshot
+read's MVCC snapshot is invisible to the read yet would replay below
+the stamp and lose the merge forever.  The reference avoids the same
+race by sinking into a versionless ReplacingMergeTree() where
+replayed rows always supersede snapshot rows (adapter/mod.rs);
+version-0 snapshot stamping is this engine's equivalent.
 
-Documented parity limitations:
-- a PRIMARY-KEY-changing UPDATE applies as an upsert of the NEW key
-  only (the old-key row survives until deleted) — the reference's
-  ReplacingMergeTree sink behaves identically; the wire's old-key 'K'
-  tuple is pinned by test so a tombstone-splitting apply remains
-  possible without decoder changes;
-- a multi-table ``TRUNCATE a, b`` emits one frame whose decode keeps
-  only the FIRST relation id (pgoutput.rs:427-448), so only that
-  route truncates;
+Documented DIVERGENCES from the reference (both strictly more correct):
+- a PRIMARY-KEY-changing UPDATE applies as a DELETE of the OLD key
+  plus an upsert of the NEW key (split-tombstone, from the wire's
+  old-key 'K'/'O' tuple) — the reference's ReplacingMergeTree sink
+  upserts the new key only and leaves the stale old-key row behind
+  forever;
+- a multi-table ``TRUNCATE a, b`` truncates EVERY routed relation —
+  the reference decodes only the FIRST relation id and silently
+  diverges the rest (pgoutput.rs:427-448).
+
+Documented parity limitation:
 - narrowing DDL (DROP/reorder columns) shifts positional cells and
   requires a pipe restart — the introspect-once contract the
   reference's client has; widening (ADD COLUMN) is handled live (K5).
@@ -59,7 +69,7 @@ from clockpipe_spark.streaming.replica import ReplicaStore
 SKIP_ONLY = "_skip_only"
 
 
-def _typed_cell(idx: int, col: PgColumn) -> Column:
+def _typed_cell(idx: int, col: PgColumn, source: str = "cell_texts") -> Column:
     """Positional text cell -> the column's Spark type.  pgoutput text
     renderings cast cleanly for the scalar tail ('t'/'f' bools included
     — Spark's boolean cast accepts them); bytea's '\\x…' hex rendering
@@ -69,8 +79,11 @@ def _typed_cell(idx: int, col: PgColumn) -> Column:
     ``[]`` accessor: after an ADD COLUMN, the same batch can carry
     pre-ALTER frames with FEWER cells than the refreshed column list —
     those rows never had the new column, so NULL is the correct value
-    (a no-default ADD COLUMN leaves them NULL server-side too)."""
-    c = F.get(F.col("cell_texts"), F.lit(idx))
+    (a no-default ADD COLUMN leaves them NULL server-side too).
+
+    ``source`` selects the new-image array (default) or ``old_texts``
+    for the split-tombstone projection of a PK-changing UPDATE."""
+    c = F.get(F.col(source), F.lit(idx))
     if col.data_type == "bytea":
         return F.unhex(F.substring(c, 3, 1 << 30)).alias(col.column_name)
     return c.cast(col.spark_type).alias(col.column_name)
@@ -142,27 +155,48 @@ class LivePostgresRoutedPipe:
         return issued
 
     def first_sync(self) -> dict[str, int]:
-        """Per-table WAL-stamped snapshot, each idempotent-guarded
-        (K6, pipes/postgres.rs:136-160).  Stamp BEFORE read (see module
-        docstring); the row count comes from the WRITTEN store so a
+        """Per-table snapshot, each idempotent-guarded (K6,
+        pipes/postgres.rs:136-160).  Snapshot rows carry version 0 so
+        EVERY replayed change (record LSN > 0) wins the keep-last
+        merge — see the module docstring for why a WAL-derived stamp
+        is unsound (record LSN vs commit LSN race under concurrent
+        writers).  The row count comes from the WRITTEN store so a
         lazy JDBC relation is scanned exactly once (by the write)."""
         copied: dict[str, int] = {}
         for t in self.tables:
             store = self.stores[t]
             if store.current_version() >= 0:
                 continue
-            stamp = self.source.current_wal_lsn()
             # cast to the introspected Spark types so snapshot state
             # and decoded changes merge under ONE schema (a JDBC
-            # relation already delivers these types; no-op there)
-            snap = self.source.snapshot(t).select(
-                *[
-                    F.col(c.column_name).cast(c.spark_type).alias(c.column_name)
-                    for c in self.columns[t]
-                ]
-            )
+            # relation already delivers these types; no-op there).
+            # bytea through a text transport (the psql seam) arrives
+            # as its '\x…' hex rendering — string->binary cast would
+            # keep the hex TEXT's bytes, so mirror _typed_cell's
+            # unhex branch instead; a real JDBC relation delivers
+            # BinaryType already and takes the plain-cast branch.
+            snap = self.source.snapshot(t)
+            in_types = dict(snap.dtypes)
+            cols = []
+            for c in self.columns[t]:
+                if (
+                    c.data_type == "bytea"
+                    and in_types.get(c.column_name) == "string"
+                ):
+                    cols.append(
+                        F.unhex(
+                            F.substring(F.col(c.column_name), 3, 1 << 30)
+                        ).alias(c.column_name)
+                    )
+                else:
+                    cols.append(
+                        F.col(c.column_name)
+                        .cast(c.spark_type)
+                        .alias(c.column_name)
+                    )
             store.write(
-                snap.withColumn("last_seq", F.lit(stamp).cast("long"))
+                snap.select(*cols)
+                .withColumn("last_seq", F.lit(0).cast("long"))
                 .withColumn("__deleted", F.lit(False))
             )
             copied[t] = store.read_raw(self.spark).count()
@@ -241,9 +275,10 @@ class LivePostgresRoutedPipe:
                 # cut — an all-pre-truncate batch would otherwise
                 # rewrite a full state version with zero changes
                 if w_maxes and (t_max is None or max(w_maxes) > t_max):
-                    typed = mine.filter(
+                    writes = mine.filter(
                         F.col("msg_type").isin("I", "U", "D")
-                    ).select(
+                    )
+                    typed = writes.select(
                         F.col("lsn").alias("seq"),
                         F.col("msg_type").alias("op"),
                         *[
@@ -251,8 +286,41 @@ class LivePostgresRoutedPipe:
                             for i, c in enumerate(self.columns[t])
                         ],
                     )
+                    # split-tombstone for PK-changing UPDATEs (see the
+                    # module docstring's divergence note): the wire's
+                    # old tuple ('K' under REPLICA IDENTITY DEFAULT —
+                    # sent exactly when the identity key changed — or
+                    # 'O' under FULL, where the key must be compared)
+                    # becomes a DELETE of the OLD key at the same LSN.
+                    # Same-batch churn stays correct under keep-last:
+                    # the tombstone's key differs from its upsert's, and
+                    # any later re-insert of the old key carries a
+                    # higher LSN and wins.
+                    idx = {
+                        c.column_name: i
+                        for i, c in enumerate(self.columns[t])
+                    }
+                    key_moved = None
+                    for k in self.keys[t]:
+                        ne = ~F.get("old_texts", F.lit(idx[k])).eqNullSafe(
+                            F.get("cell_texts", F.lit(idx[k]))
+                        )
+                        key_moved = ne if key_moved is None else key_moved | ne
+                    tombstones = writes.filter(
+                        (F.col("msg_type") == "U")
+                        & (F.size("old_kinds") > 0)
+                        & key_moved
+                    ).select(
+                        F.col("lsn").alias("seq"),
+                        F.lit("D").alias("op"),
+                        *[
+                            _typed_cell(i, c, source="old_texts")
+                            for i, c in enumerate(self.columns[t])
+                        ],
+                    )
                     self.stores[t].merge_changes(
-                        self.spark, typed, self.keys[t]
+                        self.spark, typed.unionByName(tombstones),
+                        self.keys[t],
                     )
             # one advance, after every route committed (T2); the target
             # is the max LSN over ALL frames — the batch's trailing

@@ -9,11 +9,12 @@ skips empty transactions) or that are structural invariants:
 - write frames for a relation OID outside the configured tables must
   RAISE, never advance — the slot cannot rewind, so advancing past
   them is unrecoverable data loss;
-- the first_sync WAL stamp is taken BEFORE the snapshot read (the
-  after-read ordering has a permanent-staleness window: a change
-  committed mid-read is invisible to the read's MVCC snapshot yet
-  carries a lower LSN than a later stamp, so its replay loses the
-  keep-last merge forever).
+- first_sync stamps snapshot rows with version 0 and never consults
+  the WAL position (ANY WAL-derived stamp has a permanent-staleness
+  window: peek reports record LSNs, not commit LSNs, so a transaction
+  that wrote before the stamp but committed after the read's MVCC
+  snapshot would replay below the stamp and lose the keep-last merge
+  forever — version 0 makes every replayed change win instead).
 """
 
 from __future__ import annotations
@@ -41,11 +42,13 @@ _FRAME_SCHEMA = "lsn_txt string, xid_txt string, data_hex string"
 
 class SeamDB:
     """Canned reader/sql_runner: introspection + a scripted frame batch
-    per peek call, recording every DDL statement."""
+    per peek call, recording every DDL statement.  ``tables`` maps
+    name -> (oid, snapshot rows); default is the single table t1."""
 
-    def __init__(self, spark, frame_batches):
+    def __init__(self, spark, frame_batches, tables=None):
         self.spark = spark
         self.frame_batches = list(frame_batches)
+        self.tables = tables or {"t1": (500, [(1, "a")])}
         self.ddl: list[str] = []
         self.calls: list[str] = []
 
@@ -59,11 +62,13 @@ class SeamDB:
             return self.spark.createDataFrame(batch, _FRAME_SCHEMA)
         if "pg_class c JOIN pg_namespace" in q:
             return self.spark.createDataFrame(
-                [("t1", 500)], "relname string, oid long"
+                [(t, oid) for t, (oid, _) in self.tables.items()],
+                "relname string, oid long",
             )
         if "pg_publication_tables" in q:
             return self.spark.createDataFrame(
-                [("public", "t1")], "schema_name string, table_name string"
+                [("public", t) for t in self.tables],
+                "schema_name string, table_name string",
             )
         if "pg_publication " in q:
             return self.spark.createDataFrame([("pub",)], "name string")
@@ -76,7 +81,10 @@ class SeamDB:
             return self.spark.createDataFrame([("0/1000",)], "lsn string")
         if options.get("dbtable"):
             self.calls.append("snapshot_read")
-            return self.spark.createDataFrame([(1, "a")], "id int, v string")
+            t = options["dbtable"].split(".")[-1]
+            return self.spark.createDataFrame(
+                self.tables[t][1], "id int, v string"
+            )
         return self.spark.createDataFrame([], "x string")
 
     def sql_runner(self, sql):
@@ -87,14 +95,15 @@ def _hex(frame: bytes) -> str:
     return frame.hex()
 
 
-def _pipe(spark, tmp_path, frame_batches):
-    db = SeamDB(spark, frame_batches)
+def _pipe(spark, tmp_path, frame_batches, tables=None):
+    db = SeamDB(spark, frame_batches, tables=tables)
     src = JdbcPostgresSource(
         spark, "jdbc:postgresql://unused/db",
         reader=db.reader, sql_runner=db.sql_runner,
     )
     pipe = LivePostgresRoutedPipe(
-        spark, src, ["t1"], str(tmp_path), publication="pub", slot="slot",
+        spark, src, list(db.tables), str(tmp_path),
+        publication="pub", slot="slot",
     )
     pipe.initialize()
     return pipe, db
@@ -130,13 +139,91 @@ def test_stray_relation_write_frames_raise_without_advancing(spark, tmp_path):
     assert not any("pg_replication_slot_advance" in d for d in db.ddl)
 
 
-def test_first_sync_stamps_before_snapshot_read(spark, tmp_path):
+def test_multi_relation_truncate_wipes_every_routed_table(spark, tmp_path):
+    """A single 'TRUNCATE a, b' frame carries BOTH relids; each routed
+    table's store must truncate (documented divergence from the
+    reference's first-relid quirk — silent divergence of the second
+    table is permanent data corruption in the routed deployment)."""
+    from clockpipe_spark.cdc.pgoutput import encode_truncate
+
+    batch = [
+        ("0/10", "7", _hex(encode_begin())),
+        ("0/20", "7", _hex(encode_truncate([500, 600]))),
+        ("0/30", "7", _hex(encode_commit())),
+    ]
+    tables = {"t1": (500, [(1, "a")]), "t2": (600, [(2, "b")])}
+    pipe, db = _pipe(spark, tmp_path, [batch], tables=tables)
+    pipe.first_sync()
+    out = pipe.sync_iteration()
+    assert out["t1"]["T"] == 1 and out["t2"]["T"] == 1
+    assert pipe.replica("t1").count() == 0
+    assert pipe.replica("t2").count() == 0
+    assert any("pg_replication_slot_advance" in d for d in db.ddl)
+
+
+def test_pk_changing_update_splits_into_tombstone_plus_upsert(spark, tmp_path):
+    """An UPDATE that moves the primary key (old 'K' tuple on the wire)
+    must delete the OLD key and upsert the NEW one — exactly one row
+    survives.  (The reference's ReplacingMergeTree sink leaves the
+    stale old-key row behind; divergence documented in live_pipe.py.)"""
+    from clockpipe_spark.cdc.pgoutput import encode_update
+
+    batch = [
+        ("0/10", "7", _hex(encode_begin())),
+        # UPDATE t1 SET id = 2, v = 'moved' WHERE id = 1; replica
+        # identity DEFAULT sends the old key as a 'K' tuple
+        ("0/20", "7", _hex(encode_update(
+            500,
+            [("t", "2", None), ("t", "moved", None)],
+            old_cells=[("t", "1", None), ("n", None, None)],
+            old_marker=b"K",
+        ))),
+        ("0/30", "7", _hex(encode_commit())),
+    ]
+    pipe, db = _pipe(spark, tmp_path, [batch])
+    pipe.first_sync()  # snapshot: (1, 'a')
+    out = pipe.sync_iteration()
+    assert out["t1"]["U"] == 1
+    rows = [(r["id"], r["v"]) for r in pipe.replica("t1").collect()]
+    assert rows == [(2, "moved")], (
+        "old-key row must be tombstoned, new-key row upserted"
+    )
+
+
+def test_non_pk_update_with_full_old_tuple_does_not_tombstone(spark, tmp_path):
+    """REPLICA IDENTITY FULL sends an 'O' old tuple on EVERY update —
+    the split-tombstone must compare keys and leave same-key updates
+    as plain upserts (a spurious tombstone at the same LSN would race
+    the upsert in the keep-last merge)."""
+    from clockpipe_spark.cdc.pgoutput import encode_update
+
+    batch = [
+        ("0/10", "7", _hex(encode_begin())),
+        ("0/20", "7", _hex(encode_update(
+            500,
+            [("t", "1", None), ("t", "newv", None)],
+            old_cells=[("t", "1", None), ("t", "a", None)],
+            old_marker=b"O",
+        ))),
+        ("0/30", "7", _hex(encode_commit())),
+    ]
+    pipe, db = _pipe(spark, tmp_path, [batch])
+    pipe.first_sync()
+    pipe.sync_iteration()
+    rows = [(r["id"], r["v"]) for r in pipe.replica("t1").collect()]
+    assert rows == [(1, "newv")]
+
+
+def test_first_sync_stamps_snapshot_rows_with_version_zero(spark, tmp_path):
     pipe, db = _pipe(spark, tmp_path, [])
     copied = pipe.first_sync()
     assert copied == {"t1": 1}
-    stamp_at = db.calls.index("stamp")
-    read_at = db.calls.index("snapshot_read")
-    assert stamp_at < read_at, (
-        "WAL stamp must precede the snapshot read: stamping after has a "
-        "permanent-staleness window for changes committed mid-read"
+    # no WAL-derived stamp may be consulted: peek reports record LSNs,
+    # not commit LSNs, so any WAL stamp loses changes from transactions
+    # in flight across the stamp (see module docstring)
+    assert "stamp" not in db.calls
+    raw = pipe.stores["t1"].read_raw(spark).collect()
+    assert [r["last_seq"] for r in raw] == [0], (
+        "snapshot rows must carry version 0 so every replayed change "
+        "(record LSN > 0) wins the keep-last merge"
     )

@@ -177,7 +177,7 @@ def test_live_pk_update_ships_old_key_tuple(pg):
     assert [t for _, t, _ in upd["cells"]] == ["2", "a"]
 
 
-def test_live_truncate_first_relid_quirk(pg):
+def test_live_truncate_multi_relation_decode(pg):
     pg.sql("CREATE TABLE live_tr_a (id int PRIMARY KEY)")
     pg.sql("CREATE TABLE live_tr_b (id int PRIMARY KEY)")
     pg.sql("CREATE PUBLICATION live_pub4 FOR TABLE live_tr_a, live_tr_b")
@@ -188,9 +188,13 @@ def test_live_truncate_first_relid_quirk(pg):
     pg.sql("TRUNCATE live_tr_a, live_tr_b")
     writes = _writes(pg.peek_frames("live_slot4", "live_pub4"))
     assert [w["msg_type"] for w in writes] == ["T"]
-    # a real multi-relation truncate frame; the decoder keeps the FIRST
-    # relid only (the reference's quirk, pgoutput.rs:427-448)
-    assert writes[0]["relation_id"] in (pg.oid("live_tr_a"), pg.oid("live_tr_b"))
+    # a real multi-relation truncate is ONE frame carrying BOTH relids;
+    # the decoder keeps them all (documented divergence from the
+    # reference's first-relid quirk, pgoutput.rs:427-448) so every
+    # routed table's state truncates
+    assert sorted(writes[0]["relation_ids"]) == sorted(
+        [pg.oid("live_tr_a"), pg.oid("live_tr_b")]
+    )
 
 
 def test_live_peek_cap_and_advance_offset_discipline(pg):
@@ -882,3 +886,62 @@ def test_live_stray_relation_refuses_to_advance(pg, spark, tmp_path):
         pipe.sync_iteration()
     # nothing consumed: the stray frames are still peekable
     assert pg.peek_frames("live_stray_slot", "live_stray_pub")
+
+
+def test_live_pk_changing_update_leaves_exactly_one_row(pg, spark, tmp_path):
+    """Split-tombstone apply against the real server (VERDICT r8
+    directive #6): an UPDATE that moves the primary key must delete the
+    OLD key and upsert the NEW one — the replica equals the live table
+    with exactly one row for the moved record.  (Documented divergence:
+    the reference's ReplacingMergeTree sink leaves the stale old-key
+    row behind forever.)"""
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    pg.sql("CREATE TABLE live_pkmove (id int PRIMARY KEY, v text)")
+    pg.sql("INSERT INTO live_pkmove VALUES (1, 'a'), (5, 'e')")
+    pipe = LivePostgresCdcPipe(
+        spark, pg.adapter(spark), "live_pkmove", str(tmp_path),
+        publication="live_pkmove_pub", slot="live_pkmove_slot",
+    )
+    pipe.initialize()
+    pipe.first_sync()
+    # REPLICA IDENTITY DEFAULT: the wire sends the old key as a 'K'
+    # tuple exactly because the identity key changed
+    pg.sql("UPDATE live_pkmove SET id = 2, v = 'moved' WHERE id = 1")
+    # and a same-batch re-insert of the vacated key must win over the
+    # tombstone (higher LSN)
+    pg.sql("INSERT INTO live_pkmove VALUES (1, 'reborn')")
+    counters = pipe.sync_iteration()
+    assert counters == {"U": 1, "I": 1}
+    got = sorted((r["id"], r["v"]) for r in pipe.replica().collect())
+    live = sorted(
+        (r["id"], r["v"]) for r in pg.rows("SELECT id, v FROM live_pkmove")
+    )
+    assert got == live == [(1, "reborn"), (2, "moved"), (5, "e")]
+
+
+def test_live_routed_multi_relation_truncate(pg, spark, tmp_path):
+    """A real 'TRUNCATE a, b' through the ROUTED pipe: one wire frame
+    carries both relids and BOTH tables' stores must truncate
+    (documented divergence from the reference's first-relid quirk,
+    whose silent second-table divergence is permanent in this
+    deployment shape — ADVICE r8)."""
+    from clockpipe_spark.streaming.live_pipe import LivePostgresRoutedPipe
+
+    pg.sql("CREATE TABLE live_mtr_a (id int PRIMARY KEY, v text)")
+    pg.sql("CREATE TABLE live_mtr_b (k int PRIMARY KEY)")
+    pg.sql("INSERT INTO live_mtr_a VALUES (1, 'a'), (2, 'b')")
+    pg.sql("INSERT INTO live_mtr_b VALUES (10), (20)")
+    pipe = LivePostgresRoutedPipe(
+        spark, pg.adapter(spark), ["live_mtr_a", "live_mtr_b"],
+        str(tmp_path), publication="live_mtr_pub", slot="live_mtr_slot",
+    )
+    pipe.initialize()
+    assert pipe.first_sync() == {"live_mtr_a": 2, "live_mtr_b": 2}
+    pg.sql("TRUNCATE live_mtr_a, live_mtr_b")
+    pg.sql("INSERT INTO live_mtr_a VALUES (9, 'post')")
+    routed = pipe.sync_iteration()
+    assert routed["live_mtr_a"]["T"] == 1 and routed["live_mtr_b"]["T"] == 1
+    got_a = [(r["id"], r["v"]) for r in pipe.replica("live_mtr_a").collect()]
+    assert got_a == [(9, "post")]
+    assert pipe.replica("live_mtr_b").count() == 0

@@ -106,11 +106,14 @@ def test_delete_key_tuple():
     assert rec["cells"] == [("t", "11", None)]
 
 
-def test_truncate_reads_first_relid_only():
-    # pgoutput.rs:427-448: count + flags byte + FIRST relid; rest ignored
+def test_truncate_reads_all_relids():
+    # DOCUMENTED DIVERGENCE from pgoutput.rs:427-448 (which keeps only
+    # the FIRST relid and silently drops the rest): the full relid list
+    # is decoded so a routed pipe can truncate every affected table.
     rec = parse_pg_output(encode_truncate([77, 88, 99], flags=1))
     assert rec["msg_type"] == "T"
-    assert rec["relation_id"] == 77
+    assert rec["relation_id"] == 77  # first relid keeps the reference shape
+    assert rec["relation_ids"] == [77, 88, 99]
     assert rec["cells"] == []
 
 

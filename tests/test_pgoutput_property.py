@@ -61,11 +61,13 @@ def test_delete_round_trip(relid, key):
 
 @settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.integers(min_value=1, max_value=2**31 - 1), min_size=1, max_size=5))
-def test_truncate_keeps_first_relid_only(relids):
+def test_truncate_keeps_all_relids(relids):
     out = parse_pg_output(encode_truncate(relids))
     assert out["msg_type"] == "T"
-    # the reference reads only the FIRST relid (pgoutput.rs:427-448)
+    # divergence from the reference (pgoutput.rs:427-448 keeps only the
+    # first): every relid survives so routed truncates reach all tables
     assert out["relation_id"] == relids[0]
+    assert out["relation_ids"] == relids
 
 
 @settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))

@@ -37,7 +37,7 @@ _FAMILY_CANARIES = {
     # --- §2 CDC operator families -----------------------------------
     "CDC decode (S4/S6b)": {"cdc_pgoutput_roundtrip", "cdc_changestream_decode"},
     "CDC row ops (P1/P2/P3/P6)": {"cdc_align_projection", "cdc_cast_matrix",
-                                  "cdc_keep_last"},
+                                  "cdc_keep_last", "cdc_mask_columns"},
     "CDC apply (K1/K2)": {"cdc_apply_to_snapshot"},
     "FINAL dedup-on-read": {"cdc_replica_state"},
     "replica time travel / SCD2": {"cdc_replica_asof", "cdc_scd2_asof_counts",
@@ -59,7 +59,9 @@ _FAMILY_CANARIES = {
     "sort/top-k": {"topk_orders_by_price", "bm25_retrieval",
                    "ann_hard_negatives"},
     "set ops / relation diff": {"setop_union_segments", "setop_bag_ops",
-                                "cdc_snapshot_diff"},
+                                "cdc_snapshot_diff",
+                                "setop_active_both_statuses",
+                                "setop_only_open_customers"},
     "scalar batteries": {"scalar_math_battery", "scalar_string_funcs",
                          "scalar_date_parts", "scalar_json_extract",
                          "scalar_url_parse", "scalar_bitops_battery",
@@ -98,7 +100,8 @@ _FAMILY_CANARIES = {
                           "ann_hard_negatives"},
     "embedding toolset": {"embedding_kmeans_clusters", "embedding_pq_codes",
                           "embedding_int8_quantize", "embedding_pca_project",
-                          "embedding_centroid_report"},
+                          "embedding_centroid_report",
+                          "embedding_norm_stats"},
     "text quality / corpus stats": {"text_quality_scores",
                                     "text_repetition_stats",
                                     "text_ngram_novelty",

@@ -20,6 +20,28 @@ from clockpipe_spark.catalog import TABLES
 from clockpipe_spark.session import get_spark
 
 
+def dtype_kind_mismatches(sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    """Columns where Spark yields an integer dtype but the oracle yields a
+    float dtype (or vice versa).
+
+    This is exactly the class that burned the r6 and r8 driver gates:
+    DuckDB promotes sum() to HUGEINT, which lands in pandas as float64, so
+    the driver hashes "28000.0" against Spark's "28000" even though every
+    value is equal.  The driver compares string renderings, so an
+    int-vs-float kind split IS a failure there no matter what the values
+    are — make it a failure here too (the old check_dtype=False hid it).
+    """
+    bad = []
+    for c in sdf.columns:
+        if c not in ddf.columns:
+            continue
+        ks, kd = sdf[c].dtype.kind, ddf[c].dtype.kind
+        int_kinds = ("i", "u")
+        if (ks in int_kinds and kd == "f") or (kd in int_kinds and ks == "f"):
+            bad.append(f"{c}: spark={sdf[c].dtype} oracle={ddf[c].dtype}")
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # unify dtypes: everything to string via a stable repr per column
@@ -81,6 +103,11 @@ def main() -> int:
             continue
         if len(sdf) != len(ddf):
             print(f"FAIL {name}: rowcount {len(sdf)} vs {len(ddf)}")
+            n_fail += 1
+            continue
+        kind_bad = dtype_kind_mismatches(sdf, ddf)
+        if kind_bad:
+            print(f"FAIL {name}: int/float dtype-kind mismatch (driver would hash-fail): {kind_bad}")
             n_fail += 1
             continue
         a, b = normalize(sdf), normalize(ddf)
