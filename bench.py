@@ -639,6 +639,10 @@ def main() -> None:
         "timing": "build+execute",
         "stat": "min",
         "trials": 3,
+        # r9 noise mitigation (VERDICT r8 directive #7): headline raised
+        # to min-of-3 — the r8 driver-vs-quiet same-code spread (1.29x)
+        # exceeded any regression min-of-2 could resolve
+        "noise_mitigation": "min-of-3 headline trials",
         "queries": timings,
         "queries_run1": first_run,
         "extra_queries": extra,
@@ -676,6 +680,7 @@ def main() -> None:
         "stat": "min",
         "trials": 3,
         "sf": full["sf"],
+        "noise_mitigation": "min-of-3",
         "ivf_prewarm_sec": ivf_prewarm_sec,
         "detail": "BENCH_DETAIL.json",
         "queries": {k: round(v, 2) for k, v in timings.items()},

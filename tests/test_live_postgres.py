@@ -920,6 +920,101 @@ def test_live_pk_changing_update_leaves_exactly_one_row(pg, spark, tmp_path):
     assert got == live == [(1, "reborn"), (2, "moved"), (5, "e")]
 
 
+def test_live_inflight_transaction_across_first_sync_converges(
+    pg, spark, tmp_path
+):
+    """THE ADVICE-r8 HIGH race, reproduced against the real server: a
+    transaction writes a row (WAL record LSN below any stamp first_sync
+    could take) but commits only AFTER the snapshot read's MVCC
+    snapshot — the row is invisible to the snapshot yet its replayed
+    change carries the low record LSN.  Under the old WAL-stamp scheme
+    the replay lost the keep-last merge forever (permanent silent
+    staleness); with version-0 snapshot stamping the replay must win
+    and the replica converges.
+
+    An interactive psql holds the transaction open under explicit
+    control, so the ordering is deterministic (no sleep races): INSERT
+    executes -> backend goes 'idle in transaction' -> first_sync runs
+    -> COMMIT -> sync_iteration."""
+    import subprocess
+    import time
+
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    pg.sql("CREATE TABLE live_race (id int PRIMARY KEY, v text)")
+    pg.sql("INSERT INTO live_race VALUES (1, 'committed')")
+    pipe = LivePostgresCdcPipe(
+        spark, pg.adapter(spark), "live_race", str(tmp_path),
+        publication="live_race_pub", slot="live_race_slot",
+    )
+    pipe.initialize()
+
+    proc = subprocess.Popen(
+        pg.psql, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        proc.stdin.write(
+            "BEGIN;\nINSERT INTO live_race VALUES (2, 'inflight');\n"
+        )
+        proc.stdin.flush()
+        # the WAL record now exists; wait for the backend to sit idle
+        # inside the open transaction before snapshotting
+        for _ in range(100):
+            n = pg.rows(
+                "SELECT count(*) AS n FROM pg_stat_activity "
+                "WHERE state = 'idle in transaction'"
+            )[0]["n"]
+            if n:
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("in-flight transaction never settled")
+
+        assert pipe.first_sync() == 1  # MVCC: in-flight row invisible
+        snap = {r["id"] for r in pipe.replica().collect()}
+        assert snap == {1}, "precondition: the race window was real"
+
+        proc.stdin.write("COMMIT;\n")
+        proc.stdin.close()
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    counters = pipe.sync_iteration()
+    assert counters == {"I": 1}
+    got = sorted((r["id"], r["v"]) for r in pipe.replica().collect())
+    assert got == [(1, "committed"), (2, "inflight")], (
+        "replayed in-flight change must win the merge against the "
+        "snapshot (version-0 stamping); losing it is permanent silent "
+        "replica staleness"
+    )
+
+
+def test_live_bytea_snapshot_and_cdc_state_agree(pg, spark, tmp_path):
+    """bytea through the psql seam arrives as its '\\x…' hex TEXT; the
+    snapshot cast must unhex it exactly like the decoded-change path
+    (_typed_cell), or snapshot state and CDC state silently disagree
+    for the same column (ADVICE r8).  One row lands via the snapshot,
+    one via CDC; both must equal the live bytes."""
+    from clockpipe_spark.streaming.live_pipe import LivePostgresCdcPipe
+
+    pg.sql("CREATE TABLE live_bytea (id int PRIMARY KEY, blob bytea)")
+    pg.sql(r"INSERT INTO live_bytea VALUES (1, '\x00ff7a'::bytea)")
+    pipe = LivePostgresCdcPipe(
+        spark, pg.adapter(spark), "live_bytea", str(tmp_path),
+        publication="live_bytea_pub", slot="live_bytea_slot",
+    )
+    pipe.initialize()
+    pipe.first_sync()
+    pg.sql(r"INSERT INTO live_bytea VALUES (2, '\x00ff7a'::bytea)")
+    pg.sql(r"UPDATE live_bytea SET blob = '\xdeadbeef'::bytea WHERE id = 1")
+    pipe.sync_iteration()
+    got = {r["id"]: bytes(r["blob"]) for r in pipe.replica().collect()}
+    assert got == {1: b"\xde\xad\xbe\xef", 2: b"\x00\xff\x7a"}
+
+
 def test_live_routed_multi_relation_truncate(pg, spark, tmp_path):
     """A real 'TRUNCATE a, b' through the ROUTED pipe: one wire frame
     carries both relids and BOTH tables' stores must truncate
