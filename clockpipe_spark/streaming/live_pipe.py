@@ -227,6 +227,12 @@ class LivePostgresRoutedPipe:
                 F.count("*").alias("n"),
                 F.max("lsn").alias("mx"),
                 F.max(F.size("cell_texts")).alias("w"),
+                # old-tuple presence: postgres sends one only under
+                # REPLICA IDENTITY FULL or when the identity key
+                # changed, so most batches carry none — the split-
+                # tombstone projection below is gated on this to keep
+                # the common path at one projection per table
+                F.max(F.size("old_kinds")).alias("ow"),
             ).collect()
             if not stats:
                 # skip-only batch (e.g. empty txns from other tables'
@@ -295,32 +301,42 @@ class LivePostgresRoutedPipe:
                     # Same-batch churn stays correct under keep-last:
                     # the tombstone's key differs from its upsert's, and
                     # any later re-insert of the old key carries a
-                    # higher LSN and wins.
-                    idx = {
-                        c.column_name: i
-                        for i, c in enumerate(self.columns[t])
-                    }
-                    key_moved = None
-                    for k in self.keys[t]:
-                        ne = ~F.get("old_texts", F.lit(idx[k])).eqNullSafe(
-                            F.get("cell_texts", F.lit(idx[k]))
-                        )
-                        key_moved = ne if key_moved is None else key_moved | ne
-                    tombstones = writes.filter(
-                        (F.col("msg_type") == "U")
-                        & (F.size("old_kinds") > 0)
-                        & key_moved
-                    ).select(
-                        F.col("lsn").alias("seq"),
-                        F.lit("D").alias("op"),
-                        *[
-                            _typed_cell(i, c, source="old_texts")
-                            for i, c in enumerate(self.columns[t])
-                        ],
+                    # higher LSN and wins.  Gated on the stats agg's
+                    # old-tuple width so batches without old tuples
+                    # (the common case) keep the single-projection plan.
+                    has_old = any(
+                        r["msg_type"] == "U" and r["ow"] for r in t_stats
                     )
+                    if has_old:
+                        idx = {
+                            c.column_name: i
+                            for i, c in enumerate(self.columns[t])
+                        }
+                        key_moved = None
+                        for k in self.keys[t]:
+                            ne = ~F.get(
+                                "old_texts", F.lit(idx[k])
+                            ).eqNullSafe(
+                                F.get("cell_texts", F.lit(idx[k]))
+                            )
+                            key_moved = (
+                                ne if key_moved is None else key_moved | ne
+                            )
+                        tombstones = writes.filter(
+                            (F.col("msg_type") == "U")
+                            & (F.size("old_kinds") > 0)
+                            & key_moved
+                        ).select(
+                            F.col("lsn").alias("seq"),
+                            F.lit("D").alias("op"),
+                            *[
+                                _typed_cell(i, c, source="old_texts")
+                                for i, c in enumerate(self.columns[t])
+                            ],
+                        )
+                        typed = typed.unionByName(tombstones)
                     self.stores[t].merge_changes(
-                        self.spark, typed.unionByName(tombstones),
-                        self.keys[t],
+                        self.spark, typed, self.keys[t]
                     )
             # one advance, after every route committed (T2); the target
             # is the max LSN over ALL frames — the batch's trailing

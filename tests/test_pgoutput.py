@@ -146,3 +146,20 @@ def test_decode_stream_drops_noise_and_decodes(spark):
     assert out[3]["cell_texts"][1] == "9.25"  # TOAST resolved
     assert out[4]["msg_type"] == "D" and out[4]["tuple_type"] == "K"
     assert out[5]["msg_type"] == "T" and out[5]["relation_id"] == 16385
+    # the UPDATE's old tuple surfaces for split-tombstone apply; rows
+    # with no old tuple carry empty arrays, not NULLs
+    assert out[3]["old_kinds"] == ["n", "t"]
+    assert out[3]["old_texts"] == [None, "9.25"]
+    assert out[2]["old_kinds"] == [] and out[2]["old_texts"] == []
+
+
+def test_decode_stream_multi_relation_truncate_fans_out(spark):
+    """One 'TRUNCATE a, b, c' frame becomes one T record PER relid at
+    the same LSN (divergence from the reference's first-relid quirk) so
+    each routed table sees its truncate."""
+    frames = [(7, 101, encode_truncate([111, 222, 333]))]
+    df = spark.createDataFrame(frames, "lsn long, xid long, data binary")
+    out = decode_pgoutput(df).collect()
+    assert [(r["lsn"], r["msg_type"], r["relation_id"]) for r in out] == [
+        (7, "T", 111), (7, "T", 222), (7, "T", 333),
+    ]
