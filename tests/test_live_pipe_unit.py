@@ -214,6 +214,87 @@ def test_non_pk_update_with_full_old_tuple_does_not_tombstone(spark, tmp_path):
     assert rows == [(1, "newv")]
 
 
+def _apply_model(snapshot, ops):
+    """Sequential reference model: dict of key -> row, ops applied in
+    LSN order; an update with a changed key deletes the old key."""
+    state = dict(snapshot)
+    for op in ops:
+        kind = op[0]
+        if kind == "I":
+            _, k, v = op
+            state[k] = v
+        elif kind == "U":
+            _, old_k, new_k, v = op
+            state.pop(old_k, None)
+            state[new_k] = v
+        elif kind == "D":
+            _, k = op
+            state.pop(k, None)
+    return state
+
+
+def _pk_move_batch(scenario):
+    """Encode a scenario (list of ops) as one wire batch. Update ops
+    carry the old key as a 'K' tuple when the key moved (replica
+    identity DEFAULT wire behavior)."""
+    from clockpipe_spark.cdc.pgoutput import (
+        encode_delete,
+        encode_insert,
+        encode_update,
+    )
+
+    frames = [("0/1", "9", _hex(encode_begin()))]
+    lsn = 16
+    for op in scenario:
+        kind = op[0]
+        if kind == "I":
+            _, k, v = op
+            data = encode_insert(500, [("t", str(k), None), ("t", v, None)])
+        elif kind == "U":
+            _, old_k, new_k, v = op
+            old = (
+                [("t", str(old_k), None), ("n", None, None)]
+                if old_k != new_k else None
+            )
+            data = encode_update(
+                500, [("t", str(new_k), None), ("t", v, None)],
+                old_cells=old, old_marker=b"K",
+            )
+        else:
+            _, k = op
+            data = encode_delete(500, [("t", str(k), None)])
+        frames.append((f"0/{lsn:x}", "9", _hex(data)))
+        lsn += 16
+    frames.append((f"0/{lsn:x}", "9", _hex(encode_commit())))
+    return frames
+
+
+@pytest.mark.parametrize("scenario", [
+    # forward chain: 1->2 then 2->3 in one batch
+    [("U", 1, 2, "a2"), ("U", 2, 3, "a3")],
+    # move-back: 1->2 then 2->1 (tombstone of 2 must beat its upsert)
+    [("U", 1, 2, "b2"), ("U", 2, 1, "b1")],
+    # move then delete the NEW key: nothing survives
+    [("U", 1, 2, "c2"), ("D", 2)],
+    # move, re-insert the vacated key, then move back ONTO it
+    [("U", 1, 2, "d2"), ("I", 1, "fresh"), ("U", 1, 3, "d3")],
+    # swap via temp key: 1->9, insert 1, 9->... delete 9
+    [("U", 1, 9, "t"), ("I", 1, "new1"), ("D", 9)],
+], ids=["chain", "move_back", "move_then_delete", "move_reinsert_move",
+        "swap_via_temp"])
+def test_pk_move_scenarios_match_sequential_model(
+    spark, tmp_path, scenario
+):
+    """Adversarial same-batch PK-move churn: the split-tombstone apply
+    under keep-last-by-LSN must equal a sequential one-op-at-a-time
+    model (which is what the source database actually did)."""
+    pipe, db = _pipe(spark, tmp_path, [_pk_move_batch(scenario)])
+    pipe.first_sync()  # snapshot: {1: 'a'}
+    pipe.sync_iteration()
+    got = {r["id"]: r["v"] for r in pipe.replica("t1").collect()}
+    assert got == _apply_model({1: "a"}, scenario)
+
+
 def test_first_sync_stamps_snapshot_rows_with_version_zero(spark, tmp_path):
     pipe, db = _pipe(spark, tmp_path, [])
     copied = pipe.first_sync()
