@@ -446,6 +446,55 @@ def _phash_pixels(doc_id: int):
     return np.repeat(np.repeat(px, 2, axis=0), 4, axis=1).astype(np.uint8)
 
 
+def _phash_payloads_batch(doc_ids) -> list[bytes]:
+    """Vectorized twin of ``encode_bmp_gray(_phash_pixels(d))`` over a
+    whole Arrow batch — byte-identical output (pinned by pytest), one
+    numpy pipeline instead of a per-doc Python loop (md5 runs once per
+    GROUP, not per doc; the bit matrices, gradient cumsum, pixel
+    upsample, BGR repeat, and bottom-up flip are all batch ops).  The
+    fixture synthesis is the 'camera'; keeping it off the per-row
+    Python path leaves the benched number dominated by the REAL
+    decode+signature+join pipeline."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    n = len(ids)
+    pats = [
+        int.from_bytes(hashlib.md5(f"imggrp:{g}".encode()).digest()[:8], "little")
+        for g in range(_PHASH_GROUPS)
+    ]
+    # (groups, 64) base bit matrix, then per-doc one-bit XOR flip
+    base_bits = np.array(
+        [[(p >> i) & 1 for i in range(64)] for p in pats], dtype=np.int16
+    )
+    bits = base_bits[ids % _PHASH_GROUPS]  # (n, 64)
+    bits[np.arange(n), (ids * 7) % 64] ^= 1
+    deltas = np.where(
+        bits.reshape(n, 8, 8) == 1, _PHASH_STEP, -_PHASH_STEP
+    ).astype(np.int16)
+    px = np.concatenate(
+        [
+            np.full((n, 8, 1), 128, dtype=np.int16),
+            128 + np.cumsum(deltas, axis=2),
+        ],
+        axis=2,
+    )  # (n, 8, 9) — identical to the scalar column recurrence
+    big = np.repeat(np.repeat(px, 2, axis=1), 4, axis=2).astype(np.uint8)
+    # BMP body: bottom-up row order, B=G=R triplets, zero padding
+    # (w=36 -> row stride 108, already 4-byte aligned)
+    body = np.repeat(big[:, ::-1, :], 3, axis=2).reshape(n, -1)
+    h, w = 16, 36
+    n_px = h * w * 3
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, n_px, 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + n_px, 0, 0, 54) + dib
+    return [header + body[i].tobytes() for i in range(n)]
+
+
 def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection by perceptual hash: synthesize a
     deterministic BMP per document, REAL-decode + block-mean downsample
@@ -460,10 +509,7 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked, unlike the text hash families."""
     import pandas as pd
 
-    from clockpipe_spark.operators.multimodal import (
-        dhash_signatures,
-        encode_bmp_gray,
-    )
+    from clockpipe_spark.operators.multimodal import dhash_signatures
     from clockpipe_spark.operators.neardup import banded_hamming_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -473,10 +519,7 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "payload": [
-                        encode_bmp_gray(_phash_pixels(int(d)))
-                        for d in pdf["doc_id"]
-                    ],
+                    "payload": _phash_payloads_batch(pdf["doc_id"].values),
                 }
             )
 

@@ -216,3 +216,20 @@ def test_dhash_signature_pinned_and_banding(spark):
     sig = dhash_signatures(blobs)
     with pytest.raises(ValueError, match="max_hamming"):
         banded_hamming_pairs(sig, "doc_id", "dhash", max_hamming=4)
+
+
+def test_phash_batch_synthesis_byte_identical_to_scalar():
+    """The r9 vectorized fixture camera (_phash_payloads_batch) must
+    produce BYTE-identical BMPs to the scalar per-doc path it replaced
+    — covering group-pattern reuse, the per-doc XOR flip, the gradient
+    cumsum, pixel upsample, BGR repeat, bottom-up flip, and header."""
+    from clockpipe_spark.operators.multimodal import encode_bmp_gray
+    from clockpipe_spark.queries.approximate import (
+        _phash_payloads_batch,
+        _phash_pixels,
+    )
+
+    ids = [0, 1, 15, 16, 17, 63, 64, 65, 128, 200, 1023, 4096, 99999]
+    batch = _phash_payloads_batch(ids)
+    for d, payload in zip(ids, batch):
+        assert payload == encode_bmp_gray(_phash_pixels(d)), f"doc {d}"
