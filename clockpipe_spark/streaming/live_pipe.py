@@ -347,12 +347,39 @@ class LivePostgresRoutedPipe:
         finally:
             decoded.unpersist()
 
-    def sync_loop(self, max_iterations: int | None = None) -> int:
+    def sync_loop(
+        self,
+        max_iterations: int | None = None,
+        sleep: bool = False,
+        daemon: bool = False,
+    ) -> int:
+        """Drain (default) or poll forever (``daemon=True``, the
+        reference's run shape): an empty peek sleeps
+        ``sleep_millis_when_peek_is_empty`` and keeps polling
+        (pipes/postgres.rs:284-291); each productive iteration paces by
+        ``sleep_millis_after_sync_iteration`` (:513).  In daemon mode
+        ``max_iterations`` bounds POLLS (empty ones included)."""
+        import time
+
         it = 0
-        while max_iterations is None or it < max_iterations:
+        polls = 0
+        while max_iterations is None or (
+            polls if daemon else it
+        ) < max_iterations:
+            polls += 1
             if not self.sync_iteration():
-                break
+                if not daemon:
+                    break
+                if sleep:
+                    time.sleep(
+                        self.config.sleep_millis_when_peek_is_empty / 1000
+                    )
+                continue
             it += 1
+            if sleep:
+                time.sleep(
+                    self.config.sleep_millis_after_sync_iteration / 1000
+                )
         return it
 
     def replica(self, table: str) -> DataFrame | None:
@@ -408,8 +435,13 @@ class LivePostgresCdcPipe:
             return {"skip_only_frames": routed[SKIP_ONLY]["frames"]}
         return routed.get(self.table, {})
 
-    def sync_loop(self, max_iterations: int | None = None) -> int:
-        return self._routed.sync_loop(max_iterations)
+    def sync_loop(
+        self,
+        max_iterations: int | None = None,
+        sleep: bool = False,
+        daemon: bool = False,
+    ) -> int:
+        return self._routed.sync_loop(max_iterations, sleep=sleep, daemon=daemon)
 
     def replica(self) -> DataFrame | None:
         return self._routed.replica(self.table)

@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 from clockpipe_spark.cdc.changelog import changelog_from_events
 from clockpipe_spark.cdc.ops import apply_masks, keep_last_by_key
 from clockpipe_spark.config import PipeConfig
+
+
+class WriteFailedError(RuntimeError):
+    """A sync iteration failed in its WRITE phase (after a successful
+    peek).  The reference backs off with ``sleep_millis_when_write_failed``
+    for this class and ``sleep_millis_when_peek_failed`` for peek
+    failures (pipes/postgres.rs:277 vs :408-446); tagging the phase lets
+    sync_loop pick the matching knob.  Either way the cursor is
+    untouched, so the retry re-peeks the same batch."""
 from clockpipe_spark.streaming.replica import ReplicaStore
 
 
@@ -216,8 +225,12 @@ class SyncJob:
         tables = sorted({t for t, _ in counters})
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
-            list(pool.map(merge_one, tables))
+        try:
+            with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
+                list(pool.map(merge_one, tables))
+        except Exception as ex:
+            batch.unpersist()
+            raise WriteFailedError(str(ex)) from ex
         batch.unpersist()
         self.advance_cursor(last_seq)
         return counters
@@ -227,18 +240,37 @@ class SyncJob:
         max_iterations: int | None = None,
         sleep: bool = False,
         max_retries: int = 3,
+        daemon: bool = False,
     ) -> int:
         """Drain the log. A failed iteration is retried WITHOUT advancing
         the cursor (T3, pipes/postgres.rs:433-452): the next attempt
         re-peeks the same batch; the keyed merge makes the replay safe.
-        In deployment the retry backoff is
-        ``sleep_millis_when_peek_failed`` (5000 ms, config.rs:156-159).
+        The retry backoff matches the reference's failure classes:
+        ``sleep_millis_when_write_failed`` when the iteration died in
+        its write phase (WriteFailedError, pipes/postgres.rs:408-446),
+        ``sleep_millis_when_peek_failed`` otherwise (config.rs:156-159).
+
+        ``daemon=True`` is the reference's long-running shape: an empty
+        peek sleeps ``sleep_millis_when_peek_is_empty`` and keeps
+        polling (pipes/postgres.rs:284-291) instead of returning; bound
+        it with ``max_iterations`` (empty polls count) or run forever.
         """
         it = 0
+        polls = 0
         failures = 0
-        while max_iterations is None or it < max_iterations:
+        while max_iterations is None or (
+            polls if daemon else it
+        ) < max_iterations:
+            polls += 1
             try:
                 counters = self.sync_iteration()
+            except WriteFailedError:
+                failures += 1
+                if failures > max_retries:
+                    raise
+                if sleep:
+                    time.sleep(self.config.sleep_millis_when_write_failed / 1000)
+                continue  # cursor untouched -> same batch re-peeked
             except Exception:
                 failures += 1
                 if failures > max_retries:
@@ -248,7 +280,13 @@ class SyncJob:
                 continue  # cursor untouched -> same batch re-peeked
             failures = 0
             if not counters:
-                break
+                if not daemon:
+                    break
+                if sleep:
+                    time.sleep(
+                        self.config.sleep_millis_when_peek_is_empty / 1000
+                    )
+                continue
             it += 1
             if sleep:
                 time.sleep(self.config.sleep_millis_after_sync_iteration / 1000)

@@ -163,6 +163,77 @@ def test_retry_without_advance(spark, sf_dir, tmp_path):
         assert got == expected, tbl
 
 
+def test_backoff_classes_and_daemon_empty_peek(spark, sf_dir, tmp_path, monkeypatch):
+    """The reference's three run-loop pacing classes (r9 parity wiring):
+    a WRITE-phase failure backs off with sleep_millis_when_write_failed
+    (pipes/postgres.rs:408-446), any other failure with
+    sleep_millis_when_peek_failed (:277), and in daemon mode an empty
+    peek sleeps sleep_millis_when_peek_is_empty and keeps polling
+    (:284-291) instead of returning."""
+    from clockpipe_spark import sync_job as sj
+
+    cfg = PipeConfig.from_json(CONFIG_JSON)
+    cfg.sleep_millis_when_peek_failed = 11_000
+    cfg.sleep_millis_when_write_failed = 13_000
+    cfg.sleep_millis_when_peek_is_empty = 17_000
+    cfg.sleep_millis_after_sync_iteration = 1_000
+    job = SyncJob(spark, cfg, sf_dir, str(tmp_path / "backoff"))
+    job.initialize()
+
+    import types
+
+    slept: list[float] = []
+    # patch sync_job's `time` module reference only — patching the
+    # global time.sleep also catches Spark/py4j internal polling loops
+    fake_time = types.SimpleNamespace(sleep=slept.append, time=sj.time.time)
+    monkeypatch.setattr(sj, "time", fake_time)
+
+    real_iteration = job.sync_iteration
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise sj.WriteFailedError("injected write failure")
+        if calls["n"] == 2:
+            raise RuntimeError("injected peek failure")
+        return real_iteration()
+
+    job.sync_iteration = flaky
+    job.sync_loop(sleep=True)
+    assert slept[0] == 13.0, "write failure must use when_write_failed"
+    assert slept[1] == 11.0, "peek failure must use when_peek_failed"
+    assert slept.count(1.0) >= 1  # after_sync_iteration pacing
+
+    # daemon mode: drained log -> empty-peek sleeps, loop keeps polling
+    # until the poll budget runs out (never breaks on empty)
+    slept.clear()
+    done = job.sync_loop(sleep=True, daemon=True, max_iterations=3)
+    assert done == 0  # nothing new to sync
+    assert slept == [17.0, 17.0, 17.0]
+
+
+def test_write_phase_failure_is_tagged(spark, sf_dir, tmp_path):
+    """A merge-phase crash must surface as WriteFailedError (cursor
+    untouched) so the loop picks the write-failed backoff class."""
+    import pytest
+
+    from clockpipe_spark.sync_job import WriteFailedError
+
+    cfg = PipeConfig.from_json(CONFIG_JSON)
+    job = SyncJob(spark, cfg, sf_dir, str(tmp_path / "tagged"))
+    job.initialize()
+    before = job.read_cursor()
+    real_store_for = job.store_for
+    job.store_for = lambda tbl: (_ for _ in ()).throw(
+        RuntimeError("injected merge crash")
+    )
+    with pytest.raises(WriteFailedError, match="injected merge crash"):
+        job.sync_iteration()
+    assert job.read_cursor() == before  # T2: not advanced
+    job.store_for = real_store_for
+
+
 def test_cli_run(spark, sf_dir, tmp_path, capsys):
     from clockpipe_spark.__main__ import main
 
