@@ -53,6 +53,7 @@ Documented parity limitation:
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -359,8 +360,6 @@ class LivePostgresRoutedPipe:
         (pipes/postgres.rs:284-291); each productive iteration paces by
         ``sleep_millis_after_sync_iteration`` (:513).  In daemon mode
         ``max_iterations`` bounds POLLS (empty ones included)."""
-        import time
-
         it = 0
         polls = 0
         while max_iterations is None or (

@@ -214,6 +214,40 @@ def test_non_pk_update_with_full_old_tuple_does_not_tombstone(spark, tmp_path):
     assert rows == [(1, "newv")]
 
 
+def test_daemon_mode_polls_through_empty_peeks(spark, tmp_path, monkeypatch):
+    """daemon=True is the reference's run shape (pipes/postgres.rs:
+    284-291): an empty peek sleeps when_peek_is_empty and keeps
+    polling; max_iterations bounds POLLS in that mode.  Batches:
+    empty, write, empty, empty -> 1 productive iteration, sleeps =
+    [empty, after-iteration, empty, empty]."""
+    import types
+
+    from clockpipe_spark.config import PipeConfig
+    from clockpipe_spark.streaming import live_pipe as lp
+
+    write_batch = [
+        ("0/10", "7", _hex(encode_begin())),
+        ("0/20", "7", _hex(encode_insert(500, [("t", "2", None), ("t", "b", None)]))),
+        ("0/30", "7", _hex(encode_commit())),
+    ]
+    pipe, db = _pipe(spark, tmp_path, [[], write_batch, [], []])
+    pipe.first_sync()
+    pipe.config = PipeConfig(
+        sleep_millis_when_peek_is_empty=17_000,
+        sleep_millis_after_sync_iteration=1_000,
+    )
+    slept: list[float] = []
+    # patch live_pipe's `time` reference only — a global time.sleep
+    # patch also catches Spark/py4j internal polling (test_sync_job
+    # lesson)
+    monkeypatch.setattr(
+        lp, "time", types.SimpleNamespace(sleep=slept.append)
+    )
+    done = pipe.sync_loop(max_iterations=4, sleep=True, daemon=True)
+    assert done == 1
+    assert slept == [17.0, 1.0, 17.0, 17.0]
+
+
 def _apply_model(snapshot, ops):
     """Sequential reference model: dict of key -> row, ops applied in
     LSN order; an update with a changed key deletes the old key."""
