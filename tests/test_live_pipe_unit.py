@@ -329,6 +329,52 @@ def test_pk_move_scenarios_match_sequential_model(
     assert got == _apply_model({1: "a"}, scenario)
 
 
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_randomized_churn_matches_sequential_model(spark, tmp_path, seed):
+    """Seeded random op soup over a small key space — inserts, same-key
+    updates, PK moves (only onto currently-free keys, as a real UNIQUE
+    constraint would allow), deletes — one wire batch, replayed through
+    the pipe, must equal the sequential model.  Randomization covers
+    interleavings the five named scenarios don't enumerate."""
+    import random
+
+    rng = random.Random(seed)
+    state = {1: "a"}  # mirrors the seam snapshot
+    ops = []
+    next_val = 0
+    for _ in range(18):
+        keys = sorted(state)
+        free = [k for k in range(1, 8) if k not in state]
+        choices = ["I"] * bool(free) + ["U", "UM"] * bool(keys) + ["D"] * bool(keys)
+        if not choices:
+            continue
+        kind = rng.choice(choices)
+        next_val += 1
+        v = f"v{next_val}"
+        if kind == "I":
+            k = rng.choice(free)
+            ops.append(("I", k, v))
+            state[k] = v
+        elif kind == "U":
+            k = rng.choice(keys)
+            ops.append(("U", k, k, v))
+            state[k] = v
+        elif kind == "UM" and free:
+            old_k, new_k = rng.choice(keys), rng.choice(free)
+            ops.append(("U", old_k, new_k, v))
+            del state[old_k]
+            state[new_k] = v
+        else:
+            k = rng.choice(keys)
+            ops.append(("D", k))
+            del state[k]
+    pipe, db = _pipe(spark, tmp_path, [_pk_move_batch(ops)])
+    pipe.first_sync()
+    pipe.sync_iteration()
+    got = {r["id"]: r["v"] for r in pipe.replica("t1").collect()}
+    assert got == _apply_model({1: "a"}, ops), f"seed={seed} ops={ops}"
+
+
 def test_first_sync_stamps_snapshot_rows_with_version_zero(spark, tmp_path):
     pipe, db = _pipe(spark, tmp_path, [])
     copied = pipe.first_sync()
