@@ -216,9 +216,23 @@ def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup at scale: hash-groupBy on the md5 fingerprint, keep the
     lowest doc_id of each group. One shuffle on a 128-bit key — the
-    canonical 100 TB exact-dedup plan (never a pairwise self-join)."""
-    corpus = _doubled_corpus(spark, sf_dir)
-    fp = corpus.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+    canonical 100 TB exact-dedup plan (never a pairwise self-join).
+
+    Fingerprint-FIRST, then double: md5 runs map-side at scan
+    parallelism and the only shuffle (the groupBy) moves (fp, doc_id)
+    pairs, never document text.  The shared ``_doubled_corpus`` helper
+    deliberately stays out of this plan: its round-robin
+    ``fanout_repartition`` exists to feed compute-heavy fan-out stages
+    (shingle explode, signature matmuls) and here would add a full-text
+    shuffle in front of a trivial projection — the r6-r8 watch-item
+    drift on this query (0.25 s -> 0.6-0.7 s) was exactly that."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp0 = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    fp = fp0.unionByName(
+        fp0.select((F.col("doc_id") + 1000000).alias("doc_id"), "fp")
+    )
     return fp.groupBy("fp").agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count("*").alias("n_copies"),
