@@ -2,12 +2,12 @@
 
 Two deliberately different execution styles:
 
-- **MinHash** stays entirely JVM-side: shingle -> xxhash64 -> 32 universal
-  hash functions ((a*h+b) mod p in 32-bit space so nothing overflows
-  int64) -> per-doc min per function (one groupBy with 32 partial-agg
-  mins) -> band hashes -> equi-join on (band, hash). At 100 TB this is
-  the designed dedup path: cost is linear in corpus + candidate pairs,
-  never all-pairs.
+- **MinHash** stays entirely JVM-side: shingle -> portable 32-bit hash
+  (md5 prefix, see ``portable_hash32``) -> 32 universal hash functions
+  ((a*h+b) mod p in 32-bit space so nothing overflows int64) -> per-doc
+  min per function (one groupBy with 32 partial-agg mins) -> band hashes
+  -> equi-join on (band, hash). At 100 TB this is the designed dedup
+  path: cost is linear in corpus + candidate pairs, never all-pairs.
 
 - **SimHash** runs in mapInPandas (Arrow batches): per-doc 64-bit
   signature from md5-derived token hashes (deterministic across runs,
@@ -31,6 +31,29 @@ from pyspark.sql import functions as F
 
 _P32 = 4294967311  # smallest prime > 2^32
 _MASK32 = (1 << 32) - 1
+
+
+def portable_hash32(col):
+    """First 4 md5 bytes as a big-endian int in [0, 2^32).
+
+    Chosen over ``xxhash64`` (the r1-r9 seed hash) because BOTH engines
+    compute it natively — Spark ``conv(substring(md5(x),1,8),16,10)``,
+    DuckDB ``CAST('0x'||substring(md5(x),1,8) AS BIGINT)`` — which is
+    what makes the whole MinHash family oracle-pinnable at the driver
+    gate (VERDICT r9 directive #3). md5 is a JVM codegen builtin like
+    xxhash64; the swap trades a few ns/shingle map-side for a hash the
+    oracle can replay bit-for-bit, and recall tests are seed-agnostic.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash60(col):
+    """First 15 md5 hex chars (60 bits) as a non-negative bigint — the
+    band-key hash. 60 bits keeps the decimal rendering inside int64 for
+    both engines (16 chars could exceed 2^63 and null out under ANSI
+    casts); collision odds at 2^-60 per band pair are irrelevant next to
+    the est-Jaccard verification that follows the band join."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -70,8 +93,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<long>[n_hashes]) — one shuffle (groupBy id).
 
-    h32 = xxhash64(shingle) & MASK32 keeps every (a*h+b) product under
-    2^63, so the universal-hash family runs in plain long arithmetic.
+    h32 = portable_hash32(shingle) < 2^32 keeps every (a*h+b) product
+    under 2^63, so the universal-hash family runs in plain long
+    arithmetic (and DuckDB replays it exactly — see DEDUP_MINHASH_SQL).
     """
     params = _perm_params(n_hashes)
     toks = docs.select(
@@ -79,7 +103,7 @@ def minhash_signatures(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
     )
     sh = toks.select("id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"))
-    h32 = F.xxhash64("shingle").bitwiseAND(F.lit(_MASK32))
+    h32 = portable_hash32(F.col("shingle"))
     mins = [
         F.min((h32 * F.lit(a) + F.lit(b)) % F.lit(_P32)).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
@@ -103,11 +127,16 @@ def band_hashes(sig: DataFrame, n_hashes: int = 32, n_bands: int = 8) -> DataFra
                 *[
                     F.struct(
                         F.lit(band).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("minhash", band * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
+                        portable_hash60(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "minhash", band * rows_per_band + r + 1
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("band_hash"),
                     )
                     for band in range(n_bands)
@@ -167,9 +196,13 @@ def minhash_lsh_pairs(
     scored = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
     est = minhash_est_jaccard(F.col("ma"), F.col("mb"), n_hashes)
     return (
-        scored.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+        scored.withColumn("est", est)
+        .filter(F.col("est") >= threshold)
+        # floor-scaled like neardup_jaccard_pairs: est is k/n_hashes and
+        # k*1e4/n_hashes lands exactly on .5 for odd k at n=32 — round()
+        # ties flip between engines, floor never does (oracle precedent:
+        # textops.NEARDUP_JACCARD_SQL).
+        .select("doc_a", "doc_b", F.floor(F.col("est") * 1e4).alias("est_jaccard"))
     )
 
 
@@ -256,7 +289,9 @@ def banded_hamming_pairs(
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            hamming.alias("hamming"),
+            # long, not int: the driver's dtype-strict compare hashes
+            # against DuckDB bit_count output cast to BIGINT
+            hamming.cast("long").alias("hamming"),
         )
         # verify BEFORE dedup: the Hamming filter is a codegen'd popcount
         # over columns already in hand, while dropDuplicates is a shuffle

@@ -3,8 +3,11 @@ SimHash, LSH-blocked embedding dedup, multimodal plumbing.
 
 ``mm_bytes_meta`` has a genuine DuckDB oracle (octet_length / ascii /
 sha256 over the same utf-8 payload), proving the mapInPandas plumbing
-end-to-end. The hash-family operators are rows-only checked by the
-driver; pytest asserts their recall against the exact operators.
+end-to-end. Since r11 the text hash families (MinHash-LSH, its cluster
+composition, SimHash) are oracle-pinned too: their hashes are md5-based
+(portable_hash32 / md5_number_upper), so DuckDB replays the signatures
+bit-for-bit. Pytest additionally asserts recall against the exact
+operators (seed-agnostic).
 """
 
 from __future__ import annotations
@@ -49,9 +52,10 @@ def dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components + canonical-doc step, but the edge input is the
     linear-cost MinHash-LSH pair miner instead of the quadratic exact-
     Jaccard baseline — the composition a 100 TB dedup pipeline actually
-    runs. Rows-only at the gate (LSH hash family is engine-specific);
-    tests/test_components.py asserts >=95% of exact-Jaccard pairs land
-    in one LSH cluster.
+    runs. Oracle-pinned since r11 (DEDUP_CLUSTER_LSH_SQL replays the
+    md5-seeded MinHash + banding + recursive components in DuckDB);
+    tests/test_components.py additionally asserts >=95% of exact-Jaccard
+    pairs land in one LSH cluster.
 
     Uses star contraction (not min-label): rounds iterate over the EDGE
     set (~pairs) instead of the full vertex labels, the round count is
@@ -82,6 +86,163 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningful on this corpus — small-vocab word-salad docs are all
     bag-of-words-similar, so wider radii match nearly everything."""
     return simhash_neardup_pairs(_doubled_corpus(spark, sf_dir))
+
+
+def _minhash_sql_parts(n_hashes: int = 32, n_bands: int = 8) -> str:
+    """Shared CTE chain replaying operators/neardup.minhash_lsh_pairs in
+    DuckDB, bit-for-bit: same tokenization/shingling as the green
+    NEARDUP_JACCARD_SQL, same portable_hash32 (md5 prefix), same
+    (a*h+b)%p universal-hash family from the same seeded params, same
+    band/verify economics. One deliberate simplification: the band join
+    keys on the 4 raw min values instead of their 60-bit md5 (Spark
+    hashes only to narrow its shuffle key) — identical candidates
+    modulo 2^-60 hash collisions, which the est-Jaccard verification
+    would have to mis-score identically to matter."""
+    from clockpipe_spark.operators.neardup import _P32, _perm_params
+    from clockpipe_spark.queries.textops import _DOUBLED_SQL
+
+    params = _perm_params(n_hashes)
+    rows_per_band = n_hashes // n_bands
+    mins = ",\n         ".join(
+        f"min((h32 * {a} + {b}) % {_P32}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, concat_ws(',', {cols}) AS band_key"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(n_hashes)
+    )
+    return f"""
+corpus AS ({_DOUBLED_SQL}),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END)) AS shingle
+  FROM tok
+),
+hs AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) AS h32
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         ({matches}) / {n_hashes}.0 AS est
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+)"""
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_minhash_sql_parts()}
+SELECT doc_a, doc_b, CAST(floor(est * 10000) AS BIGINT) AS est_jaccard
+FROM scored WHERE est >= 0.5
+"""
+
+
+DEDUP_CLUSTER_LSH_SQL = f"""
+WITH RECURSIVE {_minhash_sql_parts()},
+raw_edges AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE est >= 0.5),
+edges AS (SELECT a, b FROM raw_edges UNION SELECT b, a FROM raw_edges),
+nodes AS (SELECT doc_id FROM corpus),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id,
+       min(lbl) AS cluster_id,
+       (min(lbl) = id) AS is_canonical
+FROM reach
+GROUP BY id
+ORDER BY doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB replay of operators/neardup.simhash_signatures +
+    banded_hamming_pairs: md5_number_upper(token) IS the Python
+    ``int.from_bytes(md5(t).digest()[:8], 'little')`` (probed: both give
+    12704604231530709392 for 'abc'), the 64 per-bit ±1 sums and the
+    sign-threshold signature are generated expressions, and the pair
+    join replays the 4x16-bit chunk banding + popcount verify. Valid
+    because the corpus has no whitespace-only docs (Python's tokenizer
+    would keep them at sig=0; SQL's empty group drops them) — asserted
+    in tests/test_oracle_simhash.py."""
+    from clockpipe_spark.queries.textops import _DOUBLED_SQL
+
+    acc = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    sig_terms = "\n           + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS HUGEINT)"
+        f" ELSE CAST(0 AS HUGEINT) END)"
+        for b in range(64)
+    )
+    return f"""
+WITH corpus AS ({_DOUBLED_SQL}),
+tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+    FROM corpus
+  )
+),
+hs AS (SELECT doc_id, md5_number_upper(token) AS h FROM tok),
+acc AS (
+  SELECT doc_id,
+         {acc}
+  FROM hs GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {sig_terms} AS sig
+  FROM acc
+),
+chunks AS (
+  SELECT doc_id, sig, cc.c AS chunk_idx, (sig >> (cc.c * 16)) & 65535 AS chunk
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cc
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 2
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
 def mm_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,8 +731,14 @@ ORACLES = {
     "mm_image_resize": MM_RESIZE_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_video_scene_cuts": MM_SCENE_CUTS_SQL,
-    # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
-    # families); recall vs exact Jaccard asserted in pytest.
+    # r11 (VERDICT r9 directives #2/#3): the whole text hash family is
+    # now oracle-pinned — the MinHash seed hash swapped from xxhash64 to
+    # the md5-prefix portable_hash32, and SimHash's md5-derived
+    # signatures were always DuckDB-replayable via md5_number_upper.
+    # Recall-vs-exact pytest coverage unchanged (seed-agnostic).
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_cluster_assign_lsh": DEDUP_CLUSTER_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     # mm_fake_image_features oracle is valid because the documents corpus
     # is pure ASCII (verified at every sf) so per-char ascii() == bytes.
 }
