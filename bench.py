@@ -311,7 +311,13 @@ def bench_cdc(spark, sf_dir: str, trials: int = 2) -> dict[str, float]:
     return best
 
 
-def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
+def bench_state_scale(
+    spark,
+    sf_dir: str,
+    n_keys: int = 10_000_000,
+    sweep: tuple[int, ...] = (256, 1024, 4096),
+    default_buckets: int = 1024,
+) -> dict:
     """Flat vs bucketed (merge-on-read) replica store, 10x past the
     1M-key point where PLANS.md's round-1 table stopped: seed n_keys of
     state across the 4 routed tables, then drain the sf change log in 8
@@ -328,7 +334,19 @@ def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
     layouts finish fully compacted. state_rows_rewritten (appends +
     compaction rewrites) is the metric that transfers to a cluster,
     where state I/O is remote; drain_sec shows the same design also wins
-    wall-clock on local[32] NVMe at 10M keys."""
+    wall-clock on local[32] NVMe at 10M keys.
+
+    r11 (VERDICT r9 directive #7): ``sweep`` drains the same changelog
+    at several bucket counts. The tradeoff being measured: more buckets
+    shrink the compaction's analytic rewrite volume (fewer rows per
+    touched bucket) but raise its constant cost (more files per
+    compaction cycle and per read's merge-on-read union) — at some N
+    every bucket is touched and the rewrite volume stops improving
+    (100k churned keys hit ~all of 256 and 1024 buckets, so past that
+    only file-count overhead grows). ``bucketed_*`` headline keys stay
+    pinned to ``default_buckets`` for cross-round comparability;
+    ``bucket_sweep`` records per-N drain/compact/rewrite numbers and
+    ``sweep_best_buckets`` the wall-clock argmin."""
     import shutil
     import tempfile
 
@@ -349,40 +367,47 @@ def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
             F.lit(False).alias("__deleted"),
         )
     )
-    out: dict[str, float | int] = {
+    out: dict[str, float | int | dict] = {
         "seeded_keys": n_keys,
-        "buckets_per_table": 1024,
+        "buckets_per_table": default_buckets,
         "batch_cap": CAP,
         "compact_every": 8,
     }
     # rewrite-volume accounting from the real changelog: per-(batch,
     # table) distinct keys = delta rows appended; per-table distinct
-    # buckets = buckets the one compaction cycle rewrites
+    # buckets (at each swept N) = buckets the one compaction cycle
+    # rewrites
     clog = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         .select(
             (F.col("event_id") / CAP).cast("int").alias("it"),
             F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string")).alias("tbl"),
             F.col("user_id"),
-            F.pmod(F.xxhash64("user_id"), F.lit(1024)).alias("bucket"),
         )
-    )
+    ).cache()
     appended = clog.select("it", "tbl", "user_id").distinct().count()
-    comp_buckets = (
-        clog.groupBy("tbl")
-        .agg(F.count_distinct("bucket").alias("n"))
-        .agg(F.sum("n").alias("total"))
-        .first()["total"]
-    )
+    comp_buckets_by_n = {
+        n: (
+            clog.groupBy("tbl")
+            .agg(
+                F.count_distinct(
+                    F.pmod(F.xxhash64("user_id"), F.lit(n))
+                ).alias("nb")
+            )
+            .agg(F.sum("nb").alias("total"))
+            .first()["total"]
+        )
+        for n in sweep
+    }
     n_iter_tables = clog.select("it", "tbl").distinct().count()
+    clog.unpersist()
     out["flat_state_rows_rewritten"] = n_iter_tables * (n_keys // 4)
-    out["bucketed_rows_appended"] = appended
-    out["bucketed_rows_compacted"] = int(comp_buckets * (n_keys // 4) / 1024)
-    out["bucketed_state_rows_rewritten"] = (
-        out["bucketed_rows_appended"] + out["bucketed_rows_compacted"]
-    )
-    for label, buckets in (("flat", 0), ("bucketed", 1024)):
-        target = tempfile.mkdtemp(prefix=f"clockpipe_state10x_{label}_")
+
+    def rows_rewritten(n: int) -> int:
+        return appended + int(comp_buckets_by_n[n] * (n_keys // 4) / n)
+
+    def drain(buckets: int) -> tuple[float, float]:
+        target = tempfile.mkdtemp(prefix=f"clockpipe_state10x_b{buckets}_")
         try:
             cfg = PipeConfig(peek_changes_limit=CAP, sink_buckets=buckets)
             job = SyncJob(spark, cfg, sf_dir, target)
@@ -401,17 +426,35 @@ def bench_state_scale(spark, sf_dir: str, n_keys: int = 10_000_000) -> dict:
                 store = job.store_for(f"t{i}")
                 if hasattr(store, "compact"):
                     store.compact(spark)
-            final_compact = time.perf_counter() - t0
-            out[f"{label}_events_per_sec"] = round(n_events / sec, 1)
-            out[f"{label}_drain_sec"] = round(sec, 2)
-            if buckets:
-                out["bucketed_final_compact_sec"] = round(final_compact, 2)
+            return round(sec, 2), round(time.perf_counter() - t0, 2)
         finally:
             shutil.rmtree(target, ignore_errors=True)
+
+    flat_sec, _ = drain(0)
+    out["flat_events_per_sec"] = round(n_events / flat_sec, 1)
+    out["flat_drain_sec"] = flat_sec
+    bucket_sweep: dict[str, dict] = {}
+    for n in sweep:
+        sec, compact_sec = drain(n)
+        bucket_sweep[str(n)] = {
+            "drain_sec": sec,
+            "final_compact_sec": compact_sec,
+            "total_sec": round(sec + compact_sec, 2),
+            "rows_rewritten": rows_rewritten(n),
+        }
+    out["bucket_sweep"] = bucket_sweep
+    out["sweep_best_buckets"] = int(
+        min(bucket_sweep, key=lambda n: bucket_sweep[n]["total_sec"])
+    )
+    chosen = bucket_sweep[str(default_buckets)]
+    out["bucketed_rows_appended"] = appended
+    out["bucketed_rows_compacted"] = rows_rewritten(default_buckets) - appended
+    out["bucketed_state_rows_rewritten"] = chosen["rows_rewritten"]
+    out["bucketed_events_per_sec"] = round(n_events / chosen["drain_sec"], 1)
+    out["bucketed_drain_sec"] = chosen["drain_sec"]
+    out["bucketed_final_compact_sec"] = chosen["final_compact_sec"]
     out["bucketed_speedup_vs_flat"] = round(
-        out["flat_drain_sec"]
-        / (out["bucketed_drain_sec"] + out["bucketed_final_compact_sec"]),
-        2,
+        out["flat_drain_sec"] / chosen["total_sec"], 2
     )
     return out
 
@@ -572,6 +615,10 @@ def main() -> None:
         # code untouched since r7) — VERDICT r8 directive #3 asks for iso
         # attribution so a host-noise reading is a measurement, not a claim
         "cdc_pgoutput_roundtrip",
+        # r9 watch item (VERDICT r9 directive #4 / r10 #6): flagged as a
+        # possible mover in the r8 suite; its quiet-host number settles
+        # whether the suite reading is position noise
+        "text_c4_filters",
     ]
     iso: dict[str, float] = {}
     for name in ISO_QUERIES:
@@ -726,6 +773,11 @@ def main() -> None:
                 1,
             ),
             "speedup": st["bucketed_speedup_vs_flat"],
+            # r11 bucket-count sweep: per-N total (drain+compact) secs
+            "sweep": {
+                n: s["total_sec"] for n, s in st["bucket_sweep"].items()
+            },
+            "best_n": st["sweep_best_buckets"],
         },
     }
     print(emit_line(compact))

@@ -252,19 +252,12 @@ _SHINGLE_K = 3
 _JACCARD_THRESHOLD = 0.5
 
 
-def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
-    explode distinct shingles, self-join on shingle (only co-occurring
-    docs meet), count intersections, Jaccard from |A|+|B|-|A∩B|.
-
-    Output-bound instead of O(n²): cost scales with shingle co-occurrence,
-    not corpus size squared. Tokens are materialized as a column before
-    shingling (see operators.neardup.shingles_from_tokens: inline split()
-    inside a lambda re-tokenizes per element)."""
+def _jaccard_baseline_from_toks(toks: DataFrame) -> DataFrame:
+    """Inverted-index exact-Jaccard plan over a (doc_id, toks) frame —
+    the body shared by neardup_jaccard_pairs and the adaptive
+    dispatcher's benign-corpus arm."""
     from clockpipe_spark.operators.neardup import shingles_from_tokens
 
-    corpus = _doubled_corpus(spark, sf_dir)
-    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
     sh = toks.select(
         "doc_id",
         F.explode(shingles_from_tokens(F.col("toks"), _SHINGLE_K)).alias("shingle"),
@@ -291,6 +284,20 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 17/32 = 0.53125) flip between engines — see text_quality_scores.
         .select("doc_a", "doc_b", F.floor(jac * 1e4).alias("jaccard"))
     )
+
+
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    explode distinct shingles, self-join on shingle (only co-occurring
+    docs meet), count intersections, Jaccard from |A|+|B|-|A∩B|.
+
+    Output-bound instead of O(n²): cost scales with shingle co-occurrence,
+    not corpus size squared. Tokens are materialized as a column before
+    shingling (see operators.neardup.shingles_from_tokens: inline split()
+    inside a lambda re-tokenizes per element)."""
+    corpus = _doubled_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    return _jaccard_baseline_from_toks(toks)
 
 
 NEARDUP_JACCARD_SQL = f"""
@@ -514,38 +521,102 @@ FROM rn ORDER BY doc_id
 """
 
 
-def neardup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs — SAME semantics and oracle
-    as neardup_jaccard_pairs, but with PPJoin-style prefix filtering
-    (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): under a global
-    df-ascending canonical gram order, any pair with J >= tau must
-    share a gram inside each side's first |A| - ceil(tau/(1+tau)*|A|)
-    + 1 grams. Candidates therefore come from joining only the RARE
-    prefix grams; the hot shingles that give the baseline its df^2
-    blowup sit at the end of the order and never enter the join.
-    Survivor pairs verify exactly via array_intersect on the staged
-    per-doc gram arrays (one pair-level set op, not a gram-row join).
+# Plan switch for the exact-Jaccard join (VERDICT r9 directive #5 /
+# r10 #4): the baseline inverted-index join produces sum(df*(df-1)/2)
+# candidate rows — its AMPLIFICATION over the gram mass (sum df) is ~1
+# on curated corpora but grows linearly in df for every hot template
+# gram. Threshold calibration, measured on this host at sf0.1 (amp
+# 10.2: gram_mass 521k, cand 5.3M): baseline 1.86 s vs prefix 11.7 s —
+# even at 10 extra join rows per gram row the codegen'd join+agg beats
+# the prefix arm's fixed machinery (df join, per-doc canonical
+# collect_list sort, pair-level array_intersect verifies) by 6x. A
+# per-unit cost model from those points puts indifference near amp ~65;
+# 32 splits the regimes with margin BOTH ways (this corpus keeps 3x
+# headroom to baseline; a genuine template — df in the thousands —
+# lands orders of magnitude above) and deliberately biases toward the
+# robust plan at scale: on 1000 executors an unbounded df^2 join blowup
+# is a job-killer, a ~6x bounded fixed cost is not.
+_PREFIX_MAX_AMPLIFICATION = 32.0
 
-    At 100 TB this is the difference between a join whose volume
-    follows sum(df^2) over every gram (hot templates explode it) and
-    one bounded by the rare-gram co-occurrence plus |candidates| set
-    intersections — the published exact-similarity-join shape. The
-    prefix bound uses tau/(1+tau) (valid for any |B|), conservative by
-    construction; the oracle replays the plain inverted-index join, so
-    a filtering bug would hash-fail.
 
-    Measured crossover (sf0.1, min-of-2): THIS corpus has a moderate
-    df distribution, so the baseline's gram join is cheap (2.05 s) and
-    the prefix machinery (df join + per-doc canonical sort + pair
-    verifies) costs more (11.4 s). The prefix plan's advantage is
-    worst-case robustness — its join volume cannot explode with a hot
-    template gram, the baseline's grows with df^2 — so the deployment
-    rule is: baseline for curated corpora, prefix for template-heavy
-    web crawl. Both ship, same oracle."""
+def gram_df_profile(toks: DataFrame) -> dict:
+    """One bounded probe over the inverted index: total gram mass,
+    exact baseline-join candidate rows (sum df*(df-1)/2), and the max
+    document frequency. Map-side-combinable aggregation, 1-row result
+    — the 100 TB cost is one pass over the gram explode, paid once to
+    avoid running a plan whose join volume is quadratic in the hottest
+    template's df."""
     from clockpipe_spark.operators.neardup import shingles_from_tokens
 
+    sh = toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), _SHINGLE_K)).alias("shingle"),
+    )
+    row = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum("df").alias("gram_mass"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand_rows"),
+            F.max("df").alias("max_df"),
+        )
+        .first()
+    )
+    gram_mass = row["gram_mass"] or 0
+    cand_rows = float(row["cand_rows"] or 0.0)
+    return {
+        "gram_mass": gram_mass,
+        "cand_rows": cand_rows,
+        "max_df": row["max_df"] or 0,
+        "amplification": cand_rows / gram_mass if gram_mass else 0.0,
+    }
+
+
+def choose_jaccard_plan(profile: dict) -> str:
+    """'baseline' unless the probe shows the inverted-index join would
+    amplify past _PREFIX_MAX_AMPLIFICATION rows per input gram row."""
+    return (
+        "prefix"
+        if profile["amplification"] > _PREFIX_MAX_AMPLIFICATION
+        else "baseline"
+    )
+
+
+def neardup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs — SAME semantics and oracle
+    as neardup_jaccard_pairs, chosen ADAPTIVELY per corpus df profile
+    (r11, closing the r9 crossover directive): a one-row probe over the
+    inverted index (gram_df_profile) measures how much the baseline's
+    gram self-join would amplify, and dispatches:
+
+    - amplification <= 32: the plain inverted-index join (this corpus:
+      amplification 10.2, baseline 1.86 s vs prefix 11.7 s at sf0.1);
+    - amplification > 32: PPJoin-style prefix filtering (Chaudhuri et
+      al. SSJoin / Xiao et al. PPJoin): under a global df-ascending
+      canonical gram order, any pair with J >= tau must share a gram
+      inside each side's first |A| - ceil(tau/(1+tau)*|A|) + 1 grams,
+      so candidates come from joining only the RARE prefix grams — the
+      hot template shingles that explode the baseline's join volume
+      (sum df^2) never enter it. Survivors verify exactly via
+      array_intersect on staged per-doc gram arrays.
+
+    The switch flipping on a hot-template fixture is pinned in
+    tests/test_textops_prefix.py; both arms share the one DuckDB
+    oracle (the plain inverted-index replay), so a dispatch or
+    filtering bug on either arm would hash-fail at the gate."""
     corpus = _doubled_corpus(spark, sf_dir)
     toks = corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    if choose_jaccard_plan(gram_df_profile(toks)) == "baseline":
+        return _jaccard_baseline_from_toks(toks)
+    return _jaccard_prefix_from_toks(toks)
+
+
+def _jaccard_prefix_from_toks(toks: DataFrame) -> DataFrame:
+    """The PPJoin-style prefix-filtered arm (see neardup_jaccard_prefix
+    for the dispatch rule and citations). The prefix bound uses
+    tau/(1+tau) (valid for any |B|), conservative by construction."""
+    from clockpipe_spark.operators.neardup import shingles_from_tokens
+
     docs_sh = toks.select(
         "doc_id", shingles_from_tokens(F.col("toks"), _SHINGLE_K).alias("sh")
     )

@@ -199,13 +199,47 @@ class LivePgCluster:
         )
 
     # -- adapter seams ------------------------------------------------------
+    def _peek_fast(self, spark, query: str):
+        """Batched peek transport (VERDICT r9 directive #6): stream the
+        peek result as one psql TSV write to a spool file and let
+        Spark's JVM CSV reader parse it — zero Python per-row work.
+
+        The generic ``rows()`` seam pays ~1.3 s per 65k-frame peek in
+        pure Python (json.loads per line + list-of-dicts -> pandas ->
+        arrow), profiled at ~40% of the whole drain's transport cost.
+        The peek's 3 columns are textually closed (pg_lsn 'X/Y', xid
+        digits, hex — none can contain a tab/newline/quote), so TSV is
+        unambiguous.  Spool files live under the cluster root (removed
+        at ``stop()``) because the returned frame is LAZY — the
+        adapter's eager localCheckpoint materializes it exactly once,
+        but deleting the file here would race that checkpoint."""
+        spool = tempfile.mkdtemp(prefix="peek_", dir=self.root)
+        path = os.path.join(spool, "frames.tsv")
+        with open(path, "w") as out:
+            r = subprocess.run(
+                self.psql + ["-q", "-t", "-A", "-F", "\t", "-c", query],
+                stdout=out, stderr=subprocess.PIPE, text=True,
+                cwd="/tmp", timeout=_CMD_TIMEOUT,
+            )
+        if r.returncode != 0:
+            raise RuntimeError(f"psql failed: {r.stderr}\nSQL: {query}")
+        return spark.read.csv(
+            path, sep="\t",
+            schema="lsn_txt string, xid_txt string, data_hex string",
+        )
+
     def seam_reader(self, spark):
         """psql-backed stand-in for the JDBC reader seam (deployment
-        uses the real relation; only the transport differs)."""
+        uses the real relation; only the transport differs).  Peek
+        queries take the spooled-TSV fast path; everything else (small
+        introspection/bounds results) keeps the typed row_to_json
+        path."""
         import re as _re
 
         def reader(options: dict):
             q = options.get("query") or f"SELECT * FROM {options['dbtable']}"
+            if "pg_logical_slot_peek_binary_changes" in q and "data_hex" in q:
+                return self._peek_fast(spark, q)
             rows = self.rows(q)
             if not rows:
                 # a real JDBC relation carries the result schema even

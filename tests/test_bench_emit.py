@@ -40,6 +40,8 @@ def _payload(n_queries: int) -> dict:
             "bucketed_drain_sec": 16.27,
             "rewrite_ratio": 25.9,
             "speedup": 1.75,
+            "sweep": {"256": 18.11, "1024": 16.27, "4096": 17.93},
+            "best_n": 1024,
         },
     }
 
