@@ -41,20 +41,51 @@ def _payload(n_queries: int) -> dict:
             "rewrite_ratio": 25.9,
             "speedup": 1.75,
             "sweep": {"256": 18.11, "1024": 16.27, "4096": 17.93},
-            "best_n": 1024,
+            "sweep_rw_mrows": {"256": 7.8, "1024": 3.1, "4096": 0.9},
+            "best_n_rewrite": 4096,
         },
+        # the blocks that shed first in the r10-shaped payload — present
+        # here so the guard measures the REAL compact line, and the new
+        # cheap-query elision (not block shedding) is what absorbs any
+        # overflow
+        "iso": {
+            "dedup_exact": 0.375, "neardup_jaccard_pairs": 2.269,
+            "ann_lsh_topk": 1.32, "embedding_neardup_pairs": 0.896,
+            "dedup_minhash_lsh": 1.4, "cdc_pgoutput_roundtrip": 1.17,
+            "text_c4_filters": 0.599,
+        },
+        "live_pg": {
+            "snapshot_rows_per_sec": 66703.4,
+            "cdc_events_per_sec": 23661.2,
+        },
+        "ingest": {
+            "n_docs": 5000, "n_batches": 4, "admitted": 2605,
+            "ingest_sec": 24.99, "docs_per_sec": 200.1,
+        },
+        "ingest_dps_by_batches": {"2": 184.2, "8": 211.0},
+        "ivf_prewarm_sec": 1.275,
+        "noise_mitigation": "min-of-3",
     }
 
 
-def test_current_headline_size_fits_with_all_blocks():
-    # the REAL headline set must fit WITHOUT shedding the metric blocks
+def test_current_headline_keeps_every_metric_block():
+    """The REAL r11-shaped payload must keep ALL metric blocks on the
+    driver's record — iso / live_pg / state10x each carry a standing
+    directive's evidence. Cheap-query elision (disclosed, floor 24,
+    full list in BENCH_DETAIL.json) is the pressure valve instead."""
     payload = _payload(0)
     payload["queries"] = {name: 12.34 for name in HEADLINE}
     line = emit_line(payload)
     assert len(line) <= TAIL_BUDGET
     parsed = json.loads(line)
-    assert parsed["cdc"] and parsed["state10x"] and parsed["shared_vs_prev"]
-    assert len(parsed["queries"]) == len(HEADLINE)
+    for block in ("cdc", "state10x", "shared_vs_prev", "iso", "live_pg",
+                  "ingest"):
+        assert parsed.get(block), f"{block} must survive emit_line"
+    assert len(parsed["queries"]) >= 24
+    assert (
+        len(parsed["queries"]) + parsed.get("queries_elided", 0)
+        == len(HEADLINE)
+    )
 
 
 def test_oversized_registry_still_parses_within_budget():
