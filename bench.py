@@ -160,32 +160,44 @@ EXTRA_DETAIL = [
 ]
 
 
-def shared_vs_prev(timings: dict[str, float], here: str) -> dict | None:
+def shared_vs_prev(
+    timings: dict[str, float], here: str, prev_detail: dict | None = None
+) -> dict | None:
     """Cross-round comparability: ratio of this run's total to the
-    previous round's BENCH file over the intersection of query names, so
-    a per-query regression shows up as a number instead of an
-    archaeology exercise (VERDICT r4 #5)."""
+    previous run's per-query times over the intersection of query
+    names, so a per-query regression shows up as a number instead of an
+    archaeology exercise (VERDICT r4 #5).
+
+    Source preference (ADVICE r10): the PREVIOUS run's full-precision
+    BENCH_DETAIL queries (read before this run overwrites the file) —
+    the driver-recorded BENCH_r*.json lines round to one decimal, which
+    understates sub-second movers (r10's worst_ratio read 1.416 from
+    rounded values vs 1.52 full-precision). Falls back to the newest
+    parseable BENCH_r*.json when no prior detail file exists."""
     import glob
     import re
 
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-        reverse=True,
-    )
-    # walk back to the newest bench the driver actually parsed (r5's
-    # JSON line overflowed the driver's 2000-char stdout tail ->
-    # parsed:null; skip such rounds rather than losing the comparable)
     prev, prev_path = {}, None
-    for cand in benches:
-        try:
-            blob = json.load(open(cand))
-            parsed = blob.get("parsed", blob)
-            if isinstance(parsed, dict) and parsed.get("queries"):
-                prev, prev_path = parsed["queries"], cand
-                break
-        except (OSError, json.JSONDecodeError):
-            continue
+    if prev_detail and prev_detail.get("queries"):
+        prev, prev_path = prev_detail["queries"], "BENCH_DETAIL.json(prev-run)"
+    if not prev:
+        benches = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+            reverse=True,
+        )
+        # walk back to the newest bench the driver actually parsed (r5's
+        # JSON line overflowed the driver's 2000-char stdout tail ->
+        # parsed:null; skip such rounds rather than losing the comparable)
+        for cand in benches:
+            try:
+                blob = json.load(open(cand))
+                parsed = blob.get("parsed", blob)
+                if isinstance(parsed, dict) and parsed.get("queries"):
+                    prev, prev_path = parsed["queries"], cand
+                    break
+            except (OSError, json.JSONDecodeError):
+                continue
     shared = sorted(set(prev) & set(timings))
     if not shared:
         return None
@@ -194,8 +206,11 @@ def shared_vs_prev(timings: dict[str, float], here: str) -> dict | None:
     # sub-half-second queries ratio like noise; report the worst mover
     # among the ones whose regression would actually matter
     material = [q for q in shared if prev[q] >= 0.5] or shared
-    worst = max(material, key=lambda q: timings[q] / max(prev[q], 1e-9))
-    return {
+    ranked = sorted(
+        material, key=lambda q: timings[q] / max(prev[q], 1e-9), reverse=True
+    )
+    worst = ranked[0]
+    out = {
         "prev_file": os.path.basename(prev_path),
         "n_shared": len(shared),
         "prev_total_sec": round(prev_total, 3),
@@ -204,6 +219,14 @@ def shared_vs_prev(timings: dict[str, float], here: str) -> dict | None:
         "worst_query": worst,
         "worst_ratio": round(timings[worst] / max(prev[worst], 1e-9), 3),
     }
+    # second-worst mover too (ADVICE r10: r10 had TWO >1.4x movers and
+    # the single-slot report hid one)
+    if len(ranked) > 1:
+        out["worst2_query"] = ranked[1]
+        out["worst2_ratio"] = round(
+            timings[ranked[1]] / max(prev[ranked[1]], 1e-9), 3
+        )
+    return out
 
 
 # The driver captures only the LAST 2000 characters of bench stdout and
@@ -617,6 +640,13 @@ def bench_live_pg(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    here = os.path.dirname(os.path.abspath(__file__))
+    # capture the PREVIOUS run's full-precision timings before this run
+    # overwrites the file (shared_vs_prev's preferred source)
+    try:
+        prev_detail = json.load(open(os.path.join(here, "BENCH_DETAIL.json")))
+    except (OSError, json.JSONDecodeError):
+        prev_detail = None
     spark = get_spark("clockpipe-bench")
     queries = all_queries()
 
@@ -716,7 +746,6 @@ def main() -> None:
         extra[name] = min(trials)
 
     total = round(sum(timings.values()), 3)
-    here = os.path.dirname(os.path.abspath(__file__))
     full = {
         "metric": "headline_total",
         "value": total,
@@ -734,7 +763,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "iso": iso,
         "ivf_prewarm_sec": ivf_prewarm_sec,
-        "shared_vs_prev": shared_vs_prev(timings, here),
+        "shared_vs_prev": shared_vs_prev(timings, here, prev_detail),
         "cdc": bench_cdc(spark, sf_dir),
         # round 8: throughput against a REAL postgres (throwaway
         # cluster; psql transport disclosed; {"error"} if the host
