@@ -316,9 +316,20 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges over the EDGE set (tiny next to the corpus), never a
     per-node adjacency materialization. Skew is bounded by the miner's
     own blocking; at 100 TB the hot-node mitigation is degree-ordered
-    orientation, which canonical ordering already approximates."""
-    edges = neardup_edit_distance(spark, sf_dir).select(
-        "lang", F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    orientation, which canonical ordering already approximates.
+
+    The edge set is MATERIALIZED once (eager localCheckpoint) before
+    the triangle/node branches: the plan references it four times, and
+    exchange reuse does not reach across the differently-keyed join
+    branches, so an unmaterialized edge frame re-runs the edit-distance
+    miner per branch (measured 4.4 s -> the miner's own 1.9 s + joins
+    after this change). Same economics at 100 TB: the miner's output is
+    pairs, orders of magnitude under the corpus, and checkpointing it
+    is what makes the triangle join's input cost edge-bound."""
+    edges = (
+        neardup_edit_distance(spark, sf_dir)
+        .select("lang", F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
     tri = (
         edges.join(
