@@ -64,3 +64,48 @@ def test_hex_prefix_cast_is_portable_hash32(s):
         "SELECT CAST(concat('0x', substring(md5(?), 1, 8)) AS BIGINT)", [s]
     ).fetchone()[0]
     assert got == expect
+
+
+# -- property pins: the md5-primitive agreement is the load-bearing
+# assumption under EVERY hash-family oracle; fixed vectors above catch
+# endianness regressions, these catch encoding/length edge classes
+# (multi-byte utf-8, embedded separators, long strings) -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texty = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_texty)
+def test_md5_primitives_agree_for_any_text(s):
+    con = duckdb.connect()
+    le64, hex32 = con.execute(
+        "SELECT md5_number_upper(?),"
+        " CAST(concat('0x', substring(md5(?), 1, 8)) AS BIGINT)",
+        [s, s],
+    ).fetchone()
+    digest = hashlib.md5(s.encode()).digest()
+    assert le64 == int.from_bytes(digest[:8], "little")
+    assert hex32 == int.from_bytes(digest[:4], "big")
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 32) - 1),
+                min_size=4, max_size=4))
+def test_band_key_rendering_agrees(ms):
+    """The band hash input string — concat_ws(',', minhash values) —
+    must render identically from BIGINTs in both engines (and from
+    Python ints, the reference rendering)."""
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT concat_ws(',', CAST(? AS BIGINT), CAST(? AS BIGINT),"
+        " CAST(? AS BIGINT), CAST(? AS BIGINT))", ms
+    ).fetchone()[0]
+    assert got == ",".join(str(m) for m in ms)
