@@ -87,6 +87,37 @@ def test_compaction_rewrites_only_touched_buckets(spark, tmp_path):
     assert got[7] == 700.0 and got[6] == 6.0
 
 
+def test_rewrite_fraction_scales_with_bucket_count(spark, tmp_path):
+    """The mechanism behind bench.py's r11 state10x bucket sweep
+    (VERDICT r9 directive #7): for a FIXED churn of k distinct keys,
+    compaction rewrites at most k of N buckets — so the rewritten
+    FRACTION of state shrinks as N grows (until every bucket is
+    touched, past which more buckets only add file count). Pinned at
+    three bucket counts on identical churn."""
+    churn = [(100 + j, "U", j * 7, 7000.0 + j) for j in range(4)]  # 4 keys
+    fractions = {}
+    for n in (4, 8, 16):
+        store = BucketedReplicaStore(
+            str(tmp_path / f"sw_{n}"), n_buckets=n, compact_every=100
+        )
+        seed = _clog(spark, [(i, "I", i * 7, float(i)) for i in range(32)])
+        store.merge_changes(spark, seed, ["user_id"], mode="rewrite")
+        m1 = store.read_manifest()
+        store.merge_changes(spark, _clog(spark, churn), ["user_id"])
+        store.compact(spark)
+        m2 = store.read_manifest()
+        data = [b for b in m1 if not b.startswith("__")]
+        changed = [b for b in data if m1[b] != m2.get(b)]
+        assert 1 <= len(changed) <= len(churn)
+        fractions[n] = len(changed) / n
+        # untouched buckets reuse their files at every N
+        assert all(m1[b] == m2[b] for b in data if b not in changed)
+    # the rewritten fraction must not grow with N, and must strictly
+    # shrink from the smallest to the largest swept count
+    assert fractions[4] >= fractions[8] >= fractions[16]
+    assert fractions[16] < fractions[4]
+
+
 def test_auto_compaction_threshold(spark, tmp_path):
     store = BucketedReplicaStore(str(tmp_path / "b3"), n_buckets=4, compact_every=3)
     for i in range(3):
