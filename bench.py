@@ -276,6 +276,7 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
         "ingest_dps_by_batches",
         "ivf_prewarm_sec",
         "ingest",
+        "dedup10x",
         "live_pg",
         "iso",
         "state10x",
@@ -504,6 +505,136 @@ def bench_state_scale(
         out["flat_drain_sec"] / chosen["total_sec"], 2
     )
     return out
+
+
+def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Corpus-scale sweep for the LSH dedup path (the state10x analog
+    for the dedup family): replicate documents ``factor``× with a
+    replica-DISJOINT token space — every token prefixed by its replica
+    tag — so each replica carries the 1× corpus's exact near-dup
+    structure but replicas can never cross-match (shingle sets are
+    disjoint; band-hash collisions are 2^-60). The N× workload is
+    therefore exactly N independent copies of the 1× workload, which
+    makes the wall-clock ratio a clean linearity probe: a pair miner
+    that is linear in corpus + candidates should cost ~N× (ratio/N ≈ 1),
+    and anything quadratic shows up as ratio/N ≈ N.
+
+    Each replica is doubled (clone at +CLONE_OFF with identical text),
+    so pair counts are deterministic anchors: pairs_Nx must equal
+    N * pairs_1x exactly — asserted into the output as
+    ``pairs_scale_exact`` — or the harness itself is wrong.
+
+    Both factors run the REAL operators (minhash_lsh_pairs →
+    connected_components_star) over a materialized parquet corpus, so
+    the measured cost includes the scan, the signature groupBy, the
+    band self-join, the est-Jaccard verify join (AQE-planned since r11:
+    broadcast at this scale, shuffle at cluster scale), and the star
+    contraction rounds. Single trial per factor (disclosed): the
+    scaling RATIO is the metric, and both factors share any host bias.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.operators.components import connected_components_star
+    from clockpipe_spark.operators.neardup import minhash_lsh_pairs
+
+    REP_OFF, CLONE_OFF = 10_000_000, 5_000_000
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    out: dict[str, float | int | bool | dict] = {"factor": factor, "trials": 1}
+    tmp = tempfile.mkdtemp(prefix="clockpipe_dedup_scale_")
+    try:
+        per_factor: dict[str, dict] = {}
+        warmed = False
+        for fac in (1, factor):
+            reps = spark.range(fac).select(F.col("id").alias("rep"))
+            clones = F.explode(F.array(F.lit(0), F.lit(1)))
+            toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            scaled = (
+                docs.crossJoin(reps)
+                .select(
+                    "doc_id",
+                    "rep",
+                    F.array_join(
+                        F.transform(
+                            toks,
+                            lambda t: F.concat_ws(
+                                "_", F.concat(F.lit("r"), F.col("rep")), t
+                            ),
+                        ),
+                        " ",
+                    ).alias("text"),
+                )
+                .withColumn("clone", clones)
+                .select(
+                    (
+                        F.col("doc_id")
+                        + F.col("rep") * REP_OFF
+                        + F.col("clone") * CLONE_OFF
+                    ).alias("doc_id"),
+                    "text",
+                )
+            )
+            path = os.path.join(tmp, f"docs_{fac}x")
+            scaled.write.mode("overwrite").parquet(path)
+            corpus = spark.read.parquet(path)
+            if not warmed:
+                # one untimed 1× pass first: codegen/JIT for the
+                # signature+band stages otherwise lands entirely on the
+                # 1× measurement and corrupts the ratio (measured: cold
+                # 1× ran 2× slower than warm 5× at sf0.01)
+                minhash_lsh_pairs(corpus, threshold=0.5).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                spark.catalog.clearCache()
+                warmed = True
+            t0 = time.perf_counter()
+            pairs = (
+                minhash_lsh_pairs(corpus, threshold=0.5)
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=True)
+            )
+            n_pairs = pairs.count()
+            pair_sec = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            labels = connected_components_star(
+                corpus.select("doc_id"), pairs, id_col="doc_id",
+                src="doc_a", dst="doc_b",
+            )
+            n_clusters = (
+                labels.agg(F.count_distinct("lbl").alias("c")).first()["c"]
+            )
+            cluster_sec = round(time.perf_counter() - t0, 3)
+            per_factor[f"{fac}x"] = {
+                "docs": corpus.count(),
+                "pairs": n_pairs,
+                "clusters": n_clusters,
+                "pair_mine_sec": pair_sec,
+                "cluster_sec": cluster_sec,
+            }
+            # the sig cache inside minhash_lsh_pairs would otherwise
+            # carry the N× corpus's signatures into the next block
+            spark.catalog.clearCache()
+        one, big = per_factor["1x"], per_factor[f"{factor}x"]
+        out["per_factor"] = per_factor
+        out["pairs_scale_exact"] = big["pairs"] == factor * one["pairs"]
+        out["pair_mine_wall_ratio"] = round(
+            big["pair_mine_sec"] / max(one["pair_mine_sec"], 1e-9), 2
+        )
+        out["cluster_wall_ratio"] = round(
+            big["cluster_sec"] / max(one["cluster_sec"], 1e-9), 2
+        )
+        # <= 1 means linear-or-better (fixed per-query costs — job
+        # launch, contraction-round driver latency — amortize with size)
+        out["pair_mine_linearity"] = round(
+            out["pair_mine_wall_ratio"] / factor, 2
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
@@ -777,6 +908,9 @@ def main() -> None:
             str(n): bench_ingest(spark, sf_dir, n_batches=n) for n in (2, 8)
         },
         "state10x": bench_state_scale(spark, sf_dir),
+        # r11: corpus-scale linearity probe for the LSH dedup path —
+        # the dedup family's answer to state10x
+        "dedup10x": bench_dedup_scale(spark, sf_dir),
     }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(full, f, indent=1)
@@ -851,6 +985,12 @@ def main() -> None:
                 for n, s in st["bucket_sweep"].items()
             },
             "best_n_rewrite": st["sweep_best_buckets_rewrite"],
+        },
+        "dedup10x": {
+            "pairs_scale_exact": full["dedup10x"]["pairs_scale_exact"],
+            "pair_mine_wall_ratio": full["dedup10x"]["pair_mine_wall_ratio"],
+            "cluster_wall_ratio": full["dedup10x"]["cluster_wall_ratio"],
+            "linearity": full["dedup10x"]["pair_mine_linearity"],
         },
     }
     print(emit_line(compact))

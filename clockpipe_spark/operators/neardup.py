@@ -193,7 +193,15 @@ def minhash_lsh_pairs(
     )
     sa = sig.select(F.col("id").alias("doc_a"), F.col("minhash").alias("ma"))
     sb = sig.select(F.col("id").alias("doc_b"), F.col("minhash").alias("mb"))
-    scored = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # No broadcast hint on the signature re-join: the signature table is
+    # CORPUS-sized (one row per doc, ~n_hashes*8 bytes each), so a forced
+    # broadcast is exactly the thing that stops working at 100 TB —
+    # ~300 GB of signatures cannot ship to every executor. Left to AQE,
+    # the cached sig frame's accurate runtime size still converts this to
+    # a broadcast join at bench scale (verified in the dumped plan), and
+    # at cluster scale it degrades gracefully to a shuffle join keyed on
+    # doc id — the plan a 1B-doc corpus actually needs.
+    scored = cand.join(sa, "doc_a").join(sb, "doc_b")
     est = minhash_est_jaccard(F.col("ma"), F.col("mb"), n_hashes)
     return (
         scored.withColumn("est", est)

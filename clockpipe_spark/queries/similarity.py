@@ -126,9 +126,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition, and the blocking key is sub-blocked on a
     # (label × id-block²) grid so a low-cardinality label set can never
     # cap shuffle-join parallelism either. Measured 4.0 s → 0.83 s warm.
-    pairs = grid_pair_join(
-        fanout_repartition(a), F.broadcast(b), "lbl", "id_a", "id_b"
-    )
+    # No broadcast hint on b: it is the SAME corpus as a, so forcing a
+    # broadcast is the self-join anti-pattern that dies at 100 TB.
+    # Catalyst/AQE still broadcasts it at bench scale (sub-MB scan); at
+    # cluster scale the join shuffles on the (label, block, block) grid
+    # cell — exactly the distribution grid_pair_join exists to provide.
+    pairs = grid_pair_join(fanout_repartition(a), b, "lbl", "id_a", "id_b")
     cos = cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na2"), F.col("nb2"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos"))

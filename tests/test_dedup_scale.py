@@ -1,0 +1,30 @@
+"""Pin the dedup10x harness mechanism (bench.bench_dedup_scale): the
+replica-disjoint token prefixing must make the N× corpus exactly N
+independent copies of the 1× workload — pair and cluster counts scale
+EXACTLY by the factor, or the linearity ratio the bench reports is
+measuring a different workload than it claims.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import bench_dedup_scale
+
+
+def test_dedup_scale_replicas_are_independent_copies(spark, sf_dir):
+    out = bench_dedup_scale(spark, sf_dir, factor=2)
+    one, big = out["per_factor"]["1x"], out["per_factor"]["2x"]
+    # doubled corpus: every doc has a clone, so docs = 2 * table * factor
+    assert big["docs"] == 2 * one["docs"]
+    # the anchor the bench publishes: replicas never cross-match, so the
+    # pair census replicates exactly
+    assert out["pairs_scale_exact"]
+    assert big["pairs"] == 2 * one["pairs"]
+    assert big["clusters"] == 2 * one["clusters"]
+    # every doc belongs to a cluster and each clone pair collapses:
+    # clusters <= docs/2 + singletons bound sanity
+    assert 0 < one["clusters"] <= one["docs"]
+    assert {"pair_mine_wall_ratio", "cluster_wall_ratio",
+            "pair_mine_linearity"} <= out.keys()
