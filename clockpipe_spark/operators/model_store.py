@@ -136,9 +136,14 @@ def score_with_bigram_lm(
     ctx_freq = store.load_table("ctx_freq")
     vocab = store.load_table("vocab")
     flat = bigram_gram_stream(load_table(spark, sf_dir, "documents"))
+    # no broadcast hints on the loaded count tables (same rationale as
+    # text_bigram_logprob): a persisted bigram model is only
+    # broadcastable after a top-M prune; unpruned, the join must be
+    # free to shuffle. AQE broadcasts from the store tables' real file
+    # sizes at this scale.
     scored = (
-        flat.join(F.broadcast(bg_freq), "bg")
-        .join(F.broadcast(ctx_freq), "w1")
+        flat.join(bg_freq, "bg")
+        .join(ctx_freq, "w1")
         .crossJoin(F.broadcast(vocab))
     )
     nll = -F.log2((F.col("cbg") + _BG_K) / (F.col("cctx") + _BG_K * F.col("v")))

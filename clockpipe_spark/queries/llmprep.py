@@ -108,7 +108,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     # pure int64 arithmetic end to end: double division + cast would
     # truncate in Spark but ROUND in DuckDB; `div` sidesteps the cast
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
+    # no broadcast hint on df_: per-term document frequency is
+    # vocab-sized (see text_unigram_surprisal's note) — AQE broadcasts
+    # it at bench scale, shuffle-joins on term at cluster scale
+    scored = tf.join(df_, "term").withColumn(
         "score", F.expr("tf * 1000000L div df")
     )
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "term")

@@ -324,7 +324,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
     # 1-row total via broadcast cross join (same pattern as relational2)
     total = freq.agg(F.sum("c").alias("n"))
-    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    # no broadcast hint on freq: the vocab of a web-scale corpus is
+    # heavy-tailed (typos/noise push unique tokens toward 1e9 at
+    # 100 TB), so a forced broadcast is a scale bug. AQE still converts
+    # this to a broadcast join at bench scale from the agg's actual
+    # output size; at cluster scale it stays a shuffle join on tok.
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
     surprisal = -F.log2(F.col("c") / F.col("n"))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
@@ -409,9 +414,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
     ).agg(F.sum("cbg").alias("cctx"))
     vocab = ctx_freq.agg(F.count("*").alias("v"))
+    # no broadcast hints on the count tables: bigram vocab grows faster
+    # than unigram vocab and cannot ship to every executor at 100 TB
+    # (the serving-time fix is the documented top-M prune). AQE still
+    # broadcasts both at bench scale from their actual agg sizes; at
+    # cluster scale these become shuffle joins on bg / w1. vocab is one
+    # row — its broadcast hint stays.
     scored = (
-        flat.join(F.broadcast(bg_freq), "bg")
-        .join(F.broadcast(ctx_freq), "w1")
+        flat.join(bg_freq, "bg")
+        .join(ctx_freq, "w1")
         .crossJoin(F.broadcast(vocab))
     )
     nll = -F.log2(
