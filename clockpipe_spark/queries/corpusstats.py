@@ -377,11 +377,14 @@ def trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_ppm"
         ),
     )
+    # top-k via orderBy().limit(k) (TakeOrderedAndProject: per-partition
+    # k-row heaps, k-row exchange) instead of row_number over a global
+    # window, which would single-partition the vocab-sized scored frame;
+    # the rank window then sees k rows only (same output — the term
+    # tiebreak makes the order total)
+    top = scored.orderBy(F.col("delta_ppm").desc(), "term").limit(_TREND_TOP)
     w = Window.orderBy(F.col("delta_ppm").desc(), "term")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TREND_TOP)
-    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 TRENDING_SQL = rf"""

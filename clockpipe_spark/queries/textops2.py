@@ -272,10 +272,19 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("occurrences"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+    # global top-k via orderBy().limit(k), NOT row_number over an
+    # unpartitioned window: the counts frame is vocab-sized, and a
+    # global window moves all of it to one partition. limit compiles to
+    # TakeOrderedAndProject — per-partition top-k, merge of k-row heaps
+    # — so the exchange carries k rows regardless of corpus size. The
+    # rank window then runs over k rows only (identical output: the
+    # tiebreak makes the total order deterministic).
+    top = counts.orderBy(
+        F.col("occurrences").desc(), F.col("win")
+    ).limit(_TOP_GRAMS)
     w = Window.orderBy(F.col("occurrences").desc(), F.col("win"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_GRAMS)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(F.col("win").alias("ngram"), "occurrences", "n_docs", "rnk")
     )
 
