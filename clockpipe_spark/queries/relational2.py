@@ -266,7 +266,13 @@ FROM (
 
 
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile + rank battery over customer balances."""
+    """ntile + rank battery over customer balances.
+
+    The unpartitioned window is the SEMANTICS here — global quartiles
+    need a total order — and is the known cost of this query class at
+    scale. The scale-out variant (not this battery's contract) computes
+    approx percentile bounds first and assigns tiles by range: one scan
+    + a 3-value broadcast instead of a single-partition sort."""
     from pyspark.sql import Window
 
     cust = _t(spark, sf_dir, "customer")

@@ -164,8 +164,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids; recall comes from the table union (1-(1-p^bits)^tables), not
     from widening any single bucket.
 
-    No SQL oracle (hash family is engine-specific); pytest asserts recall
-    against cosine_topk_brute.
+    Oracle-pinned since r11: the hyperplanes are SEED-derived (data-
+    independent, RandomState(42)), so ANN_LSH_SQL embeds them as literal
+    double lists and DuckDB replays the exact bucket assignment —
+    sign(list_dot_product) per plane, bit-packed per table — candidate
+    union, and cosine ranking. pytest additionally asserts recall
+    against cosine_topk_brute (seed-agnostic).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     _, dim = _corpus_meta(sf_dir)
@@ -205,6 +209,75 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+def _ann_lsh_sql(dim: int = 64, n_tables: int = 8, n_bits: int = 4,
+                 seed: int = 42) -> str:
+    """DuckDB replay of ann_lsh_topk, bit-for-bit: the hyperplane matrix
+    is seed-derived (multitable_lsh_bucketizer's RandomState(seed)), so
+    its 32 columns are embedded as literal double lists (repr() is the
+    shortest round-trip rendering — DuckDB parses back the identical
+    bits). Bucket id = ((table+1) << 32) + Σ_b [dot(e, plane_{t,b}) ≥ 0]
+    · 2^b, exactly the numpy expression. The only cross-engine freedom
+    is summation order inside the dot product (numpy SIMD vs sequential),
+    which can flip a sign only for |dot| ≲ 1e-13 — measure-zero for
+    N(0,1) planes against real embeddings, same acceptance as the
+    md5-band simplification in the MinHash oracle.
+
+    dim=64 is fixed across the shipped testdata (all sf dirs); the
+    oracle contract supplies no sf parameter, so the plane literals
+    cannot adapt — regenerate via this function if the corpus changes."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(dim, n_tables * n_bits)
+    rows = ",\n  ".join(
+        "({}, [{}])".format(
+            c, ", ".join(repr(float(x)) for x in planes[:, c])
+        )
+        for c in range(n_tables * n_bits)
+    )
+    return f"""
+WITH planes(pc, p) AS (VALUES
+  {rows}
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bits AS (
+  SELECT b.vec_id, pl.pc // {n_bits} AS tb,
+         CASE WHEN list_dot_product(b.e, pl.p) >= 0
+              THEN (CAST(1 AS BIGINT) << (pl.pc % {n_bits})) ELSE 0 END AS bv
+  FROM base b CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id,
+         (CAST(tb + 1 AS BIGINT) << 32) + sum(bv) AS bucket
+  FROM bits GROUP BY vec_id, tb
+),
+q AS (SELECT vec_id AS query_id, bucket FROM buckets
+      WHERE vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.query_id, f.vec_id
+  FROM buckets f JOIN q ON f.bucket = q.bucket
+  WHERE f.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(qe.e, ne.e) AS cos
+  FROM cand c
+  JOIN base qe ON qe.vec_id = c.query_id
+  JOIN base ne ON ne.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_TOP_K}
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def _train_centroids(emb: DataFrame, sf_dir: str):
@@ -795,5 +868,9 @@ ORACLES = {
     "ann_hard_negatives": HARD_NEGATIVES_SQL,
     "embedding_centroid_report": CENTROID_REPORT_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
-    # ann_lsh_topk: rows-only (engine-specific hash family); recall tested in pytest
+    # r11: ann_lsh_topk oracle-pinned — seed-derived hyperplanes embedded
+    # as literals (see _ann_lsh_sql). The remaining rows-only ANN entries
+    # (ivf/ivfpq/prebuilt) train DATA-dependent codebooks the no-arg
+    # oracle contract cannot replay; recall is pytest-pinned instead.
+    "ann_lsh_topk": ANN_LSH_SQL,
 }
