@@ -4,9 +4,17 @@ the input to each round's gate-window rotation (the driver checks only
 the FIRST 50 registry entries, so staleness must be managed
 deliberately; VERDICT r8 directive #4).
 
-Usage: python tools/window_staleness.py
+Usage: python tools/window_staleness.py [--propose]
 Prints queries sorted stalest-first with their oracle/rows-only kind,
 then a per-round histogram and the current window's composition.
+
+--propose additionally emits a ready-to-paste ``_PRIORITY`` tuple for
+the NEXT rotation: the 5 standing canaries first, then the stalest
+non-canary rows in (round, name) order until the window is full. Run it
+AFTER the driver writes the round's CORRECTNESS file so the history
+includes the freshest gate rows; the output is a starting point — the
+verdict's round-specific directives (new oracles needing a first hash
+row, watch-item movers) still get hand-placed.
 """
 
 from __future__ import annotations
@@ -64,6 +72,26 @@ def main() -> int:
     print("stalest OUTSIDE the window (rotate these next):")
     for rnd, name, status, kind in out_stale:
         print(f"  r{rnd} {status} {kind} {name}")
+
+    if "--propose" in sys.argv:
+        canaries = [
+            "q1_pricing_summary", "cdc_pgoutput_roundtrip",
+            "cdc_apply_to_snapshot", "cdc_replica_state", "dedup_exact",
+        ]
+        budget = len(window) - len(canaries)
+        queue = [r for r in rows if r[1] not in canaries][:budget]
+        print("\n# --propose: paste-ready _PRIORITY draft "
+              "(canaries + stalest queue)")
+        print("_PRIORITY = (")
+        for n in canaries:
+            print(f'    "{n}",')
+        cur = None
+        for rnd, name, status, kind in queue:
+            if rnd != cur:
+                print(f"    # ---- last driver row r{rnd} ----")
+                cur = rnd
+            print(f'    "{name}",')
+        print(")")
     return 0
 
 
