@@ -33,10 +33,39 @@ def test_fanout_repartition_sets_floor(spark, sf_dir):
 
 def test_pair_stage_partition_floor(spark, sf_dir):
     # embedding_neardup_pairs ends in narrow ops over the pair join, so
-    # its partition count IS the pair stage's — must be >= the
-    # parallelism floor even though the input is a single file
+    # its partition count IS the pair stage's — it must be >= the
+    # parallelism floor even though the input is a single file.
+    #
+    # r11 nuance: the pair join is no longer hint-broadcast (the b side
+    # is corpus-sized — see the query's docstring), so at test scale
+    # Catalyst/AQE freely broadcasts whichever side is smaller and the
+    # final partition count is a SIZING decision, not a parallelism
+    # ceiling. The claim that must hold at 100 TB — and that the r4
+    # defect class would break — is that when NO side is broadcastable
+    # the plan degrades to a distributed join on the grid key at full
+    # parallelism. Pin exactly that: disable broadcast (simulating a
+    # corpus-sized build side) and AQE's small-data coalescing, and the
+    # pair stage must hit the floor through a real shuffle join.
     floor = spark.sparkContext.defaultParallelism
-    assert embedding_neardup_pairs(spark, sf_dir).rdd.getNumPartitions() >= floor
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = embedding_neardup_pairs(spark, sf_dir)
+        assert df.rdd.getNumPartitions() >= floor
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_fanout_plans_contain_roundrobin_exchange(spark, sf_dir):
