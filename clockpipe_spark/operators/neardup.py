@@ -268,6 +268,18 @@ def banded_hamming_pairs(
             f"4x16-bit banding only guarantees recall for max_hamming <= 3, "
             f"got {max_hamming}"
         )
+    # cache the signature frame before the self-join: the plan
+    # references it twice and (when the join broadcasts) neither side
+    # carries an exchange to reuse, so an unprotected sig runs its
+    # producer twice — for the image-dHash caller that producer is the
+    # whole mapInPandas decode chain (its plan held two full
+    # MapInPandas stacks). cache() over localCheckpoint deliberately:
+    # the cache manager dedupes by logical plan, so the one
+    # materialization also serves repeat executions of the same query
+    # (the r1-r10 simhash behavior, now uniform for every caller). The
+    # frame is (id, 64-bit sig) — corpus-row-count narrow rows, the
+    # cheap thing to persist at any scale next to re-decoding payloads.
+    sig = sig.select(id_col, sig_col).cache()
     chunks = sig.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),
@@ -318,6 +330,9 @@ def simhash_neardup_pairs(
     max_hamming: int = 2,
 ) -> DataFrame:
     """Candidate pairs: docs sharing any 16-bit signature chunk; verified
-    by exact Hamming distance (bit_count of xor) <= max_hamming."""
-    sig = simhash_signatures(docs, id_col, text_col).cache()
+    by exact Hamming distance (bit_count of xor) <= max_hamming.
+
+    No .cache() here since r11: banded_hamming_pairs eager-materializes
+    the signature frame itself (uniform protection for every caller)."""
+    sig = simhash_signatures(docs, id_col, text_col)
     return banded_hamming_pairs(sig, id_col, "simhash", max_hamming)
