@@ -332,7 +332,7 @@ def simhash_neardup_pairs(
     """Candidate pairs: docs sharing any 16-bit signature chunk; verified
     by exact Hamming distance (bit_count of xor) <= max_hamming.
 
-    No .cache() here since r11: banded_hamming_pairs eager-materializes
-    the signature frame itself (uniform protection for every caller)."""
+    No .cache() here since r11: banded_hamming_pairs caches the
+    signature frame itself (uniform protection for every caller)."""
     sig = simhash_signatures(docs, id_col, text_col)
     return banded_hamming_pairs(sig, id_col, "simhash", max_hamming)
