@@ -88,10 +88,11 @@ _MODULES = (
 # 50-slot window over a 180-query registry cannot carry one canary per
 # family AND rotate 45 stale rows, and what actually matters is that no
 # family goes unchecked for multiple rounds.
-# Registry freeze holds (directive #8: 180 entries, 0 added; 3 queries
+# Registry freeze holds (directive #8: 180 entries, 0 added; 4 queries
 # GAINED oracles — dedup_simhash, dedup_minhash_lsh,
-# dedup_cluster_assign_lsh — after passing the dtype-strict twin at
-# sf0.001 + sf0.01 pre-registration).
+# dedup_cluster_assign_lsh, and (second session) ann_lsh_topk — each
+# after passing the dtype-strict twin at sf0.001 + sf0.01
+# pre-registration).
 _GATE_WINDOW = 50
 
 _PRIORITY = (
