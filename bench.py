@@ -544,6 +544,18 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
+    # The replica/clone packing (doc_id + rep*REP_OFF + clone*CLONE_OFF)
+    # aliases ids silently if any doc_id >= CLONE_OFF or the factor
+    # overflows int64 headroom, which would corrupt the pair census in
+    # an undiagnosable way (ADVICE r11) — fail loudly instead.
+    max_id = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    if max_id >= CLONE_OFF:
+        raise AssertionError(
+            f"dedup_scale packing violated: max doc_id {max_id} >= "
+            f"CLONE_OFF {CLONE_OFF}; pair census would alias"
+        )
+    if factor * REP_OFF + CLONE_OFF + max_id >= 2**62:
+        raise AssertionError("dedup_scale packing overflows int64 headroom")
     out: dict[str, float | int | bool | dict] = {"factor": factor, "trials": 1}
     tmp = tempfile.mkdtemp(prefix="clockpipe_dedup_scale_")
     try:
@@ -586,9 +598,19 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
                 # signature+band stages otherwise lands entirely on the
                 # 1× measurement and corrupts the ratio (measured: cold
                 # 1× ran 2× slower than warm 5× at sf0.01)
-                minhash_lsh_pairs(corpus, threshold=0.5).write.format(
-                    "noop"
-                ).mode("overwrite").save()
+                warm_pairs = (
+                    minhash_lsh_pairs(corpus, threshold=0.5)
+                    .select("doc_a", "doc_b")
+                    .localCheckpoint(eager=True)
+                )
+                # ... and one untimed cluster pass over those pairs:
+                # without it the first star-contraction execution lands
+                # inside the timed 1× block and biases cluster_wall_ratio
+                # downward when this runs standalone (ADVICE r11)
+                connected_components_star(
+                    corpus.select("doc_id"), warm_pairs, id_col="doc_id",
+                    src="doc_a", dst="doc_b",
+                ).write.format("noop").mode("overwrite").save()
                 spark.catalog.clearCache()
                 warmed = True
             t0 = time.perf_counter()

@@ -32,6 +32,27 @@ from pyspark.sql import functions as F
 _P32 = 4294967311  # smallest prime > 2^32
 _MASK32 = (1 << 32) - 1
 
+# Signature frames cached by banded_hamming_pairs, kept so long-lived
+# sessions can release them: the cache manager dedupes by logical plan,
+# so each DISTINCT caller/input accumulates one entry that otherwise
+# lives until session end (ADVICE r11). Batch drivers and bench either
+# call release_signature_caches() between workloads or use
+# spark.catalog.clearCache() (which also drops these).
+_SIG_CACHES: list[DataFrame] = []
+
+
+def release_signature_caches() -> int:
+    """Unpersist every signature frame banded_hamming_pairs has cached
+    in this process; returns how many were released."""
+    n = len(_SIG_CACHES)
+    for df in _SIG_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _SIG_CACHES.clear()
+    return n
+
 
 def portable_hash32(col):
     """First 4 md5 bytes as a big-endian int in [0, 2^32).
@@ -175,6 +196,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(docs, id_col, text_col, n_hashes).cache()
+    _SIG_CACHES.append(sig)  # same lifecycle as banded_hamming_pairs
     # bands carry only (id, band_idx, band_hash) — signatures are joined
     # back AFTER the candidate pairs are deduped, so the band self-join
     # never shuffles the 32-long arrays per duplicate candidate
@@ -279,7 +301,10 @@ def banded_hamming_pairs(
     # (the r1-r10 simhash behavior, now uniform for every caller). The
     # frame is (id, 64-bit sig) — corpus-row-count narrow rows, the
     # cheap thing to persist at any scale next to re-decoding payloads.
+    # Lifecycle: registered in _SIG_CACHES so release_signature_caches()
+    # can drop it; otherwise it lives until clearCache()/session end.
     sig = sig.select(id_col, sig_col).cache()
+    _SIG_CACHES.append(sig)
     chunks = sig.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),

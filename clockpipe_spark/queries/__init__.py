@@ -61,98 +61,85 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
-# Round-11 rotation (VERDICT r10 re-issuing r9 directive #1): the window
-# turns fully onto the staleness queue (tools/window_staleness.py).
+# Round-12 rotation (VERDICT r11 directive #1): the window turns onto
+# the staleness queue's head — ALL 15 remaining r6 rows plus the 30
+# stalest r7 rows (tools/window_staleness.py --propose emitted this
+# list verbatim; the directive's composition matches it exactly).
 # Composition:
-# (a) the 5 standing canaries the verdict names (q1_pricing_summary,
+# (a) the 5 standing canaries (q1_pricing_summary,
 #     cdc_pgoutput_roundtrip, cdc_apply_to_snapshot, cdc_replica_state,
 #     dedup_exact);
-# (b) dedup_simhash — newly ORACLE-PINNED this round (directive #2:
-#     md5-derived signatures replayed in DuckDB); its hash-green row
-#     must land on the driver record, so it takes the one slot the
-#     queue arithmetic leaves no room for.  Disclosed tradeoff: the
-#     queue contribution is 44 rows, one short of the directive's >=45,
-#     in exchange for the directive-#2 "Done" criterion;
-# (c) ALL 40 r2-r5 queue rows — zero driver rows older than r6 remain
-#     after this rotation;
-# (d) 4 r6 queue rows: dedup_cluster_assign_lsh (ALSO newly oracle-
-#     pinned via the portable-minhash swap, directive #3 — its row
-#     flips rows-only -> hash-green), text_c4_filters (pairs with its
-#     new bench iso entry, directive #6), stream_session_windows (the
-#     r10 noise-floor mover gets a fresh row), text_bigram_logprob
-#     (oldest-checked expensive headline).
-# Remaining for r12: the other 15 r6 rows, then r7's 37 —
-# window_staleness.py prints the live queue.
-# Family coverage is now guarded on a ROLLING basis (current window
-# UNION last-3-round driver rows — tests/test_registry_window.py): a
-# 50-slot window over a 180-query registry cannot carry one canary per
-# family AND rotate 45 stale rows, and what actually matters is that no
-# family goes unchecked for multiple rounds.
-# Registry freeze holds (directive #8: 180 entries, 0 added; 4 queries
-# GAINED oracles — dedup_simhash, dedup_minhash_lsh,
-# dedup_cluster_assign_lsh, and (second session) ann_lsh_topk — each
-# after passing the dtype-strict twin at sf0.001 + sf0.01
-# pre-registration).
+# (b) the 15 r6 rows — including ann_lsh_topk, whose oracle landed in
+#     r11 (384a436) and which gets its FIRST driver hash row here
+#     (directive #1's named "Done" criterion); ann_ivf_topk and
+#     embedding_pca_project are rows-only by documented nature
+#     (data-dependent codebooks/eigenvectors) and refresh their
+#     rows-only evidence;
+# (c) the 30 stalest r7 rows in (round, name) order — after this
+#     rotation nothing older than r7 remains, and r13 retires the
+#     backlog entirely (remaining 7 r7 rows + the 34 r8 rows,
+#     directive #3).
+# Family coverage stays guarded on a ROLLING basis (current window
+# UNION last-3-round driver rows — tests/test_registry_window.py).
+# Registry freeze holds (directive #7: 180 entries, 0 added this
+# rotation; any new oracle must pass the dtype-strict twin at sf0.001 +
+# sf0.01 pre-registration, tests/test_oracle_dtype_guard.py).
 _GATE_WINDOW = 50
 
 _PRIORITY = (
-    # ---- standing canaries (5, per VERDICT r10 directive #1) ----
+    # ---- standing canaries (5) ----------------------------------
     "q1_pricing_summary",          # hash/CASE aggregation flagship
     "cdc_pgoutput_roundtrip",      # S4+P4 decode
     "cdc_apply_to_snapshot",       # K1/K2 merge semantics
     "cdc_replica_state",           # FINAL dedup-on-read
     "dedup_exact",                 # exact-dedup family
-    # ---- newly oracle-pinned, needs its first hash row (1) ------
-    "dedup_simhash",               # directive #2: md5 sigs in DuckDB
-    # ---- r2 greens, last driver row 9 rounds ago (5) ------------
-    "distinct_users_per_event_type",
-    "q12_shipmode_priority",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    # ---- r3 greens (8) ------------------------------------------
-    "cdc_mongo_infer_project",
-    "cdc_route_counts",
-    "scalar_date_parts",
-    "scalar_json_extract",
-    "skew_salted_user_revenue",
-    "subquery_in_filter",
-    "text_repetition_stats",
-    "window_function_battery",
-    # ---- r4 greens (13) -----------------------------------------
-    "cdc_changelog",
-    "cdc_mongo_bson_casts",
-    "mm_bmp_decode",
-    "mm_fake_image_features",
-    "mm_image_resize",
-    "neardup_jaccard_pairs",
-    "q13_customer_distribution",
-    "stream_sliding_30m",
-    "text_bpe_token_stats",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_rolling_hash",
-    "text_token_stats",
-    # ---- r5 greens (14) -----------------------------------------
-    "corpus_top_ngrams",
-    "embedding_neardup_pairs",
-    "mm_bytes_meta",
-    "mm_frame_sample",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "text_unigram_surprisal",
-    # ---- r6 rows (4): see composition note (d) ------------------
-    "dedup_cluster_assign_lsh",    # directive #3: rows-only -> oracle
-    "text_c4_filters",             # directive #6 iso-entry pair
-    "stream_session_windows",      # r10 noise-floor mover
-    "text_bigram_logprob",         # oldest expensive headline
+    # ---- r6 rows, all 15 (directive #1) -------------------------
+    "ann_ivf_topk",                # rows-only (trained codebook)
+    "ann_lsh_topk",                # FIRST driver hash row (r11 oracle)
+    "benchmark_contamination",
+    "embedding_pca_project",       # rows-only (data-dependent PCA)
+    "funnel_conversion",
+    "mm_audio_resample",
+    "q21_waiting_suppliers",
+    "q3_shipping_priority",
+    "retention_cohorts",
+    "sample_cluster_cap",
+    "scalar_math_battery",
+    "setop_union_segments",
+    "stats_regression_battery",
+    "text_substring_dup_spans",
+    "window_frame_moving_avg",
+    # ---- r7 rows, stalest 30 of 37 (directive #1) ---------------
+    "agg_rollup_lineitem",
+    "ann_ivfpq_topk",              # rows-only (trained codebook)
+    "asof_last_purchase",
+    "cdc_align_projection",
+    "cdc_changestream_decode",
+    "cdc_incremental_agg",
+    "cdc_keep_last",
+    "cdc_lag_report",
+    "cdc_scd2_history",
+    "dedup_components_chain",
+    "doc_chunk_overlap",
+    "embedding_int8_quantize",
+    "embedding_kmeans_clusters",   # rows-only (k-means state)
+    "embedding_pq_codes",          # rows-only (trained codebook)
+    "export_shard_manifest",
+    "frequent_items_mg",
+    "join_full_outer_daily",
+    "mixture_temperature_weights",
+    "mm_image_phash_neardup",
+    "pack_sequences_greedy",
+    "pivot_status_by_priority",
+    "quality_classifier_score",
+    "quantile_histogram_rollup",
+    "sample_bottomk_hash",
+    "sample_by_mixture",
+    "scalar_url_parse",
+    "sequence_match_pattern",
+    "sessionize_lag_gap",
+    "setop_bag_ops",
+    "split_leakage_safe",
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)

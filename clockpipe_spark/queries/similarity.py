@@ -277,6 +277,13 @@ FROM (
 """
 
 
+# Built eagerly at import, deliberately (ADVICE r11 weighed lazy): the
+# registry's all_oracles() reads every ORACLES value on its first call
+# anyway, so laziness would only move the one-time ~ms numpy+repr cost,
+# not avoid it. The real hazard — plane literals frozen at dim=64 while
+# the operator adapts to the corpus — is pinned against every shipped
+# sf dir by tests/test_oracle_ann_lsh.py::
+# test_oracle_dim_matches_every_shipped_corpus.
 ANN_LSH_SQL = _ann_lsh_sql()
 
 

@@ -89,3 +89,25 @@ def test_dot_product_margin_precondition(sf):
     # 6+ orders of margin so a sign flip would need the generator to
     # change, not the summation order
     assert min_abs > 1e-6, min_abs
+
+
+def test_oracle_dim_matches_every_shipped_corpus():
+    """ADVICE r11: _ann_lsh_sql hardcodes dim=64 in its plane literals
+    while the Spark operator derives dim from the corpus parquet — a
+    corpus with a different embedding dimension would silently break
+    oracle parity. Pin the precondition on EVERY shipped sf dir (not
+    just the two the parity tests sample), so a testdata regeneration
+    with a new dim fails here loudly instead of hash-mismatching at the
+    driver gate."""
+    import glob
+
+    from clockpipe_spark.queries.similarity import _corpus_meta
+
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "no shipped testdata found"
+    for d in sf_dirs:
+        _, dim = _corpus_meta(d)
+        assert dim == _DIM, (
+            f"{d}: embedding dim {dim} != oracle literal dim {_DIM}; "
+            f"regenerate ANN_LSH_SQL via _ann_lsh_sql(dim={dim})"
+        )
