@@ -124,9 +124,16 @@ def minhash_signatures(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
     )
     sh = toks.select("id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"))
-    h32 = portable_hash32(F.col("shingle"))
+    # h32 is projected as a COLUMN before the groupBy (VERDICT r11
+    # directive #6): the 32 universal-hash mins then reference a long,
+    # so single evaluation of the md5/conv chain per shingle is
+    # structural — not dependent on codegen subexpression elimination
+    # inside the aggregate. A/B at sf0.1 showed CSE was already doing
+    # this (0.96 s vs 0.93 s sig-only, within noise); the projection
+    # form also drops the shingle string before the partial agg.
+    sh = sh.select("id", portable_hash32(F.col("shingle")).alias("h32"))
     mins = [
-        F.min((h32 * F.lit(a) + F.lit(b)) % F.lit(_P32)).alias(f"m{i}")
+        F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(_P32)).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = sh.groupBy("id").agg(*mins)
