@@ -99,25 +99,69 @@ class CorpusIngestPipeline:
         """Gate + dedup one micro-batch; append survivors and metrics.
         Idempotent under replay: a re-delivered batch admits 0 rows (its
         ids are already in the dedup state), so the corpus and state
-        appends add nothing."""
-        n_arrived = docs.count()
+        appends add nothing.
+
+        Per-batch job accounting (r12): the arrived/gated/admitted
+        counters ride existing jobs as ``observe()`` metrics instead of
+        running three count() jobs, and the 1-row metrics record is
+        written driver-side with pyarrow (its Spark write job cost
+        ~0.6 s — pure job-launch overhead for 4 integers). The counter
+        observations fire during the dedup layer's first job (which
+        scans docs through the gate) and the corpus append."""
+        from pyspark.sql import Observation
+
+        obs_arrived, obs_gated, obs_admitted = (
+            Observation(),
+            Observation(),
+            Observation(),
+        )
+        docs = docs.observe(obs_arrived, F.count(F.lit(1)).alias("n"))
         gated = self.gate(docs, text_col) if self.gate else docs
-        n_gated = gated.count()
+        gated = gated.observe(obs_gated, F.count(F.lit(1)).alias("n"))
         # snapshot of ids admitted BEFORE this batch: on an at-least-once
         # replay the dedup layer re-admits the batch's own rows (its state
         # append is idempotent, its output is not), so the corpus append
         # must itself anti-join history to stay idempotent
         already = self.neardup.admitted_ids().withColumnRenamed("id", id_col)
         admitted = self.neardup.process_batch(gated, id_col, text_col)
-        new_rows = admitted.join(already, id_col, "left_anti").localCheckpoint(
-            eager=True
+        new_rows = admitted.join(already, id_col, "left_anti").observe(
+            obs_admitted, F.count(F.lit(1)).alias("n")
         )
-        n_admitted = new_rows.count()
         new_rows.write.mode("append").parquet(self.corpus_dir)
-        self.spark.createDataFrame(
-            [(batch_id, n_arrived, n_gated, n_admitted)], _METRICS_SCHEMA
-        ).write.mode("append").parquet(self.metrics_dir)
+        self._write_metrics(
+            batch_id,
+            obs_arrived.get["n"],
+            obs_gated.get["n"],
+            obs_admitted.get["n"],
+        )
         return admitted
+
+    def _write_metrics(
+        self, batch_id: int, n_arrived: int, n_gated: int, n_admitted: int
+    ) -> None:
+        """One metrics row, written driver-side (pyarrow): Spark reads it
+        back like any other parquet append, without paying a Spark job
+        for a 4-integer record."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.metrics_dir, exist_ok=True)
+        table = pa.table(
+            {
+                "batch_id": pa.array([batch_id], pa.int64()),
+                "n_arrived": pa.array([n_arrived], pa.int64()),
+                "n_gated": pa.array([n_gated], pa.int64()),
+                "n_admitted": pa.array([n_admitted], pa.int64()),
+            }
+        )
+        pq.write_table(
+            table,
+            os.path.join(
+                self.metrics_dir, f"metrics-{batch_id}-{uuid.uuid4().hex}.parquet"
+            ),
+        )
 
     def foreach_batch(self, id_col: str = "doc_id", text_col: str = "text"):
         """Adapter for ``writeStream.foreachBatch``."""

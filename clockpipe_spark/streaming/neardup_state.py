@@ -14,13 +14,23 @@ this operator is that state layer.
   candidate pairs, and ``shorts`` (id, text_hash) for docs too short to
   shingle. Appending a batch is a blind write — no rewrite of history
   (contrast: the replica store's merge path).
-- The band log is BUCKETED on disk by ``pmod(band_hash,
-  n_band_buckets)`` (hive-partitioned ``band_bucket=K`` dirs), so the
-  per-batch probe lists and reads ONLY the buckets the batch's band
-  hashes fall into — file-level pruning before any row is scanned, the
-  same economics as partition pruning on a 100 TB table. The probe
-  itself is an equi-join of the batch's band hashes against those
-  buckets — linear in batch size + collisions, never all-pairs.
+- The band log is LSM-shaped (r12): each batch APPENDS loose top-level
+  files (one plain parquet write — no hive-commit cost), and once the
+  loose set exceeds ``compact_after_files`` a compaction folds it into
+  the BUCKETED layout (hive ``band_bucket=K`` dirs keyed on
+  ``pmod(band_hash, n_band_buckets)``). The per-batch probe reads the
+  pruned bucket dirs (bulk history — file-level pruning before any row
+  is scanned, the same economics as partition pruning on a 100 TB
+  table) plus the bounded loose set (recent appends). Rationale: a
+  64-dir dynamic-partition append costs ~1.4 s of commit protocol per
+  batch at ANY batch size (measured sf0.1: 1.57 s hive vs 0.15 s plain
+  for the same rows) — a fixed per-batch tax the compaction amortizes
+  across ``compact_after_files`` batches. Crash between compaction
+  write and loose-file delete leaves duplicate band rows, which the
+  candidate join's dropDuplicates absorbs (at-least-once, like every
+  other append here).
+- The probe itself is an equi-join of the batch's band hashes against
+  those buckets — linear in batch size + collisions, never all-pairs.
 - Docs with < 3 tokens produce no shingles, hence no MinHash signature;
   they route through an EXACT dedup keyed on xxhash64(lower(trim(
   text))) against the ``shorts`` log (ADVICE r3: unconditional
@@ -59,6 +69,7 @@ class StreamingNearDup:
         n_bands: int = 8,
         threshold: float = 0.5,
         n_band_buckets: int = 64,
+        compact_after_files: int = 32,
     ):
         self.spark = spark
         self.bands_dir = os.path.join(root, "bands")
@@ -68,6 +79,7 @@ class StreamingNearDup:
         self.n_bands = n_bands
         self.threshold = threshold
         self.n_band_buckets = n_band_buckets
+        self.compact_after_files = compact_after_files
         os.makedirs(root, exist_ok=True)
 
     def _files(self, path: str) -> list[str]:
@@ -205,24 +217,109 @@ class StreamingNearDup:
         # order only at threshold collisions within the same band family;
         # keep semantics simple and deterministic — drop every id that
         # matched ANY earlier/admitted doc.
+        #
+        # all_dup is materialized ONCE (r12): it feeds three consumers
+        # (sig append filter, shorts append filter, the returned
+        # anti-join), and before the checkpoint the candidate joins
+        # re-executed per consumer — the profile showed the band/est
+        # joins running twice per batch. It is a tiny id set (bounded by
+        # batch size), so the eager localCheckpoint is cheap.
+        all_dup = (
+            dup_ids.unionByName(dup_short_ids)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         # Replay safety (at-least-once foreachBatch): a re-delivered batch
         # must not re-append state rows for ids already admitted — the
         # anti-join against history makes the state append idempotent.
+        # (all_dup replaces dup_ids / dup_short_ids in the filters below:
+        # equivalent, because sig ids and shorts ids partition the batch.)
         admitted_sig = (
-            sig.join(dup_ids, "id", "left_anti")
+            sig.join(all_dup, "id", "left_anti")
             .join(hist_sigs.select("id"), "id", "left_anti")
             .cache()
         )
-        # State-append file discipline: a partitionBy(K) write from an
-        # N-partition frame emits up to N x K files — thousands of tiny
-        # state files per batch, the classic streaming small-file
-        # explosion (it also made every later probe list/open them all).
-        # Repartitioning by the hive key first caps the band append at
-        # one file per touched bucket; the narrow logs coalesce to a
-        # handful. Directory-level bucket pruning is unchanged.
-        admitted_sig.coalesce(4).write.mode("append").parquet(self.sigs_dir)
+        admitted_shorts = shorts.join(all_dup, "id", "left_anti").join(
+            hist_shorts.select("id"), "id", "left_anti"
+        )
+
+        # State-append discipline (r12, LSM): every log appends as a
+        # handful of PLAIN top-level files — the hive partitionBy append
+        # the bands log used before cost ~1.4 s/batch of dynamic-
+        # partition commit protocol regardless of batch size. Loose band
+        # files carry band_bucket as a sorted COLUMN; compact_bands()
+        # periodically folds them into the pruned band_bucket=K layout.
+        # The four independent jobs below run on concurrent driver
+        # threads (Spark schedules concurrent jobs fine; the writes hit
+        # four different directories): the wall cost is max(), not sum().
+        out_holder: dict[str, DataFrame] = {}
+
+        def w_sigs() -> None:
+            admitted_sig.coalesce(4).write.mode("append").parquet(self.sigs_dir)
+
+        def w_bands() -> None:
+            (
+                band_hashes(admitted_sig, self.n_hashes, self.n_bands)
+                .withColumn(
+                    "band_bucket",
+                    F.pmod(F.col("band_hash"), F.lit(self.n_band_buckets)).cast(
+                        "int"
+                    ),
+                )
+                .coalesce(4)
+                .sortWithinPartitions("band_bucket")
+                .write.mode("append")
+                .parquet(self.bands_dir)
+            )
+
+        def w_shorts() -> None:
+            admitted_shorts.coalesce(4).write.mode("append").parquet(
+                self.shorts_dir
+            )
+
+        def w_out() -> None:
+            out_holder["out"] = docs.join(
+                all_dup.withColumnRenamed("id", id_col), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [pool.submit(f) for f in (w_sigs, w_bands, w_shorts, w_out)]
+            for fut in futures:
+                fut.result()  # re-raise the first failure
+
+        self.compact_bands()
+        admitted_sig.unpersist()
+        shorts.unpersist()
+        sig.unpersist()
+        bands.unpersist()
+        return out_holder["out"]
+
+    def loose_band_files(self) -> list[str]:
+        """Band-log files not yet folded into the bucketed layout."""
+        return [
+            f for f in self._files(self.bands_dir) if "band_bucket=" not in f
+        ]
+
+    def compact_bands(self, force: bool = False) -> int:
+        """Fold loose band appends into the ``band_bucket=K`` hive layout
+        once their count exceeds ``compact_after_files`` (or always,
+        with ``force``); returns the number of loose files compacted.
+
+        The write-then-delete order makes a crash window leave duplicate
+        band rows (both copies readable), never missing ones — the
+        candidate join dedups pairs, so duplicates cost only wasted
+        probe reads until the next compaction."""
+        loose = self.loose_band_files()
+        if not loose or (not force and len(loose) <= self.compact_after_files):
+            return 0
+        # band_bucket is recomputed from band_hash (not read from the
+        # loose files): correct even for legacy loose files without the
+        # column, and tracks the CURRENT n_band_buckets.
         (
-            band_hashes(admitted_sig, self.n_hashes, self.n_bands)
+            self.spark.read.schema(_BANDS_SCHEMA)
+            .parquet(*loose)
             .withColumn(
                 "band_bucket",
                 F.pmod(F.col("band_hash"), F.lit(self.n_band_buckets)).cast("int"),
@@ -232,21 +329,9 @@ class StreamingNearDup:
             .partitionBy("band_bucket")
             .parquet(self.bands_dir)
         )
-        admitted_shorts = (
-            shorts.join(dup_short_ids, "id", "left_anti")
-            .join(hist_shorts.select("id"), "id", "left_anti")
-        )
-        admitted_shorts.coalesce(4).write.mode("append").parquet(self.shorts_dir)
-
-        all_dup = dup_ids.unionByName(dup_short_ids).distinct()
-        out = docs.join(
-            all_dup.withColumnRenamed("id", id_col), id_col, "left_anti"
-        ).localCheckpoint(eager=True)
-        admitted_sig.unpersist()
-        shorts.unpersist()
-        sig.unpersist()
-        bands.unpersist()
-        return out
+        for f in loose:
+            os.remove(f)
+        return len(loose)
 
     def admitted_ids(self) -> DataFrame:
         # distinct() guards against duplicate state rows from any history

@@ -116,14 +116,24 @@ def test_short_doc_replay_idempotent(spark, dedup):
 
 
 def test_band_log_probe_prunes_buckets(spark, dedup):
-    """The band log is hive-bucketed by pmod(band_hash, n_band_buckets);
-    a probe must list only the buckets the batch's hashes fall into."""
+    """LSM band log (r12): batches append LOOSE files (no hive-commit
+    cost); compact_bands() folds them into the pmod(band_hash,
+    n_band_buckets) hive layout, after which a probe lists only the
+    buckets the batch's hashes fall into — plus whatever loose set has
+    accumulated since the last compaction (bounded by
+    compact_after_files)."""
     from pyspark.sql import functions as F
 
     from clockpipe_spark.operators.neardup import band_hashes, minhash_signatures
 
     dedup.process_batch(_df(spark, [(1, DOC_A), (2, DOC_B)]))
     dedup.process_batch(_df(spark, [(3, DOC_C)]))
+    # appends are loose until compaction; a dup arriving NOW (state
+    # entirely loose) must still be caught
+    assert dedup.loose_band_files()
+    assert dedup.process_batch(_df(spark, [(8, DOC_A_NEAR)])).count() == 0
+    n_compacted = dedup.compact_bands(force=True)
+    assert n_compacted > 0 and not dedup.loose_band_files()
     all_files = dedup._band_files(None)
     assert all_files and all("band_bucket=" in f for f in all_files)
 
