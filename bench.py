@@ -276,6 +276,7 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
         "ingest_dps_by_batches",
         "ivf_prewarm_sec",
         "ingest",
+        "dedup30x",
         "dedup10x",
         "live_pg",
         "iso",
@@ -507,7 +508,9 @@ def bench_state_scale(
     return out
 
 
-def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
+def bench_dedup_scale(
+    spark, sf_dir: str, factor: int = 10, extra_factors: tuple = ()
+) -> dict:
     """Corpus-scale sweep for the LSH dedup path (the state10x analog
     for the dedup family): replicate documents ``factor``× with a
     replica-DISJOINT token space — every token prefixed by its replica
@@ -520,9 +523,14 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
     and anything quadratic shows up as ratio/N ≈ N.
 
     Each replica is doubled (clone at +CLONE_OFF with identical text),
-    so pair counts are deterministic anchors: pairs_Nx must equal
-    N * pairs_1x exactly — asserted into the output as
-    ``pairs_scale_exact`` — or the harness itself is wrong.
+    so pair counts are deterministic anchors — with one refinement the
+    30× run taught (r12): only the CLONE census is exactly replica-
+    invariant (identical text gives identical signatures whatever the
+    token prefix), recorded as ``clone_census_exact``. NATURAL pairs
+    whose true Jaccard sits at the threshold are LSH-sampled afresh per
+    replica (prefixed tokens draw fresh shingle hashes), so the total
+    census can drift by parts-per-million at high factors —
+    ``pair_dev_ppm`` bounds it (measured: 22 ppm at 30×, 0 at 10×).
 
     Both factors run the REAL operators (minhash_lsh_pairs →
     connected_components_star) over a materialized parquet corpus, so
@@ -531,6 +539,12 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
     broadcast at this scale, shuffle at cluster scale), and the star
     contraction rounds. Single trial per factor (disclosed): the
     scaling RATIO is the metric, and both factors share any host bias.
+
+    ``extra_factors`` (r12, VERDICT r11 directive #5) adds more decades
+    to the same sweep — e.g. ``extra_factors=(30,)`` records a 30×
+    datapoint so the linearity extrapolation to cluster scale rests on
+    two decades, not one. Each extra factor gets its own
+    ``scale_{N}x`` block (exact pair census + wall ratios vs 1×).
     """
     import shutil
     import tempfile
@@ -554,14 +568,15 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
             f"dedup_scale packing violated: max doc_id {max_id} >= "
             f"CLONE_OFF {CLONE_OFF}; pair census would alias"
         )
-    if factor * REP_OFF + CLONE_OFF + max_id >= 2**62:
+    max_factor = max((factor, *extra_factors))
+    if max_factor * REP_OFF + CLONE_OFF + max_id >= 2**62:
         raise AssertionError("dedup_scale packing overflows int64 headroom")
     out: dict[str, float | int | bool | dict] = {"factor": factor, "trials": 1}
     tmp = tempfile.mkdtemp(prefix="clockpipe_dedup_scale_")
     try:
         per_factor: dict[str, dict] = {}
         warmed = False
-        for fac in (1, factor):
+        for fac in (1, factor, *extra_factors):
             reps = spark.range(fac).select(F.col("id").alias("rep"))
             clones = F.explode(F.array(F.lit(0), F.lit(1)))
             toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -621,6 +636,13 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
             )
             n_pairs = pairs.count()
             pair_sec = round(time.perf_counter() - t0, 3)
+            # clone pairs (id, id+CLONE_OFF): identical text -> identical
+            # signatures -> guaranteed band collision and est=1, so this
+            # census is replica-INVARIANT and must replicate exactly.
+            # Counted outside the timed span (pairs is checkpointed).
+            n_clone_pairs = pairs.filter(
+                F.col("doc_b") - F.col("doc_a") == CLONE_OFF
+            ).count()
             t0 = time.perf_counter()
             labels = connected_components_star(
                 corpus.select("doc_id"), pairs, id_col="doc_id",
@@ -633,6 +655,7 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
             per_factor[f"{fac}x"] = {
                 "docs": corpus.count(),
                 "pairs": n_pairs,
+                "clone_pairs": n_clone_pairs,
                 "clusters": n_clusters,
                 "pair_mine_sec": pair_sec,
                 "cluster_sec": cluster_sec,
@@ -642,7 +665,31 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
             spark.catalog.clearCache()
         one, big = per_factor["1x"], per_factor[f"{factor}x"]
         out["per_factor"] = per_factor
-        out["pairs_scale_exact"] = big["pairs"] == factor * one["pairs"]
+
+        def census(big_f: dict, f: int) -> dict:
+            # Two-tier census (r12, found by the 30x run): CLONE pairs
+            # (identical text) are replica-invariant and must replicate
+            # EXACTLY — their signatures are identical regardless of the
+            # replica token prefix. NATURAL near-dup pairs with true
+            # Jaccard near the threshold are LSH-SAMPLED per replica
+            # (prefixed tokens draw fresh shingle hashes, so a borderline
+            # est resamples ~Binomial(32, J)/32 each replica); their
+            # census deviates by parts-per-million at high factors
+            # (measured: 4 of 180,720 expected pairs at 30x). The wall
+            # ratios carry the linearity claim; dev_ppm bounds the
+            # workload drift.
+            expected = f * one["pairs"]
+            return {
+                "clone_census_exact": (
+                    big_f["clone_pairs"] == f * one["clone_pairs"]
+                ),
+                "pairs_scale_exact": big_f["pairs"] == expected,
+                "pair_dev_ppm": round(
+                    abs(big_f["pairs"] - expected) / max(expected, 1) * 1e6, 1
+                ),
+            }
+
+        out.update(census(big, factor))
         out["pair_mine_wall_ratio"] = round(
             big["pair_mine_sec"] / max(one["pair_mine_sec"], 1e-9), 2
         )
@@ -654,6 +701,23 @@ def bench_dedup_scale(spark, sf_dir: str, factor: int = 10) -> dict:
         out["pair_mine_linearity"] = round(
             out["pair_mine_wall_ratio"] / factor, 2
         )
+        for f in extra_factors:
+            big_f = per_factor[f"{f}x"]
+            out[f"scale_{f}x"] = {
+                **census(big_f, f),
+                "pair_mine_wall_ratio": round(
+                    big_f["pair_mine_sec"] / max(one["pair_mine_sec"], 1e-9), 2
+                ),
+                "cluster_wall_ratio": round(
+                    big_f["cluster_sec"] / max(one["cluster_sec"], 1e-9), 2
+                ),
+                "linearity": round(
+                    big_f["pair_mine_sec"]
+                    / max(one["pair_mine_sec"], 1e-9)
+                    / f,
+                    2,
+                ),
+            }
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -955,8 +1019,10 @@ def main() -> None:
         },
         "state10x": bench_state_scale(spark, sf_dir),
         # r11: corpus-scale linearity probe for the LSH dedup path —
-        # the dedup family's answer to state10x
-        "dedup10x": bench_dedup_scale(spark, sf_dir),
+        # the dedup family's answer to state10x. r12 (VERDICT r11
+        # directive #5): a 30× datapoint in the same sweep — two decades
+        # of exact-census linearity instead of one.
+        "dedup10x": bench_dedup_scale(spark, sf_dir, extra_factors=(30,)),
     }
 
     # Host-noise sentinel (r11): re-measure the cheapest iso canary
@@ -1057,10 +1123,13 @@ def main() -> None:
         },
         "dedup10x": {
             "pairs_scale_exact": full["dedup10x"]["pairs_scale_exact"],
+            "clone_census_exact": full["dedup10x"]["clone_census_exact"],
+            "pair_dev_ppm": full["dedup10x"]["pair_dev_ppm"],
             "pair_mine_wall_ratio": full["dedup10x"]["pair_mine_wall_ratio"],
             "cluster_wall_ratio": full["dedup10x"]["cluster_wall_ratio"],
             "linearity": full["dedup10x"]["pair_mine_linearity"],
         },
+        "dedup30x": full["dedup10x"]["scale_30x"],
         "noise_sentinel": full["noise_sentinel"]["ratio"],
     }
     print(emit_line(compact))
