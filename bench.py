@@ -552,7 +552,10 @@ def bench_dedup_scale(
     from pyspark.sql import functions as F
 
     from clockpipe_spark.operators.components import connected_components_star
-    from clockpipe_spark.operators.neardup import minhash_lsh_pairs
+    from clockpipe_spark.operators.neardup import (
+        minhash_lsh_pairs,
+        release_signature_caches,
+    )
 
     REP_OFF, CLONE_OFF = 10_000_000, 5_000_000
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -626,6 +629,7 @@ def bench_dedup_scale(
                     corpus.select("doc_id"), warm_pairs, id_col="doc_id",
                     src="doc_a", dst="doc_b",
                 ).write.format("noop").mode("overwrite").save()
+                release_signature_caches()  # drop Python refs too (ADVICE r12)
                 spark.catalog.clearCache()
                 warmed = True
             t0 = time.perf_counter()
@@ -662,6 +666,7 @@ def bench_dedup_scale(
             }
             # the sig cache inside minhash_lsh_pairs would otherwise
             # carry the N× corpus's signatures into the next block
+            release_signature_caches()  # drop Python refs too (ADVICE r12)
             spark.catalog.clearCache()
         one, big = per_factor["1x"], per_factor[f"{factor}x"]
         out["per_factor"] = per_factor
@@ -723,7 +728,9 @@ def bench_dedup_scale(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
+def bench_ingest(
+    spark, sf_dir: str, n_batches: int = 4, doc_factor: int = 1
+) -> dict:
     """Streaming corpus-ingest throughput: the documents table split
     into ``n_batches`` micro-batches (by doc_id residue), each gated
     (C4) and deduplicated against the accumulated state, corpus +
@@ -748,7 +755,17 @@ def bench_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
     ``compact_sec`` reports a FORCED end-of-run band compaction (the
     amortized cost a long-lived pipe pays every compact_after_files
     appends); it runs outside the timed ingest window, matching its
-    amortized nature."""
+    amortized nature.
+
+    ``doc_factor`` (r13, VERDICT r12 directive #7) replicates the
+    documents table N× with a replica-DISJOINT token space (every token
+    prefixed by its replica tag, same trick as bench_dedup_scale) so
+    each micro-batch carries N× the docs with the 1× near-dup
+    structure per replica. This records the LARGE-batch operating
+    point: the residual per-batch fixed cost is ~3 job-launch walls
+    that amortize with batch size, so docs/s at doc_factor=2,
+    n_batches=2 measures (rather than argues) the extrapolation to
+    real stream batch sizes."""
     import shutil
     import tempfile
 
@@ -761,6 +778,29 @@ def bench_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
     try:
         pipe = CorpusIngestPipeline(spark, root, threshold=0.5)
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        if doc_factor > 1:
+            reps = spark.range(doc_factor).select(F.col("id").alias("rep"))
+            toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            docs = (
+                docs.crossJoin(reps)
+                .select(
+                    # id packing: doc_id*factor+rep keeps ids unique and
+                    # preserves pmod batch routing balance
+                    (F.col("doc_id") * doc_factor + F.col("rep")).alias(
+                        "doc_id"
+                    ),
+                    F.array_join(
+                        F.transform(
+                            toks,
+                            lambda t: F.concat_ws(
+                                "_", F.concat(F.lit("r"), F.col("rep")), t
+                            ),
+                        ),
+                        " ",
+                    ).alias("text"),
+                )
+                .localCheckpoint(eager=True)  # materialize outside timing
+            )
         n_docs = docs.count()
         t0 = time.perf_counter()
         for b in range(n_batches):
@@ -903,6 +943,52 @@ def main() -> None:
 
     spark.range(1024).repartition(32).mapInPandas(_noop, "id long").count()
 
+    # PRE-SUITE noise gate (r13, VERDICT r12 directive #4): measure the
+    # canary FIRST and refuse to start the suite on a loaded host.
+    # Reference: warm dedup_exact min-of-2 right after warm-up reads
+    # ~0.51-0.58 s on this host across r11/r12 records; 1.5x that is
+    # the "co-tenant load" line. If exceeded, wait and re-measure
+    # (bounded — the bench must always eventually run), recording every
+    # attempt so the record shows whether it started clean. r11 burned
+    # ~70 min of verdict cycle on noise attribution and r12's record is
+    # muddied the same way — this makes the bench self-defending.
+    SENTINEL_REF_SEC = 0.52
+    SENTINEL_LOAD_RATIO = 1.5
+    SENTINEL_MAX_WAITS = 4
+    SENTINEL_WAIT_SEC = 45
+
+    def _measure_canary() -> float:
+        best = 9e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, round(time.perf_counter() - t0, 3))
+        return best
+
+    pre_attempts: list[float] = []
+    for attempt in range(SENTINEL_MAX_WAITS + 1):
+        pre_attempts.append(_measure_canary())
+        if pre_attempts[-1] <= SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO:
+            break
+        if attempt < SENTINEL_MAX_WAITS:
+            print(
+                f"# sentinel: canary {pre_attempts[-1]}s > "
+                f"{SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO:.2f}s threshold "
+                f"(host load?) — waiting {SENTINEL_WAIT_SEC}s "
+                f"(attempt {attempt + 1}/{SENTINEL_MAX_WAITS})",
+                file=sys.stderr,
+            )
+            time.sleep(SENTINEL_WAIT_SEC)
+    pre_gate = {
+        "ref_sec": SENTINEL_REF_SEC,
+        "threshold_ratio": SENTINEL_LOAD_RATIO,
+        "attempts_sec": pre_attempts,
+        "started_clean": pre_attempts[-1]
+        <= SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO,
+    }
+
     # Isolation A/B, immediately after warm-up: each query here runs
     # first-in-suite (quiet JVM, no position effects) so a suite-order
     # or co-tenant artifact separates from a real plan regression.
@@ -1017,6 +1103,12 @@ def main() -> None:
         "ingest_sweep": {
             str(n): bench_ingest(spark, sf_dir, n_batches=n) for n in (2, 8)
         },
+        # r13 (VERDICT r12 directive #7): the large-batch operating
+        # point — 2x the docs through 2 batches, so the ~3-job-wall
+        # fixed cost is amortized over 4x the per-batch volume
+        "ingest_2x_docs_2_batches": bench_ingest(
+            spark, sf_dir, n_batches=2, doc_factor=2
+        ),
         "state10x": bench_state_scale(spark, sf_dir),
         # r11: corpus-scale linearity probe for the LSH dedup path —
         # the dedup family's answer to state10x. r12 (VERDICT r11
@@ -1042,6 +1134,7 @@ def main() -> None:
         sentinel_end = min(sentinel_end, round(time.perf_counter() - t0, 3))
     full["noise_sentinel"] = {
         "canary": "dedup_exact",
+        "pre_gate": pre_gate,
         "begin_sec": iso["dedup_exact"],
         "end_sec": sentinel_end,
         "ratio": round(sentinel_end / max(iso["dedup_exact"], 1e-9), 2),
@@ -1099,6 +1192,9 @@ def main() -> None:
         "ingest_dps_by_batches": {
             n: s["docs_per_sec"] for n, s in full["ingest_sweep"].items()
         },
+        "ingest_2x_docs_2_batches_dps": full["ingest_2x_docs_2_batches"][
+            "docs_per_sec"
+        ],
         "state10x": {
             "keys": st["seeded_keys"],
             "flat_drain_sec": st["flat_drain_sec"],
@@ -1131,6 +1227,10 @@ def main() -> None:
         },
         "dedup30x": full["dedup10x"]["scale_30x"],
         "noise_sentinel": full["noise_sentinel"]["ratio"],
+        "sentinel_pre_gate": {
+            "attempts": pre_gate["attempts_sec"],
+            "clean": pre_gate["started_clean"],
+        },
     }
     print(emit_line(compact))
 

@@ -54,6 +54,29 @@ def release_signature_caches() -> int:
     return n
 
 
+# Bound on tracked signature frames: a long-lived process that calls
+# banded_hamming_pairs on many distinct inputs evicts (and unpersists)
+# the oldest entry past this point, so neither the Python list nor the
+# JVM cache grows without bound (ADVICE r12 #3). 16 is generous — the
+# bench's hottest loop holds at most a handful of live signature frames
+# at once. (df.is_cached is NOT usable as a liveness probe: in Spark 4
+# it keeps reporting True after catalog.clearCache().)
+_SIG_CACHE_CAP = 16
+
+
+def _register_sig_cache(df: DataFrame) -> None:
+    """Track a cached signature frame so release_signature_caches() can
+    drop it; FIFO-evict (and unpersist) beyond _SIG_CACHE_CAP so the
+    registry cannot itself become a leak in long-lived processes."""
+    _SIG_CACHES.append(df)
+    while len(_SIG_CACHES) > _SIG_CACHE_CAP:
+        old = _SIG_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def portable_hash32(col):
     """First 4 md5 bytes as a big-endian int in [0, 2^32).
 
@@ -311,7 +334,7 @@ def banded_hamming_pairs(
     # Lifecycle: registered in _SIG_CACHES so release_signature_caches()
     # can drop it; otherwise it lives until clearCache()/session end.
     sig = sig.select(id_col, sig_col).cache()
-    _SIG_CACHES.append(sig)
+    _register_sig_cache(sig)
     chunks = sig.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),

@@ -61,27 +61,26 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
-# Round-12 rotation (VERDICT r11 directive #1): the window turns onto
-# the staleness queue's head — ALL 15 remaining r6 rows plus the 30
-# stalest r7 rows (tools/window_staleness.py --propose emitted this
-# list verbatim; the directive's composition matches it exactly).
+# Round-13 rotation (VERDICT r12 directive #1): the window turns onto
+# the ENTIRE remaining staleness backlog — this rotation retires it.
+# tools/window_staleness.py --propose emitted this list verbatim.
 # Composition:
 # (a) the 5 standing canaries (q1_pricing_summary,
 #     cdc_pgoutput_roundtrip, cdc_apply_to_snapshot, cdc_replica_state,
 #     dedup_exact);
-# (b) the 15 r6 rows — including ann_lsh_topk, whose oracle landed in
-#     r11 (384a436) and which gets its FIRST driver hash row here
-#     (directive #1's named "Done" criterion); ann_ivf_topk and
-#     embedding_pca_project are rows-only by documented nature
-#     (data-dependent codebooks/eigenvectors) and refresh their
-#     rows-only evidence;
-# (c) the 30 stalest r7 rows in (round, name) order — after this
-#     rotation nothing older than r7 remains, and r13 retires the
-#     backlog entirely (remaining 7 r7 rows + the 34 r8 rows,
-#     directive #3).
+# (b) ALL 7 remaining r7 rows;
+# (c) ALL 34 remaining r8 rows — ann_ivf_topk_prebuilt and
+#     hll_user_rollup are rows-only by documented nature (prebuilt
+#     trained index / HLL register state) and refresh their rows-only
+#     evidence;
+# (d) the 4 stalest r10 rows in (round, name) order — agg_cube_orders,
+#     approx_distinct_users (rows-only: HLL sketch), array_agg_per_nation,
+#     bm25_retrieval.
+# After this gate runs, NO registry query carries a driver row older
+# than r10 (tools/window_staleness.py verifies).
 # Family coverage stays guarded on a ROLLING basis (current window
 # UNION last-3-round driver rows — tests/test_registry_window.py).
-# Registry freeze holds (directive #7: 180 entries, 0 added this
+# Registry freeze holds (directive #6: 180 entries, 0 added this
 # rotation; any new oracle must pass the dtype-strict twin at sf0.001 +
 # sf0.01 pre-registration, tests/test_oracle_dtype_guard.py).
 _GATE_WINDOW = 50
@@ -93,53 +92,54 @@ _PRIORITY = (
     "cdc_apply_to_snapshot",       # K1/K2 merge semantics
     "cdc_replica_state",           # FINAL dedup-on-read
     "dedup_exact",                 # exact-dedup family
-    # ---- r6 rows, all 15 (directive #1) -------------------------
-    "ann_ivf_topk",                # rows-only (trained codebook)
-    "ann_lsh_topk",                # FIRST driver hash row (r11 oracle)
-    "benchmark_contamination",
-    "embedding_pca_project",       # rows-only (data-dependent PCA)
-    "funnel_conversion",
-    "mm_audio_resample",
-    "q21_waiting_suppliers",
-    "q3_shipping_priority",
-    "retention_cohorts",
-    "sample_cluster_cap",
-    "scalar_math_battery",
-    "setop_union_segments",
-    "stats_regression_battery",
-    "text_substring_dup_spans",
-    "window_frame_moving_avg",
-    # ---- r7 rows, stalest 30 of 37 (directive #1) ---------------
-    "agg_rollup_lineitem",
-    "ann_ivfpq_topk",              # rows-only (trained codebook)
-    "asof_last_purchase",
-    "cdc_align_projection",
-    "cdc_changestream_decode",
-    "cdc_incremental_agg",
-    "cdc_keep_last",
-    "cdc_lag_report",
-    "cdc_scd2_history",
-    "dedup_components_chain",
-    "doc_chunk_overlap",
-    "embedding_int8_quantize",
-    "embedding_kmeans_clusters",   # rows-only (k-means state)
-    "embedding_pq_codes",          # rows-only (trained codebook)
-    "export_shard_manifest",
-    "frequent_items_mg",
-    "join_full_outer_daily",
-    "mixture_temperature_weights",
-    "mm_image_phash_neardup",
-    "pack_sequences_greedy",
-    "pivot_status_by_priority",
-    "quality_classifier_score",
-    "quantile_histogram_rollup",
-    "sample_bottomk_hash",
-    "sample_by_mixture",
-    "scalar_url_parse",
-    "sequence_match_pattern",
-    "sessionize_lag_gap",
-    "setop_bag_ops",
-    "split_leakage_safe",
+    # ---- last driver row r7 (all 7 remaining) -------------------
+    "text_pii_redact",
+    "text_quality_scores",
+    "tfidf_top_terms",
+    "topk_orders_by_price",
+    "ts_anomaly_mad",
+    "udf_zscore_per_user",
+    "window_range_time_frame",
+    # ---- last driver row r8 (all 34 remaining) ------------------
+    "ab_test_summary",
+    "ann_hard_negatives",
+    "ann_ivf_topk_prebuilt",       # rows-only (prebuilt trained index)
+    "array_hof_battery",
+    "asof_next_purchase",
+    "asof_purchase_recency_gated",
+    "attribution_linear",
+    "cdc_cast_matrix",
+    "cdc_scd2_asof_counts",
+    "cdc_snapshot_diff",
+    "cdc_table_checksum",
+    "chi_square_lang_source",
+    "dau_cumulative",
+    "dist_drift_l1",
+    "dq_constraint_violations",
+    "embedding_centroid_report",
+    "fk_fanout_histogram",
+    "hll_user_rollup",             # rows-only (HLL register state)
+    "inverted_index_stats",
+    "map_function_battery",
+    "mm_video_scene_cuts",
+    "neardup_edit_distance",
+    "neardup_jaccard_prefix",
+    "neardup_triangle_stats",
+    "sample_weighted_bottomk",
+    "scalar_bitops_battery",
+    "scalar_null_battery",
+    "scalar_variant_extract",
+    "stream_interval_join",
+    "trending_terms",
+    "ts_ewma_bounded",
+    "ts_resample_ohlc",
+    "ts_time_weighted_avg",
+    "unpivot_status_revenue",
+    # ---- last driver row r10, stalest 4 -------------------------
+    "agg_cube_orders",
+    "approx_distinct_users",       # rows-only (HLL sketch)
+    "array_agg_per_nation",
+    "bm25_retrieval",
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)

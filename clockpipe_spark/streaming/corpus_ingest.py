@@ -141,7 +141,15 @@ class CorpusIngestPipeline:
     ) -> None:
         """One metrics row, written driver-side (pyarrow): Spark reads it
         back like any other parquet append, without paying a Spark job
-        for a 4-integer record."""
+        for a 4-integer record.
+
+        Write-temp-then-rename (ADVICE r12 #2): pyarrow writes in place,
+        so a crash mid-write would leave a torn half-file that breaks
+        every subsequent metrics() read. Writing under a dot-prefixed
+        ``.inprogress`` name (skipped by ``_read_or_empty``'s
+        ``.parquet`` suffix filter) and ``os.rename``-ing — atomic on
+        POSIX within one directory — means readers only ever see
+        complete files."""
         import uuid
 
         import pyarrow as pa
@@ -156,12 +164,10 @@ class CorpusIngestPipeline:
                 "n_admitted": pa.array([n_admitted], pa.int64()),
             }
         )
-        pq.write_table(
-            table,
-            os.path.join(
-                self.metrics_dir, f"metrics-{batch_id}-{uuid.uuid4().hex}.parquet"
-            ),
-        )
+        name = f"metrics-{batch_id}-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.metrics_dir, f".{name}.inprogress")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.metrics_dir, name))
 
     def foreach_batch(self, id_col: str = "doc_id", text_col: str = "text"):
         """Adapter for ``writeStream.foreachBatch``."""

@@ -249,9 +249,22 @@ class StreamingNearDup:
         # partition commit protocol regardless of batch size. Loose band
         # files carry band_bucket as a sorted COLUMN; compact_bands()
         # periodically folds them into the pruned band_bucket=K layout.
-        # The four independent jobs below run on concurrent driver
-        # threads (Spark schedules concurrent jobs fine; the writes hit
-        # four different directories): the wall cost is max(), not sum().
+        #
+        # Commit ORDERING (r13, ADVICE r12 #1): the sigs append is the
+        # batch's COMMIT MARKER and must be the last state write.
+        # w_bands derives its rows from admitted_sig, which anti-joins
+        # hist_sigs — so if the driver died after sigs committed but
+        # before bands did, a replay would compute an EMPTY admitted_sig
+        # and never write the missing band rows (near-dup detection
+        # against those docs permanently off). With sigs last, every
+        # crash window replays cleanly: bands/shorts already written
+        # but sigs absent → replay recomputes the same admitted set and
+        # re-appends (duplicate band/short rows are absorbed by the
+        # candidate joins' dropDuplicates/distinct, exactly like the
+        # compaction crash window). bands/shorts/out are mutually
+        # independent and run on concurrent driver threads (wall cost
+        # max(), not sum()); sigs waits for bands (its dependent) AND
+        # shorts (so the marker never precedes any state row).
         out_holder: dict[str, DataFrame] = {}
 
         def w_sigs() -> None:
@@ -284,10 +297,11 @@ class StreamingNearDup:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futures = [pool.submit(f) for f in (w_sigs, w_bands, w_shorts, w_out)]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [pool.submit(f) for f in (w_bands, w_shorts, w_out)]
             for fut in futures:
                 fut.result()  # re-raise the first failure
+            w_sigs()  # commit marker: only after bands+shorts are durable
 
         self.compact_bands()
         admitted_sig.unpersist()

@@ -175,3 +175,89 @@ def test_replay_does_not_duplicate_state(spark, dedup):
     n_state2 = dedup._history(dedup.sigs_dir, "id long, minhash array<long>").count()
     assert n_state2 == n_state == 2
     assert sorted(r["id"] for r in dedup.admitted_ids().collect()) == [1, 2]
+
+
+def test_crash_between_bands_and_sigs_heals_on_replay(spark, dedup):
+    """Commit-ordering crash window (ADVICE r12 #1): the sigs append is
+    the batch's commit marker and is written LAST, so the only possible
+    partial state after a crash is bands/shorts present + sigs absent.
+    A replay of that window must re-derive the full admitted set (the
+    sig-history anti-join sees no marker), re-append bands (duplicates
+    absorbed by the candidate join), and land the sigs — after which
+    near-dup detection against those docs works. Before the r13
+    ordering fix the opposite window (sigs present, bands absent) was
+    reachable and UNHEALABLE: replay derived an empty admitted set and
+    the band rows were lost forever."""
+    import os
+    import shutil
+
+    batch = _df(spark, [(1, DOC_A), (2, DOC_B)])
+    assert dedup.process_batch(batch).count() == 2
+    # simulate the crash window: bands committed, sigs (the marker) not
+    shutil.rmtree(dedup.sigs_dir)
+    assert not os.path.isdir(dedup.sigs_dir)
+    band_rows_partial = dedup._history(
+        dedup.bands_dir, "id long, band_idx int, band_hash long"
+    ).count()
+    assert band_rows_partial > 0
+
+    # at-least-once replay of the same batch
+    assert dedup.process_batch(batch).count() == 2
+    # the marker is restored…
+    sig_ids = {
+        r["id"]
+        for r in dedup._history(
+            dedup.sigs_dir, "id long, minhash array<long>"
+        ).collect()
+    }
+    assert sig_ids == {1, 2}
+    # …and near-dup detection against the healed state works end-to-end
+    assert dedup.process_batch(_df(spark, [(3, DOC_A_NEAR)])).count() == 0
+
+
+def test_torn_metrics_file_is_invisible_to_readers(spark, tmp_path):
+    """ADVICE r12 #2: the driver-side pyarrow metrics write goes to a
+    dot-prefixed .inprogress temp and renames into place, so a torn
+    half-file from a crash mid-write is never picked up by metrics()
+    (the reader lists only *.parquet)."""
+    from clockpipe_spark.streaming.corpus_ingest import CorpusIngestPipeline
+
+    pipe = CorpusIngestPipeline(spark, str(tmp_path / "ingest"), threshold=0.5)
+    pipe._write_metrics(0, 10, 8, 7)
+    # simulate a crash mid-write: a torn .inprogress file left behind
+    import os
+
+    os.makedirs(pipe.metrics_dir, exist_ok=True)
+    torn = os.path.join(
+        pipe.metrics_dir, ".metrics-1-deadbeef.parquet.inprogress"
+    )
+    with open(torn, "wb") as f:
+        f.write(b"PAR1\x00torn")
+    m = pipe.metrics().collect()
+    assert len(m) == 1 and m[0]["n_admitted"] == 7
+    # and no stray non-temp garbage was created by the writer itself
+    finals = [
+        n for n in os.listdir(pipe.metrics_dir) if n.endswith(".parquet")
+    ]
+    assert len(finals) == 1
+
+
+def test_sig_cache_registry_is_bounded(spark):
+    """ADVICE r12 #3: _SIG_CACHES must not grow without bound in
+    long-lived processes — registration FIFO-evicts (and unpersists)
+    past the cap, and release_signature_caches() empties it."""
+    from clockpipe_spark.operators import neardup as nd
+
+    nd.release_signature_caches()
+    frames = []
+    for i in range(nd._SIG_CACHE_CAP + 3):
+        df = spark.range(i + 1).cache()
+        frames.append(df)
+        nd._register_sig_cache(df)
+    assert len(nd._SIG_CACHES) == nd._SIG_CACHE_CAP
+    # oldest three were evicted AND unpersisted; newest retained
+    assert frames[0] not in nd._SIG_CACHES
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[-1] in nd._SIG_CACHES
+    assert nd.release_signature_caches() == nd._SIG_CACHE_CAP
+    assert nd._SIG_CACHES == []
