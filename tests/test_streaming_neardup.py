@@ -244,20 +244,28 @@ def test_torn_metrics_file_is_invisible_to_readers(spark, tmp_path):
 
 def test_sig_cache_registry_is_bounded(spark):
     """ADVICE r12 #3: _SIG_CACHES must not grow without bound in
-    long-lived processes — registration FIFO-evicts (and unpersists)
-    past the cap, and release_signature_caches() empties it."""
+    long-lived processes. Registration dedupes by semanticHash (repeat
+    executions of the same workload occupy ONE slot — evicting them by
+    count would unpersist the shared JVM cache entry mid-suite), and a
+    backstop cap FIFO-evicts + unpersists past it."""
     from clockpipe_spark.operators import neardup as nd
 
     nd.release_signature_caches()
-    frames = []
-    for i in range(nd._SIG_CACHE_CAP + 3):
-        df = spark.range(i + 1).cache()
-        frames.append(df)
+    # repeat registrations of the same workload: one slot, not N
+    df = spark.range(7).cache()
+    for _ in range(5):
         nd._register_sig_cache(df)
+    assert len(nd._SIG_CACHES) == 1
+    # a semantically identical but distinct object also dedupes
+    nd._register_sig_cache(spark.range(7).cache())
+    assert len(nd._SIG_CACHES) == 1
+    # distinct workloads accumulate up to the backstop cap, then the
+    # oldest is evicted AND unpersisted
+    frames = [spark.range(10 + i).cache() for i in range(nd._SIG_CACHE_CAP + 2)]
+    for f in frames:
+        nd._register_sig_cache(f)
     assert len(nd._SIG_CACHES) == nd._SIG_CACHE_CAP
-    # oldest three were evicted AND unpersisted; newest retained
-    assert frames[0] not in nd._SIG_CACHES
-    assert frames[0].storageLevel.useMemory is False
-    assert frames[-1] in nd._SIG_CACHES
+    assert df.storageLevel.useMemory is False  # oldest, evicted
+    assert frames[-1] in nd._SIG_CACHES.values()
     assert nd.release_signature_caches() == nd._SIG_CACHE_CAP
-    assert nd._SIG_CACHES == []
+    assert nd._SIG_CACHES == {}
