@@ -105,9 +105,26 @@ class CorpusIngestPipeline:
         counters ride existing jobs as ``observe()`` metrics instead of
         running three count() jobs, and the 1-row metrics record is
         written driver-side with pyarrow (its Spark write job cost
-        ~0.6 s — pure job-launch overhead for 4 integers). The counter
-        observations fire during the dedup layer's first job (which
-        scans docs through the gate) and the corpus append."""
+        ~0.6 s — pure job-launch overhead for 4 integers).
+
+        Corpus commit protocol (r13): with a real ``batch_id`` the
+        corpus write goes to a deterministic ``batch=<id>`` directory
+        via the dedup layer's ``pre_commit`` hook — i.e. BEFORE the
+        state's shorts/sigs commit marker — guarded by the directory's
+        ``_SUCCESS`` file. The old order (state fully committed, THEN
+        a blind corpus append filtered by pre-batch admitted_ids) had
+        an unhealable window: a crash between the two left the docs
+        admitted-in-state, so the replay's anti-join wrote nothing and
+        their text never reached the corpus. Now every window heals:
+        crash before the corpus write → replay sees no state marker,
+        recomputes the same admitted set, rewrites the same directory
+        (mode=overwrite, deterministic content); crash after it →
+        ``_SUCCESS`` exists, the write is skipped, and the state
+        re-commits idempotently. Callers without a batch_id (< 0) keep
+        the legacy blind append (no replay contract to honor).
+        ``already`` still filters cross-batch redelivery: a doc id
+        admitted under an EARLIER batch_id must not enter this batch's
+        directory too."""
         from pyspark.sql import Observation
 
         obs_arrived, obs_gated, obs_admitted = (
@@ -118,21 +135,49 @@ class CorpusIngestPipeline:
         docs = docs.observe(obs_arrived, F.count(F.lit(1)).alias("n"))
         gated = self.gate(docs, text_col) if self.gate else docs
         gated = gated.observe(obs_gated, F.count(F.lit(1)).alias("n"))
-        # snapshot of ids admitted BEFORE this batch: on an at-least-once
-        # replay the dedup layer re-admits the batch's own rows (its state
-        # append is idempotent, its output is not), so the corpus append
-        # must itself anti-join history to stay idempotent
+        # snapshot of ids admitted BEFORE this batch (file list resolved
+        # eagerly): on an at-least-once replay the dedup layer re-admits
+        # the batch's own rows, so the corpus write must filter against
+        # ids admitted by EARLIER batches
         already = self.neardup.admitted_ids().withColumnRenamed("id", id_col)
-        admitted = self.neardup.process_batch(gated, id_col, text_col)
-        new_rows = admitted.join(already, id_col, "left_anti").observe(
-            obs_admitted, F.count(F.lit(1)).alias("n")
+
+        batch_dir = os.path.join(self.corpus_dir, f"batch={batch_id}")
+        corpus_done = batch_id >= 0 and os.path.exists(
+            os.path.join(batch_dir, "_SUCCESS")
         )
-        new_rows.write.mode("append").parquet(self.corpus_dir)
+
+        def write_corpus(admitted_df: DataFrame) -> None:
+            if corpus_done:
+                return
+            new_rows = admitted_df.join(already, id_col, "left_anti").observe(
+                obs_admitted, F.count(F.lit(1)).alias("n")
+            )
+            if batch_id >= 0:
+                new_rows.write.mode("overwrite").parquet(batch_dir)
+            else:
+                new_rows.write.mode("append").parquet(self.corpus_dir)
+
+        admitted = self.neardup.process_batch(
+            gated, id_col, text_col, pre_commit=write_corpus
+        )
+        if corpus_done:
+            # replay after the corpus committed but (possibly) before
+            # the state marker: the admitted count is what the batch
+            # directory already holds (rare path — one cheap scan; an
+            # all-duplicates batch may hold _SUCCESS and no data files)
+            part_files = [
+                f for f in os.listdir(batch_dir) if f.endswith(".parquet")
+            ]
+            n_admitted = (
+                self.spark.read.parquet(batch_dir).count() if part_files else 0
+            )
+        else:
+            n_admitted = obs_admitted.get["n"]
         self._write_metrics(
             batch_id,
             obs_arrived.get["n"],
             obs_gated.get["n"],
-            obs_admitted.get["n"],
+            n_admitted,
         )
         return admitted
 

@@ -117,11 +117,26 @@ class StreamingNearDup:
         return self._history_df(self._files(path), schema)
 
     def process_batch(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        pre_commit=None,
     ) -> DataFrame:
         """Admit the subset of ``docs`` that near-duplicates neither the
         admitted history nor an earlier (lower-id) doc of this batch;
-        append the admitted docs' state. Returns the admitted rows."""
+        append the admitted docs' state. Returns the admitted rows.
+
+        ``pre_commit`` (r13): optional callable(admitted_df) executed
+        AFTER the band append but BEFORE the shorts and sigs appends —
+        i.e. strictly before any part of the batch becomes visible to
+        ``admitted_ids()``. Downstream writers (the corpus append) hook
+        here so a crash can never leave a doc admitted-in-state but
+        absent from their own store: every state row that could mark
+        the doc as "already admitted" on replay commits after the
+        downstream write. A pre_commit failure aborts the batch with
+        only band rows written — duplicates the candidate join absorbs,
+        exactly like the compaction crash window."""
         sig = minhash_signatures(docs, id_col, text_col, self.n_hashes).cache()
         bands = band_hashes(sig, self.n_hashes, self.n_bands).cache()
 
@@ -261,10 +276,17 @@ class StreamingNearDup:
         # but sigs absent → replay recomputes the same admitted set and
         # re-appends (duplicate band/short rows are absorbed by the
         # candidate joins' dropDuplicates/distinct, exactly like the
-        # compaction crash window). bands/shorts/out are mutually
-        # independent and run on concurrent driver threads (wall cost
-        # max(), not sum()); sigs waits for bands (its dependent) AND
-        # shorts (so the marker never precedes any state row).
+        # compaction crash window).
+        #
+        # Full order: [bands ∥ out] → pre_commit → shorts → sigs.
+        # bands and out are mutually independent (concurrent threads,
+        # wall = max()); shorts runs AFTER pre_commit because
+        # admitted_ids() is sigs ∪ shorts — if shorts committed before
+        # a downstream pre_commit write and the driver crashed between
+        # them, the replay's "already admitted" snapshot would contain
+        # the batch's short docs and the downstream store would skip
+        # (and so permanently lose) them. The ~0.1 s of lost shorts
+        # concurrency is the price of that window not existing.
         out_holder: dict[str, DataFrame] = {}
 
         def w_sigs() -> None:
@@ -297,11 +319,14 @@ class StreamingNearDup:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futures = [pool.submit(f) for f in (w_bands, w_shorts, w_out)]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(f) for f in (w_bands, w_out)]
             for fut in futures:
                 fut.result()  # re-raise the first failure
-            w_sigs()  # commit marker: only after bands+shorts are durable
+        if pre_commit is not None:
+            pre_commit(out_holder["out"])
+        w_shorts()  # only after downstream stores are durable
+        w_sigs()  # commit marker: only after every other write landed
 
         self.compact_bands()
         admitted_sig.unpersist()

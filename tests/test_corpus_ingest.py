@@ -115,3 +115,81 @@ def test_foreachbatch_under_readstream(spark, tmp_path):
     corpus_ids = {r["doc_id"] for r in pipe.corpus("doc_id long, text string").collect()}
     assert corpus_ids == {1}
     assert pipe.metrics().count() >= 2
+
+
+def test_crash_before_corpus_write_heals_on_replay(spark, pipe):
+    """Crash window 1 of the r13 corpus commit protocol: the driver dies
+    after the dedup layer's band append but BEFORE the corpus write
+    (pre_commit raises here to simulate it). The state marker (sigs) is
+    never written, so the replay recomputes the same admitted set and
+    the corpus write lands in full."""
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding(_df):
+        raise Boom()
+
+    batch = _df(spark, [(1, _WORDS)])
+    gated = c4_quality_gate(batch)
+    with pytest.raises(Boom):
+        pipe.neardup.process_batch(gated, "doc_id", "text", pre_commit=exploding)
+    # the crash left band rows but no marker and no corpus rows
+    assert pipe.neardup.admitted_ids().count() == 0
+    assert pipe.corpus("doc_id long, text string").count() == 0
+
+    # at-least-once replay of the same batch through the full pipeline
+    assert pipe.process_batch(batch, batch_id=0).count() == 1
+    assert {
+        r["doc_id"] for r in pipe.corpus("doc_id long, text string").collect()
+    } == {1}
+    assert pipe.neardup.admitted_ids().count() == 1
+
+
+def test_crash_after_corpus_before_state_marker_heals(spark, pipe, tmp_path):
+    """Crash window 2: the corpus batch directory committed (_SUCCESS
+    present) but the state marker didn't land. The replay must SKIP the
+    corpus write (no duplicate, no empty-overwrite wipe — the old code's
+    unhealable loss window) and re-commit the state."""
+    import shutil
+
+    batch = _df(spark, [(1, _WORDS)])
+    assert pipe.process_batch(batch, batch_id=0).count() == 1
+    # simulate losing the state commit AFTER the corpus landed
+    shutil.rmtree(pipe.neardup.sigs_dir)
+    shutil.rmtree(pipe.neardup.shorts_dir, ignore_errors=True)
+    assert pipe.neardup.admitted_ids().count() == 0
+    n_corpus = pipe.corpus("doc_id long, text string").count()
+    assert n_corpus == 1
+
+    # replay: corpus untouched (exactly-once content), state healed
+    assert pipe.process_batch(batch, batch_id=0).count() == 1
+    assert pipe.corpus("doc_id long, text string").count() == 1
+    assert pipe.neardup.admitted_ids().count() == 1
+    # and near-dup detection works against the healed state
+    assert pipe.process_batch(_df(spark, [(2, _NEAR)]), batch_id=1).count() == 0
+
+
+def test_batch_dirs_accumulate_and_cross_batch_redelivery_filtered(spark, pipe):
+    """Distinct batch ids write distinct directories; a doc id
+    redelivered in a LATER batch does not enter the corpus twice."""
+    import os
+
+    b0 = _df(spark, [(1, _WORDS)])
+    other = (
+        "galaxies rotate slowly around their dense luminous cores while "
+        "astronomers measure redshift spectra through giant telescope "
+        "arrays placed on remote desert plateaus where atmospheric "
+        "interference stays minimal during long winter observation "
+        "campaigns and patient researchers catalog thousands of distant "
+        "stellar objects whose ancient light began traveling toward our "
+        "small blue planet before complex life emerged from shallow seas"
+    )
+    assert len(other.split()) >= 50
+    b1 = _df(spark, [(1, _WORDS), (2, other)])  # doc 1 redelivered
+    pipe.process_batch(b0, batch_id=0)
+    pipe.process_batch(b1, batch_id=1)
+    assert os.path.exists(os.path.join(pipe.corpus_dir, "batch=0", "_SUCCESS"))
+    assert os.path.exists(os.path.join(pipe.corpus_dir, "batch=1", "_SUCCESS"))
+    rows = pipe.corpus("doc_id long, text string").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
