@@ -223,11 +223,17 @@ class CorpusIngestPipeline:
         return fn
 
     def _read_or_empty(self, path: str, schema: str | None = None) -> DataFrame:
+        # skip Spark's in-flight task output (_temporary attempt dirs)
+        # and dot/underscore metadata — a crashed write must never leak
+        # torn part files into a reader's explicit file list (r13)
         files = []
         if os.path.isdir(path):
-            for dirpath, _d, names in os.walk(path):
+            for dirpath, dirs, names in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 files.extend(
-                    os.path.join(dirpath, n) for n in names if n.endswith(".parquet")
+                    os.path.join(dirpath, n)
+                    for n in names
+                    if n.endswith(".parquet") and not n.startswith(("_", "."))
                 )
         if not files:
             return self.spark.createDataFrame([], schema or _METRICS_SCHEMA)

@@ -83,10 +83,19 @@ class StreamingNearDup:
         os.makedirs(root, exist_ok=True)
 
     def _files(self, path: str) -> list[str]:
+        """Parquet data files under ``path``, EXCLUDING in-flight Spark
+        task output: a crashed write leaves partial part files under
+        ``_temporary/`` attempt dirs that Spark's own directory reader
+        skips — an explicit file list must skip them too, or a replay
+        after a mid-write crash reads torn/duplicate state rows (r13)."""
         files = []
-        for dirpath, _dirs, names in os.walk(path):
+        for dirpath, dirs, names in os.walk(path):
+            # prune metadata/attempt dirs in place (os.walk contract)
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             files.extend(
-                os.path.join(dirpath, n) for n in names if n.endswith(".parquet")
+                os.path.join(dirpath, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
             )
         return sorted(files)
 

@@ -269,3 +269,28 @@ def test_sig_cache_registry_is_bounded(spark):
     assert frames[-1] in nd._SIG_CACHES.values()
     assert nd.release_signature_caches() == nd._SIG_CACHE_CAP
     assert nd._SIG_CACHES == {}
+
+
+def test_inflight_task_output_invisible_to_state_readers(spark, dedup, tmp_path):
+    """A crashed Spark write leaves partial part files under _temporary
+    attempt dirs; Spark's directory reader skips them, so the explicit
+    file lists the state layer builds must skip them too (r13) — or a
+    post-crash replay reads torn/duplicate band rows."""
+    import os
+
+    batch = _df(spark, [(1, DOC_A), (2, DOC_B)])
+    assert dedup.process_batch(batch).count() == 2
+
+    # plant garbage where a crashed task attempt would leave it
+    tdir = os.path.join(
+        dedup.bands_dir, "_temporary", "0", "task_001", "attempt_0"
+    )
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "part-00000.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1 torn garbage")
+    with open(os.path.join(dedup.bands_dir, ".part-crc.parquet"), "wb") as f:
+        f.write(b"not parquet either")
+
+    assert all("_temporary" not in p for p in dedup._files(dedup.bands_dir))
+    # and the probe path still works end-to-end over the polluted dir
+    assert dedup.process_batch(_df(spark, [(3, DOC_A_NEAR)])).count() == 0
