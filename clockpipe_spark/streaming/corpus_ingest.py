@@ -132,7 +132,16 @@ class CorpusIngestPipeline:
             Observation(),
             Observation(),
         )
-        docs = docs.observe(obs_arrived, F.count(F.lit(1)).alias("n"))
+        # min/max ride the arrived-count observation (r13): they bound
+        # the redelivery filter's id range with ZERO extra jobs — the
+        # observation fires during the dedup layer's first docs scan,
+        # strictly before pre_commit needs the range
+        docs = docs.observe(
+            obs_arrived,
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+        )
         gated = self.gate(docs, text_col) if self.gate else docs
         gated = gated.observe(obs_gated, F.count(F.lit(1)).alias("n"))
         batch_dir = os.path.join(self.corpus_dir, f"batch={batch_id}")
@@ -148,13 +157,12 @@ class CorpusIngestPipeline:
             # inside pre_commit, i.e. before this batch's sigs/shorts
             # commit — so the file-list snapshot can never contain this
             # batch's own rows, and range-restricted (r13) to the
-            # admitted ids' [min, max]: a redelivered id lies inside by
-            # construction, and the pushed-down range lets row-group id
-            # stats skip history instead of scanning a corpus-sized id
-            # column per batch.
-            rng = admitted_df.agg(
-                F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-            ).first()
+            # arrived ids' [min, max] (from the observation — no extra
+            # job): a redelivered id lies inside by construction, and
+            # the pushed-down range lets row-group id stats skip
+            # history instead of scanning a corpus-sized id column per
+            # batch.
+            rng = obs_arrived.get
             already = self.neardup.admitted_ids(
                 id_range=(rng["lo"], rng["hi"])
             ).withColumnRenamed("id", id_col)

@@ -208,6 +208,18 @@ class StreamingNearDup:
         downstream write. A pre_commit failure aborts the batch with
         only band rows written — duplicates the candidate join absorbs,
         exactly like the compaction crash window."""
+        import time as _time
+
+        _trace = os.environ.get("SPARK_GRAFT_TRACE") == "1"
+        _t0 = _time.perf_counter()
+
+        def _mark(label: str) -> None:
+            nonlocal _t0
+            if _trace:
+                now = _time.perf_counter()
+                print(f"# nd-trace {label}: {now - _t0:.3f}s", flush=True)
+                _t0 = now
+
         sig = minhash_signatures(docs, id_col, text_col, self.n_hashes).cache()
         bands = band_hashes(sig, self.n_hashes, self.n_bands).cache()
 
@@ -228,6 +240,7 @@ class StreamingNearDup:
             F.max("id").alias("hi"),
         ).first()
         probe_buckets, id_lo, id_hi = stats["bb"], stats["lo"], stats["hi"]
+        _mark("stats_collect")
         hist_bands = self._history_df(self._band_files(probe_buckets), _BANDS_SCHEMA)
 
         # candidates vs history: new id on the left, any admitted id right
@@ -275,6 +288,7 @@ class StreamingNearDup:
             )
         else:
             hist_sigs_verify = self._history_df(sig_log_files, _SIGS_SCHEMA)
+        _mark("cand_prune_gate")
 
         # verify by signature-estimated Jaccard (sig store consulted only
         # for surviving candidates; batch side is broadcast-sized)
@@ -339,6 +353,7 @@ class StreamingNearDup:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        _mark("all_dup_ckpt")
         # Replay safety (at-least-once foreachBatch): a re-delivered batch
         # must not re-append state rows for ids already admitted — the
         # anti-join against history makes the state append idempotent.
@@ -382,16 +397,34 @@ class StreamingNearDup:
         # candidate joins' dropDuplicates/distinct, exactly like the
         # compaction crash window).
         #
-        # Full order: [bands ∥ out] → pre_commit → shorts → sigs.
-        # bands and out are mutually independent (concurrent threads,
-        # wall = max()); shorts runs AFTER pre_commit because
-        # admitted_ids() is sigs ∪ shorts — if shorts committed before
-        # a downstream pre_commit write and the driver crashed between
-        # them, the replay's "already admitted" snapshot would contain
-        # the batch's short docs and the downstream store would skip
-        # (and so permanently lose) them. The ~0.1 s of lost shorts
-        # concurrency is the price of that window not existing.
+        # Full order: [bands ∥ pre_commit(lazy out)] → shorts? → [sigs ∥
+        # out-checkpoint].
+        # - bands is independent of the downstream pre_commit write
+        #   (corpus committed without bands heals: no marker → replay
+        #   recomputes, _SUCCESS skips the corpus, bands rewritten), so
+        #   they overlap on driver threads.
+        # - pre_commit consumes the LAZY admitted frame: its anti-join
+        #   folds into the downstream write's own job instead of paying
+        #   a separate checkpoint wall first. Safe post-hoc too: the
+        #   history snapshots are eager file lists and all_dup is
+        #   checkpointed, so re-evaluation is deterministic.
+        # - shorts runs AFTER pre_commit because admitted_ids() is sigs
+        #   ∪ shorts — if shorts committed before a downstream
+        #   pre_commit write and the driver crashed between them, the
+        #   replay's "already admitted" snapshot would contain the
+        #   batch's short docs and the downstream store would skip (and
+        #   so permanently lose) them. SKIPPED outright when the batch
+        #   has no short docs (cheap probe of the cached shorts frame —
+        #   the common case for a gated corpus).
+        # - the eager checkpoint of the RETURNED admitted frame is not
+        #   a state write, so it overlaps the shorts/sigs commits.
+        # Net serialized walls per batch: stats collect, all_dup,
+        # max(bands, pre_commit), max(shorts?+sigs, out-checkpoint) —
+        # the r12 count plus the one wall crash-consistency truly costs.
         out_holder: dict[str, DataFrame] = {}
+        lazy_out = docs.join(
+            all_dup.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
 
         def w_sigs() -> None:
             (
@@ -426,23 +459,32 @@ class StreamingNearDup:
             )
 
         def w_out() -> None:
-            out_holder["out"] = docs.join(
-                all_dup.withColumnRenamed("id", id_col), id_col, "left_anti"
-            ).localCheckpoint(eager=True)
+            out_holder["out"] = lazy_out.localCheckpoint(eager=True)
+
+        def w_pre_commit() -> None:
+            if pre_commit is not None:
+                pre_commit(lazy_out)
 
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            futures = [pool.submit(f) for f in (w_bands, w_out)]
+            futures = [pool.submit(f) for f in (w_bands, w_pre_commit)]
             for fut in futures:
                 fut.result()  # re-raise the first failure
-        if pre_commit is not None:
-            pre_commit(out_holder["out"])
-        w_shorts()  # only after downstream stores are durable
-        w_sigs()  # commit marker: only after every other write landed
+        _mark("bands_and_pre_commit")
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_out = pool.submit(w_out)  # not a state write — overlaps commits
+            # cached-frame probe (~0.1 s) skips the empty append job
+            # (~0.4 s of commit protocol) for all-long-doc batches
+            if shorts.limit(1).count():
+                w_shorts()  # only after downstream stores are durable
+            w_sigs()  # commit marker: only after every other write landed
+            f_out.result()
+        _mark("shorts_sigs_out")
 
         self.compact_bands()
         self.compact_sigs()
+        _mark("compact_checks")
         admitted_sig.unpersist()
         shorts.unpersist()
         sig.unpersist()
