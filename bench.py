@@ -301,7 +301,7 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
     return line
 
 
-def bench_cdc(spark, sf_dir: str, trials: int = 2) -> dict[str, float]:
+def bench_cdc(spark, sf_dir: str, trials: int = 3) -> dict[str, float]:
     """BASELINE.md derived targets, measured: snapshot ingest rate and
     sustained CDC merge throughput at the reference's 65,536-change peek
     cap (config.rs:146-149, 181-184).
@@ -934,7 +934,7 @@ def bench_ingest(
 
 
 def bench_live_pg(
-    spark, n_rows: int = 100_000, n_txns: int = 20, trials: int = 2
+    spark, n_rows: int = 100_000, n_txns: int = 20, trials: int = 3
 ) -> dict:
     """CDC throughput against a REAL PostgreSQL server — the most honest
     comparison surface available for a replication engine whose
