@@ -95,6 +95,40 @@ class StreamingNearDup:
         # lazy full-log plan to checkpoint-cand + bucket-pruned reads
         self.prune_verify_bytes = prune_verify_bytes
         os.makedirs(root, exist_ok=True)
+        self._pin_layout(root)
+
+    def _pin_layout(self, root: str) -> None:
+        """Refuse to open an existing store with different bucket
+        counts (r13): bucket ids are baked into the hive dir names, so
+        a probe computed with a NEW n_band_buckets prunes to dirs an
+        OLD layout never wrote — silently missing duplicates. Resizing
+        requires a full recompaction, not a constructor argument; the
+        layout file (dot/underscore-invisible to the data walkers) pins
+        what the store was built with."""
+        import json
+
+        layout_path = os.path.join(root, "_layout.json")
+        want = {
+            "n_band_buckets": self.n_band_buckets,
+            "n_sig_buckets": self.n_sig_buckets,
+        }
+        if os.path.exists(layout_path):
+            with open(layout_path) as f:
+                have = json.load(f)
+            if have != want:
+                raise ValueError(
+                    f"StreamingNearDup layout mismatch at {root}: store "
+                    f"was built with {have}, constructor asked for "
+                    f"{want}. Bucket ids are baked into the hive dir "
+                    "names — opening with different counts would "
+                    "silently miss duplicates. Rebuild the store (or "
+                    "fully recompact under the new counts) instead."
+                )
+        else:
+            tmp = layout_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(want, f)
+            os.replace(tmp, layout_path)
 
     def _files(self, path: str) -> list[str]:
         """Parquet data files under ``path``, EXCLUDING in-flight Spark

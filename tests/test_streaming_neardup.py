@@ -328,3 +328,21 @@ def test_pruned_verify_path_matches_lazy_path(spark, tmp_path):
     assert results["pruned"] == results["lazy"]
     assert results["lazy"]["batch2"] == [4]
     assert results["lazy"]["admitted"] == [1, 2, 4]
+
+
+def test_layout_bucket_counts_are_pinned(spark, tmp_path):
+    """Bucket ids are baked into hive dir names — reopening a store
+    with different bucket counts would prune probes to dirs the old
+    layout never wrote and silently miss duplicates (r13). The layout
+    file makes that a loud constructor error."""
+    from clockpipe_spark.streaming.neardup_state import StreamingNearDup
+
+    root = str(tmp_path / "pinned")
+    nd = StreamingNearDup(spark, root, n_band_buckets=64)
+    nd.process_batch(_df(spark, [(1, DOC_A)]))
+    # same counts: reopens fine and still dedups
+    nd2 = StreamingNearDup(spark, root, n_band_buckets=64)
+    assert nd2.process_batch(_df(spark, [(2, DOC_A_NEAR)])).count() == 0
+    # different counts: refused loudly
+    with pytest.raises(ValueError, match="layout mismatch"):
+        StreamingNearDup(spark, root, n_band_buckets=4096)
