@@ -107,7 +107,16 @@ class StreamingNearDup:
         what the store was built with."""
         import json
 
+        self._root = root
         layout_path = os.path.join(root, "_layout.json")
+        if os.path.exists(layout_path + ".resizing"):
+            raise ValueError(
+                f"StreamingNearDup store at {root} has an interrupted "
+                "resize_buckets() (found _layout.json.resizing). The "
+                "log layouts may be mixed — re-run resize_buckets() to "
+                "completion on a store opened with the OLD counts after "
+                "removing the marker, or rebuild the store."
+            )
         want = {
             "n_band_buckets": self.n_band_buckets,
             "n_sig_buckets": self.n_sig_buckets,
@@ -121,14 +130,84 @@ class StreamingNearDup:
                     f"was built with {have}, constructor asked for "
                     f"{want}. Bucket ids are baked into the hive dir "
                     "names — opening with different counts would "
-                    "silently miss duplicates. Rebuild the store (or "
-                    "fully recompact under the new counts) instead."
+                    "silently miss duplicates. Open with the old counts "
+                    "and run resize_buckets(), or rebuild the store."
                 )
         else:
             tmp = layout_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(want, f)
             os.replace(tmp, layout_path)
+
+    def resize_buckets(
+        self,
+        n_band_buckets: int | None = None,
+        n_sig_buckets: int | None = None,
+    ) -> None:
+        """OFFLINE full-layout migration to new bucket counts — the
+        sanctioned way to grow n_band_buckets as the corpus grows (the
+        10M-history A/B: probe 6.9-8.8 s at 64 buckets vs 1.1-1.9 s at
+        4096). Rewrites each log under the new bucket dirs and swaps it
+        in; must not run concurrently with process_batch.
+
+        Crash protocol: a ``_layout.json.resizing`` marker is written
+        first and removed last — any crash leaves the marker, and the
+        constructor refuses to open the store until the resize is
+        re-run or the store rebuilt. Loud and recoverable, never a
+        silent miss."""
+        import json
+        import shutil
+
+        nbb = n_band_buckets or self.n_band_buckets
+        nsb = n_sig_buckets or self.n_sig_buckets
+        layout_path = os.path.join(self._root, "_layout.json")
+        marker = layout_path + ".resizing"
+        with open(marker, "w") as f:
+            json.dump({"n_band_buckets": nbb, "n_sig_buckets": nsb}, f)
+
+        def rewrite(log_dir, schema, bucket_col, bucket_expr, sort_col):
+            files = self._files(log_dir)
+            if not files:
+                return
+            staged = log_dir + ".resize"
+            shutil.rmtree(staged, ignore_errors=True)
+            (
+                self.spark.read.schema(schema)
+                .parquet(*files)
+                .withColumn(bucket_col, bucket_expr)
+                .repartition(F.col(bucket_col))
+                .sortWithinPartitions(sort_col)
+                .write.mode("overwrite")
+                .partitionBy(bucket_col)
+                .parquet(staged)
+            )
+            old = log_dir + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(log_dir, old)
+            os.rename(staged, log_dir)
+            shutil.rmtree(old)
+
+        rewrite(
+            self.bands_dir,
+            _BANDS_SCHEMA,
+            "band_bucket",
+            F.pmod(F.col("band_hash"), F.lit(nbb)).cast("int"),
+            "band_hash",
+        )
+        rewrite(
+            self.sigs_dir,
+            _SIGS_SCHEMA,
+            "sig_bucket",
+            F.pmod(F.col("id"), F.lit(nsb)).cast("int"),
+            "id",
+        )
+        self.n_band_buckets = nbb
+        self.n_sig_buckets = nsb
+        tmp = layout_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_band_buckets": nbb, "n_sig_buckets": nsb}, f)
+        os.replace(tmp, layout_path)
+        os.remove(marker)
 
     def _files(self, path: str) -> list[str]:
         """Parquet data files under ``path``, EXCLUDING in-flight Spark

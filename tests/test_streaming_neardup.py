@@ -346,3 +346,39 @@ def test_layout_bucket_counts_are_pinned(spark, tmp_path):
     # different counts: refused loudly
     with pytest.raises(ValueError, match="layout mismatch"):
         StreamingNearDup(spark, root, n_band_buckets=4096)
+
+
+def test_resize_buckets_migrates_layout(spark, tmp_path):
+    """resize_buckets() is the sanctioned path for growing bucket
+    counts as the corpus grows: full rewrite under the new dirs, loud
+    marker on interruption, dedup semantics preserved across the
+    migration."""
+    import os
+
+    from clockpipe_spark.streaming.neardup_state import StreamingNearDup
+
+    root = str(tmp_path / "resize")
+    nd = StreamingNearDup(spark, root, n_band_buckets=64)
+    nd.process_batch(_df(spark, [(1, DOC_A), (2, DOC_B)]))
+    nd.compact_bands(force=True)
+    nd.compact_sigs(force=True)
+    nd.resize_buckets(n_band_buckets=256, n_sig_buckets=128)
+
+    # layout migrated: new-bucket dirs exist, old counts refused,
+    # new counts reopen cleanly
+    assert any(
+        "band_bucket=" in f for f in nd._files(nd.bands_dir)
+    )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        StreamingNearDup(spark, root, n_band_buckets=64)
+    nd2 = StreamingNearDup(
+        spark, root, n_band_buckets=256, n_sig_buckets=128
+    )
+    # dedup still catches history near-dups through the migrated state
+    assert nd2.process_batch(_df(spark, [(3, DOC_A_NEAR)])).count() == 0
+    assert sorted(r["id"] for r in nd2.admitted_ids().collect()) == [1, 2]
+
+    # interrupted resize: marker present -> constructor refuses loudly
+    open(os.path.join(root, "_layout.json.resizing"), "w").write("{}")
+    with pytest.raises(ValueError, match="interrupted resize"):
+        StreamingNearDup(spark, root, n_band_buckets=256, n_sig_buckets=128)
