@@ -61,23 +61,24 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
-# Round-13 rotation (VERDICT r12 directive #1): the window turns onto
-# the ENTIRE remaining staleness backlog — this rotation retires it.
-# tools/window_staleness.py --propose emitted this list verbatim.
+# Round-14 rotation (VERDICT r13 directives #1 and #5): the entire
+# 40-row r10 cohort rotates in — it is the ONLY cohort older than r11
+# and it contains ``hierarchy_rollup`` and ``zorder_tile_stats``, the
+# two family canaries the r13 rotation left outside the rolling window
+# (the one red pytest at r13 judge time).  The remaining 5 slots take
+# the stalest r11 rows.  tools/window_staleness.py --propose — now
+# FAMILY-AWARE: it force-includes the stalest member of any family
+# with no row in the last 2 rounds and refuses a proposal that leaves
+# a family uncovered — emitted this list verbatim.
 # Composition:
 # (a) the 5 standing canaries (q1_pricing_summary,
 #     cdc_pgoutput_roundtrip, cdc_apply_to_snapshot, cdc_replica_state,
 #     dedup_exact);
-# (b) ALL 7 remaining r7 rows;
-# (c) ALL 34 remaining r8 rows — ann_ivf_topk_prebuilt and
-#     hll_user_rollup are rows-only by documented nature (prebuilt
-#     trained index / HLL register state) and refresh their rows-only
-#     evidence;
-# (d) the 4 stalest r10 rows in (round, name) order — agg_cube_orders,
-#     approx_distinct_users (rows-only: HLL sketch), array_agg_per_nation,
-#     bm25_retrieval.
+# (b) ALL 40 r10 rows — dedup_minhash_lsh and approx-sketch members
+#     keep their documented rows-only nature;
+# (c) the 5 stalest r11 rows in (round, name) order.
 # After this gate runs, NO registry query carries a driver row older
-# than r10 (tools/window_staleness.py verifies).
+# than r11 (tools/window_staleness.py verifies).
 # Family coverage stays guarded on a ROLLING basis (current window
 # UNION last-3-round driver rows — tests/test_registry_window.py).
 # Registry freeze holds (directive #6: 180 entries, 0 added this
@@ -92,54 +93,53 @@ _PRIORITY = (
     "cdc_apply_to_snapshot",       # K1/K2 merge semantics
     "cdc_replica_state",           # FINAL dedup-on-read
     "dedup_exact",                 # exact-dedup family
-    # ---- last driver row r7 (all 7 remaining) -------------------
-    "text_pii_redact",
-    "text_quality_scores",
-    "tfidf_top_terms",
-    "topk_orders_by_price",
-    "ts_anomaly_mad",
-    "udf_zscore_per_user",
-    "window_range_time_frame",
-    # ---- last driver row r8 (all 34 remaining) ------------------
-    "ab_test_summary",
-    "ann_hard_negatives",
-    "ann_ivf_topk_prebuilt",       # rows-only (prebuilt trained index)
-    "array_hof_battery",
-    "asof_next_purchase",
-    "asof_purchase_recency_gated",
-    "attribution_linear",
-    "cdc_cast_matrix",
-    "cdc_scd2_asof_counts",
-    "cdc_snapshot_diff",
-    "cdc_table_checksum",
-    "chi_square_lang_source",
-    "dau_cumulative",
-    "dist_drift_l1",
-    "dq_constraint_violations",
-    "embedding_centroid_report",
-    "fk_fanout_histogram",
-    "hll_user_rollup",             # rows-only (HLL register state)
-    "inverted_index_stats",
-    "map_function_battery",
-    "mm_video_scene_cuts",
-    "neardup_edit_distance",
-    "neardup_jaccard_prefix",
-    "neardup_triangle_stats",
-    "sample_weighted_bottomk",
-    "scalar_bitops_battery",
-    "scalar_null_battery",
-    "scalar_variant_extract",
-    "stream_interval_join",
-    "trending_terms",
-    "ts_ewma_bounded",
-    "ts_resample_ohlc",
-    "ts_time_weighted_avg",
-    "unpivot_status_revenue",
-    # ---- last driver row r10, stalest 4 -------------------------
-    "agg_cube_orders",
-    "approx_distinct_users",       # rows-only (HLL sketch)
-    "array_agg_per_nation",
-    "bm25_retrieval",
+    # ---- last driver row r10 (all 40) ---------------------------
+    "cdc_conflict_audit",
+    "cdc_mask_columns",
+    "cdc_replica_asof",
+    "contamination_bloom",
+    "corpus_doclen_histogram",
+    "correlated_above_avg_orders",
+    "cosine_topk_brute",
+    "dedup_cluster_assign",
+    "dedup_minhash_lsh",           # rows-only (data-dependent LSH state)
+    "embedding_norm_stats",
+    "event_transition_matrix",
+    "grouping_sets_lineitem",
+    "hierarchy_rollup",            # family canary: recursive surface
+    "join_anti_customers_without_orders",
+    "join_broadcast_brand_volume",
+    "join_semi_customers_with_orders",
+    "lateral_explode_tokens",
+    "mm_wav_decode",
+    "ntile_customer_quartiles",
+    "pg_array_literal_parse",
+    "profile_table_stats",
+    "q10_returned_items",
+    "q14_promo_revenue_pct",
+    "q18_large_orders",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "range_join_ship_latency",
+    "sample_stratified_hash",
+    "scalar_string_funcs",
+    "setop_active_both_statuses",
+    "setop_only_open_customers",
+    "stats_percentiles",
+    "stream_tumbling_hourly",
+    "text_ngram_novelty",
+    "ts_gapfill_locf",
+    "ts_seasonal_residual",
+    "window_lag_event_delta",
+    "window_running_revenue",
+    "window_top3_orders_per_customer",
+    "zorder_tile_stats",           # family canary: data layout
+    # ---- last driver row r11, stalest 5 -------------------------
+    "cdc_changelog",
+    "cdc_mongo_bson_casts",
+    "cdc_mongo_infer_project",
+    "cdc_route_counts",
+    "corpus_top_ngrams",
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)

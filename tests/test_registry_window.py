@@ -200,6 +200,60 @@ def test_oracles_subset_of_queries():
     assert set(all_oracles()) <= set(all_queries())
 
 
+def _load_staleness_tool():
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_window_staleness_tool", os.path.join(here, "tools", "window_staleness.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_propose_force_includes_orphaned_family():
+    """The r13 rotation mechanically orphaned 'recursive surface' and
+    'data layout' from the rolling window (the one red pytest at r13
+    judge time).  propose_window must force-include the stalest member
+    of any family with no row in the last 2 rounds, even when the pure
+    stalest-first queue would not reach it."""
+    tool = _load_staleness_tool()
+    canaries = ("c1",)
+    # q_fam is FRESHER (r9) than the fillers (r5), so a pure
+    # stalest-first fill of size 3 would pick fillers and orphan fam.
+    rows = [(5, "fill_a", "green", "oracle"),
+            (5, "fill_b", "green", "oracle"),
+            (5, "fill_c", "green", "oracle"),
+            (9, "q_fam", "green", "oracle"),
+            (0, "c1", "green", "oracle")]
+    rows.sort()
+    proposal, forced = tool.propose_window(
+        rows, recent2=set(), families={"fam": {"q_fam"}}, size=3,
+        canaries=canaries)
+    assert forced == ["q_fam"]
+    assert "q_fam" in proposal and len(proposal) == 3
+    # A family already covered by the recent record is NOT forced.
+    proposal2, forced2 = tool.propose_window(
+        rows, recent2={"q_fam"}, families={"fam": {"q_fam"}}, size=3,
+        canaries=canaries)
+    assert forced2 == [] and "q_fam" not in proposal2
+
+
+def test_current_window_plus_recent2_covers_all_families():
+    """The property the proposer enforces, asserted on the REAL window:
+    every family has a member in _PRIORITY or the newest 2 CORRECTNESS
+    files — so when the next driver file lands (window becomes the 3rd
+    rolling round), test_every_family_covered_rolling stays green by
+    construction, not by luck."""
+    tool = _load_staleness_tool()
+    recent2 = tool.last_n_round_rows(tool.history(), 2)
+    covered = set(_PRIORITY) | recent2
+    missing = [fam for fam, names in _FAMILY_CANARIES.items()
+               if not (names & covered)]
+    assert not missing, f"next driver round would orphan: {missing}"
+
+
 def test_no_nonscalar_output_columns(spark, sf_dir):
     """No registry query may emit an ARRAY/MAP/STRUCT column: the
     driver's canonicalizer crashes sorting raw list cells (the r7
