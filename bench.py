@@ -353,14 +353,31 @@ def bench_cdc(spark, sf_dir: str, trials: int = 3) -> dict[str, float]:
 
 
 def bench_neardup_history(
-    spark, sf_dir: str, hist_small: int = 50_000, hist_big: int = 500_000
+    spark,
+    sf_dir: str,
+    hist_sizes: tuple[int, ...] = (50_000, 500_000),
+    n_band_buckets: int = 64,
+    batch_docs: int = 500,
 ) -> dict:
     """Streaming-dedup history-scale probe (r13): per-batch ingest cost
     as the ACCUMULATED state grows — the neardup-state analog of
     state10x. Seeds synthetic admitted history (random signatures, so
-    no collisions with the probe batch) at two sizes in the compacted
+    no collisions with the probe batch) at each size in the compacted
     steady-state layout (sig_bucket=K dirs sorted by id, band_bucket=K
-    dirs), then times the SAME 500-doc batch against both.
+    dirs), then times a 500-doc batch against each.
+
+    Each trial uses a DISTINCT disjoint-id batch (ADVICE r13 #3): a
+    repeat of the same ids against the same store is an at-least-once
+    replay — everything anti-joined out, structurally cheaper than
+    fresh admission — so min-over-replays understated the cost the
+    probe exists to certify. min-of-2 over fresh batches measures the
+    same code path twice.
+
+    ``n_band_buckets`` parameterizes the store layout so the 10M-point
+    entry (VERDICT r13 directive #3) runs at the PINNED production
+    sizing (4096 — the measured A/B: probe phase 6.9-8.8 s at 64
+    buckets vs 1.1-1.9 s at 4096 on 10M history, PLANS.md r13
+    addendum) instead of the bench-scale default.
 
     What it certifies: the per-batch wall must be ~flat in history size.
     The r13 rework earns that three ways — the replay anti-join range-
@@ -388,18 +405,33 @@ def bench_neardup_history(
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
-    batch = docs.limit(500).localCheckpoint(eager=True)
+    # distinct disjoint-id batches per timed trial (fresh admission both
+    # times — see docstring); offsets keep them clear of the warm batch
+    # (+5M) and the seeded history (10M+)
+    trial_batches = [
+        docs.limit(batch_docs)
+        .withColumn("doc_id", F.col("doc_id") + off)
+        .localCheckpoint(eager=True)
+        for off in (6_000_000, 7_000_000)
+    ]
     warm = (
         docs.limit(200)
         .withColumn("doc_id", F.col("doc_id") + 5_000_000)
         .localCheckpoint(eager=True)
     )
-    out: dict = {"batch_docs": 500, "hist_sizes": [hist_small, hist_big]}
+    out: dict = {
+        "batch_docs": batch_docs,
+        "hist_sizes": list(hist_sizes),
+        "n_band_buckets": n_band_buckets,
+        "trials": "min-of-2 distinct fresh batches",
+    }
     walls = []
-    for n_hist in (hist_small, hist_big):
+    for n_hist in hist_sizes:
         root = tempfile.mkdtemp(prefix="bench_nd_hist_")
         try:
-            nd = StreamingNearDup(spark, root, threshold=0.5)
+            nd = StreamingNearDup(
+                spark, root, threshold=0.5, n_band_buckets=n_band_buckets
+            )
             ids = spark.range(10_000_000, 10_000_000 + n_hist).select("id")
             sigs = ids.select(
                 "id",
@@ -443,16 +475,18 @@ def bench_neardup_history(
             )
             nd.process_batch(warm)  # untimed: codegen + cache warm
             best = 9e9
-            for _ in range(2):
+            for batch in trial_batches:
                 t0 = time.perf_counter()
                 nd.process_batch(batch)
                 best = min(best, time.perf_counter() - t0)
             walls.append(round(best, 2))
         finally:
             shutil.rmtree(root, ignore_errors=True)
-    out["wall_small_sec"], out["wall_big_sec"] = walls
-    out["wall_ratio"] = round(walls[1] / max(walls[0], 1e-9), 2)
-    out["hist_factor"] = round(hist_big / hist_small, 1)
+    out["walls_sec"] = walls
+    if len(walls) == 2:
+        out["wall_small_sec"], out["wall_big_sec"] = walls
+        out["wall_ratio"] = round(walls[1] / max(walls[0], 1e-9), 2)
+        out["hist_factor"] = round(hist_sizes[1] / hist_sizes[0], 1)
     return out
 
 
@@ -1065,6 +1099,17 @@ def main() -> None:
     SENTINEL_LOAD_RATIO = 1.5
     SENTINEL_MAX_WAITS = 4
     SENTINEL_WAIT_SEC = 45
+    # Quiet-host reference for the parallel CPU-steal probe (VERDICT
+    # r13 directive #4). Observed quiet readings: 0.511 (r13 pre-gate,
+    # loadavg ~2), 0.574-0.663 min 0.574 (r14 standalone session,
+    # loadavg 0.5) — pinned mid-range. The TAIL rule below: a
+    # post-suite probe over 1.5x this reference means the late blocks
+    # (live_pg / state10x / dedup10x / hist probes) ran under CPU
+    # contention the early headline didn't see — the bench waits once
+    # and re-measures; if still hot it annotates ``tail_loaded`` so the
+    # record discounts itself instead of burning a verdict cycle on
+    # noise attribution.
+    CPU_CANARY_REF_SEC = 0.55
 
     def _measure_canary() -> float:
         best = 9e9
@@ -1130,6 +1175,7 @@ def main() -> None:
         "started_clean": pre_attempts[-1]
         <= SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO,
         "cpu_canary_sec": cpu_canary_pre,
+        "cpu_ref_sec": CPU_CANARY_REF_SEC,
         "loadavg_start": _loadavg(),
     }
 
@@ -1161,7 +1207,12 @@ def main() -> None:
     ]
     iso: dict[str, float] = {}
     for name in ISO_QUERIES:
-        for _ in range(2):
+        # min-of-3 for the minhash iso (VERDICT r13 directive #7): the
+        # decomposition puts steady-state at ~1.3 s (1.2 s of it
+        # Catalyst plan-compile); one clean <=1.4 s read closes the
+        # thread, and under load min-of-2 keeps landing 1.38-1.89
+        trials = 3 if name == "dedup_minhash_lsh" else 2
+        for _ in range(trials):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -1257,6 +1308,29 @@ def main() -> None:
         # r13: per-batch dedup cost vs accumulated state size — must
         # stay ~flat (range-pushdown anti-join + pruned verify/probe)
         "neardup_hist10x": bench_neardup_history(spark, sf_dir),
+        # r14 (VERDICT r13 directive #3): the flat-history contract's
+        # largest measured point rides every bench — 10M seeded history
+        # at the A/B's exact shape (50-doc batch, 4096 buckets): probe
+        # pruning needs n_band_buckets >> batch band-hashes, and a
+        # 500-doc batch's 4000 hashes touch ~63% of 4096 buckets
+        # (measured 17.2 s — no pruning left), while 50 docs' 400
+        # hashes touch ~10% (the 4.40 s A/B row; 64 buckets read
+        # 9.8 s, PLANS.md r13 addendum). The production analog of
+        # 500-doc batches is 64Ki+ buckets — hive-dir-count territory
+        # local seeding can't justify per-round.
+        # NOT directly comparable to the r13 4.40 s A/B: that was
+        # min-of-2 over a REPLAYED batch (the cheaper at-least-once
+        # path ADVICE r13 #3 retired); this records fresh admission
+        # (~8.3 s first measurement, of which ~4 s is history-
+        # independent plan-compile + job walls — see the phase trace
+        # in PLANS.md r14).
+        "neardup_hist10M": bench_neardup_history(
+            spark,
+            sf_dir,
+            hist_sizes=(10_000_000,),
+            n_band_buckets=4096,
+            batch_docs=50,
+        ),
         # r11: corpus-scale linearity probe for the LSH dedup path —
         # the dedup family's answer to state10x. r12 (VERDICT r11
         # directive #5): a 30× datapoint in the same sweep — two decades
@@ -1279,13 +1353,31 @@ def main() -> None:
             "overwrite"
         ).save()
         sentinel_end = min(sentinel_end, round(time.perf_counter() - t0, 3))
+    # Tail gate (r14, VERDICT r13 directive #4): the pre-suite gate
+    # defends the start; this defends the end. If the post-suite CPU
+    # probe exceeds 1.5x the quiet-host reference, wait once and
+    # re-measure — a co-tenant burst often passes; if it is still hot,
+    # ``tail_loaded`` marks the late blocks as taken under contention.
+    cpu_end_attempts = [_cpu_canary()]
+    if cpu_end_attempts[-1] > CPU_CANARY_REF_SEC * 1.5:
+        print(
+            f"# sentinel: tail CPU probe {cpu_end_attempts[-1]}s > "
+            f"{CPU_CANARY_REF_SEC * 1.5:.2f}s — waiting "
+            f"{SENTINEL_WAIT_SEC}s and re-measuring",
+            file=sys.stderr,
+        )
+        time.sleep(SENTINEL_WAIT_SEC)
+        cpu_end_attempts.append(_cpu_canary())
     full["noise_sentinel"] = {
         "canary": "dedup_exact",
         "pre_gate": pre_gate,
         "begin_sec": iso["dedup_exact"],
         "end_sec": sentinel_end,
         "ratio": round(sentinel_end / max(iso["dedup_exact"], 1e-9), 2),
-        "cpu_canary_end_sec": _cpu_canary(),
+        "cpu_canary_end_sec": cpu_end_attempts[-1],
+        "cpu_canary_end_attempts": cpu_end_attempts,
+        "cpu_ref_sec": CPU_CANARY_REF_SEC,
+        "tail_loaded": cpu_end_attempts[-1] > CPU_CANARY_REF_SEC * 1.5,
         "loadavg_end": _loadavg(),
     }
 
@@ -1387,6 +1479,10 @@ def main() -> None:
             ],
             "ratio": full["neardup_hist10x"]["wall_ratio"],
         },
+        "neardup_hist10M": {
+            "wall": full["neardup_hist10M"]["walls_sec"][0],
+            "buckets": full["neardup_hist10M"]["n_band_buckets"],
+        },
         "noise_sentinel": full["noise_sentinel"]["ratio"],
         "sentinel_pre_gate": {
             "attempts": pre_gate["attempts_sec"],
@@ -1397,6 +1493,8 @@ def main() -> None:
                 pre_gate["cpu_canary_sec"],
                 full["noise_sentinel"]["cpu_canary_end_sec"],
             ],
+            "cpu_ref": CPU_CANARY_REF_SEC,
+            "tail_loaded": full["noise_sentinel"]["tail_loaded"],
             "load": pre_gate["loadavg_start"][:1],
         },
     }

@@ -54,7 +54,15 @@ _MASK32 = (1 << 32) - 1
 _SIG_CACHES: dict[int, DataFrame] = {}
 
 # Backstop bound on tracked DISTINCT signature frames; past it the
-# oldest is evicted and unpersisted. Generous on purpose: the full
+# oldest is dropped from the REGISTRY ONLY — not unpersisted (ADVICE
+# r13 #4): semantically identical frames share one JVM cache entry, so
+# an unpersist at the cap could yank a cache entry another live
+# workload is still reusing mid-suite — the same hazard the measured
+# FIFO-eviction rejection above describes, just deferred to the cap.
+# The cost of skipping the unpersist: a process with > cap distinct
+# workloads leaks those JVM cache entries until
+# release_signature_caches() / spark.catalog.clearCache() / session
+# end — the documented reclaim paths. Generous on purpose: the full
 # bench suite holds ~a dozen distinct banded workloads.
 _SIG_CACHE_CAP = 64
 
@@ -85,12 +93,9 @@ def _register_sig_cache(df: DataFrame) -> None:
         return
     _SIG_CACHES[key] = df
     while len(_SIG_CACHES) > _SIG_CACHE_CAP:
-        old_key = next(iter(_SIG_CACHES))
-        old = _SIG_CACHES.pop(old_key)
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # session already stopped
+        # registry-only eviction — deliberately NO unpersist (see the
+        # _SIG_CACHE_CAP note: the shared JVM entry may still be hot)
+        _SIG_CACHES.pop(next(iter(_SIG_CACHES)))
 
 
 def portable_hash32(col):

@@ -134,6 +134,32 @@ class StreamingNearDup:
                     "and run resize_buckets(), or rebuild the store."
                 )
         else:
+            # No layout file. If the store ALREADY holds bucketed hive
+            # dirs (pre-layout-pin state data), the counts those dirs
+            # were built with are unknowable from here — pinning the
+            # constructor's values would adopt a possibly-wrong layout
+            # and silently miss duplicates, the exact failure the pin
+            # exists to prevent (ADVICE r13 #2). Refuse; the operator
+            # who knows the original counts writes the layout file by
+            # hand (or rebuilds). Loose-only stores are safe to pin:
+            # probes always read loose files unpruned, and compaction
+            # recomputes buckets under the pinned counts.
+            def _has_bucketed(d: str, key: str) -> bool:
+                return os.path.isdir(d) and any(
+                    name.startswith(key + "=") for name in os.listdir(d)
+                )
+
+            if _has_bucketed(self.bands_dir, "band_bucket") or _has_bucketed(
+                self.sigs_dir, "sig_bucket"
+            ):
+                raise ValueError(
+                    f"StreamingNearDup store at {root} contains bucketed "
+                    "state dirs but no _layout.json — the bucket counts "
+                    "it was built with cannot be inferred, and pinning "
+                    "the constructor's values could silently miss "
+                    "duplicates. Write _layout.json with the counts the "
+                    "store was built with, or rebuild the store."
+                )
             tmp = layout_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(want, f)
@@ -166,10 +192,27 @@ class StreamingNearDup:
             json.dump({"n_band_buckets": nbb, "n_sig_buckets": nsb}, f)
 
         def rewrite(log_dir, schema, bucket_col, bucket_expr, sort_col):
+            staged = log_dir + ".resize"
+            old = log_dir + ".old"
+            # Crash recovery BEFORE anything else (ADVICE r13 #1): a
+            # prior resize that died between rename(log_dir, old) and
+            # rename(staged, log_dir) leaves log_dir ABSENT with the
+            # full history parked in .old (and a complete copy in
+            # .resize). Without this restore, the empty-log early
+            # return below would treat the log as empty, 'succeed', and
+            # orphan all history — silent duplicate misses. Restoring
+            # .old (the pre-resize original) is always correct; .resize
+            # is only adopted when .old is gone too (not reachable by a
+            # crash of this protocol, but defensively: it is a complete
+            # rewrite of the log, so adopting it loses nothing).
+            if not os.path.isdir(log_dir):
+                if os.path.isdir(old):
+                    os.rename(old, log_dir)
+                elif os.path.isdir(staged):
+                    os.rename(staged, log_dir)
             files = self._files(log_dir)
             if not files:
                 return
-            staged = log_dir + ".resize"
             shutil.rmtree(staged, ignore_errors=True)
             (
                 self.spark.read.schema(schema)
@@ -181,11 +224,13 @@ class StreamingNearDup:
                 .partitionBy(bucket_col)
                 .parquet(staged)
             )
-            old = log_dir + ".old"
             shutil.rmtree(old, ignore_errors=True)
             os.rename(log_dir, old)
             os.rename(staged, log_dir)
-            shutil.rmtree(old)
+            # delete the original only once the swap is verifiably in
+            # place (rename is atomic; this check makes the intent loud)
+            if self._files(log_dir):
+                shutil.rmtree(old)
 
         rewrite(
             self.bands_dir,

@@ -247,7 +247,10 @@ def test_sig_cache_registry_is_bounded(spark):
     long-lived processes. Registration dedupes by semanticHash (repeat
     executions of the same workload occupy ONE slot — evicting them by
     count would unpersist the shared JVM cache entry mid-suite), and a
-    backstop cap FIFO-evicts + unpersists past it."""
+    backstop cap FIFO-evicts REGISTRY SLOTS ONLY past it (ADVICE r13
+    #4: an unpersist at the cap could yank a shared cache entry another
+    live workload still reuses — reclaim is release_signature_caches()
+    / clearCache(), not eviction)."""
     from clockpipe_spark.operators import neardup as nd
 
     nd.release_signature_caches()
@@ -260,15 +263,19 @@ def test_sig_cache_registry_is_bounded(spark):
     nd._register_sig_cache(spark.range(7).cache())
     assert len(nd._SIG_CACHES) == 1
     # distinct workloads accumulate up to the backstop cap, then the
-    # oldest is evicted AND unpersisted
+    # oldest loses its registry slot — but stays cached (no unpersist:
+    # the shared JVM entry may still be hot in another workload)
     frames = [spark.range(10 + i).cache() for i in range(nd._SIG_CACHE_CAP + 2)]
     for f in frames:
         nd._register_sig_cache(f)
     assert len(nd._SIG_CACHES) == nd._SIG_CACHE_CAP
-    assert df.storageLevel.useMemory is False  # oldest, evicted
+    assert df.storageLevel.useMemory is True  # evicted slot, cache kept
     assert frames[-1] in nd._SIG_CACHES.values()
     assert nd.release_signature_caches() == nd._SIG_CACHE_CAP
     assert nd._SIG_CACHES == {}
+    df.unpersist()
+    for f in frames:
+        f.unpersist()
 
 
 def test_inflight_task_output_invisible_to_state_readers(spark, dedup, tmp_path):
@@ -382,3 +389,75 @@ def test_resize_buckets_migrates_layout(spark, tmp_path):
     open(os.path.join(root, "_layout.json.resizing"), "w").write("{}")
     with pytest.raises(ValueError, match="interrupted resize"):
         StreamingNearDup(spark, root, n_band_buckets=256, n_sig_buckets=128)
+
+
+def test_resize_crash_mid_swap_recovers(spark, tmp_path):
+    """ADVICE r13 #1: a resize that dies between rename(log_dir, old)
+    and rename(staged, log_dir) leaves the log dir ABSENT with all
+    history parked in .old. The documented recovery (remove marker,
+    re-run resize_buckets) must restore that history — not hit the
+    empty-log early return, 'succeed', and orphan it (silent duplicate
+    misses)."""
+    import os
+    import shutil
+
+    from clockpipe_spark.streaming.neardup_state import StreamingNearDup
+
+    root = str(tmp_path / "crash_swap")
+    nd = StreamingNearDup(spark, root, n_band_buckets=64)
+    nd.process_batch(_df(spark, [(1, DOC_A), (2, DOC_B)]))
+    nd.compact_bands(force=True)
+    nd.compact_sigs(force=True)
+
+    # Simulate the crash window for BOTH logs: marker written, each
+    # log renamed away to .old, staged copy present, process dies.
+    open(os.path.join(root, "_layout.json.resizing"), "w").write(
+        '{"n_band_buckets": 256, "n_sig_buckets": 128}'
+    )
+    for d in (nd.bands_dir, nd.sigs_dir):
+        shutil.copytree(d, d + ".resize")  # stand-in for the staged write
+        os.rename(d, d + ".old")
+
+    # Documented recovery: remove the marker, reopen with OLD counts,
+    # re-run the resize to completion.
+    os.remove(os.path.join(root, "_layout.json.resizing"))
+    nd2 = StreamingNearDup(spark, root, n_band_buckets=64)
+    nd2.resize_buckets(n_band_buckets=256, n_sig_buckets=128)
+
+    # History survived: the migrated store still near-dups against it,
+    # and no orphan dirs remain.
+    nd3 = StreamingNearDup(spark, root, n_band_buckets=256, n_sig_buckets=128)
+    assert nd3.process_batch(_df(spark, [(3, DOC_A_NEAR)])).count() == 0
+    assert sorted(r["id"] for r in nd3.admitted_ids().collect()) == [1, 2]
+    for d in (nd3.bands_dir, nd3.sigs_dir):
+        assert not os.path.exists(d + ".old")
+        assert not os.path.exists(d + ".resize")
+
+
+def test_pin_refuses_bucketed_store_without_layout(spark, tmp_path):
+    """ADVICE r13 #2: upgrading a pre-layout-pin store (bucketed dirs,
+    no _layout.json) must not silently adopt the constructor's counts —
+    the dirs' true counts are unknowable, and a wrong pin misses
+    duplicates. Loose-only stores (no bucketed dirs yet) pin safely."""
+    import os
+
+    from clockpipe_spark.streaming.neardup_state import StreamingNearDup
+
+    root = str(tmp_path / "upgrade")
+    nd = StreamingNearDup(spark, root, n_band_buckets=64)
+    nd.process_batch(_df(spark, [(1, DOC_A)]))
+
+    # loose-only store without a layout file: pinning is safe (probes
+    # always read loose files unpruned; compaction recomputes buckets)
+    os.remove(os.path.join(root, "_layout.json"))
+    nd2 = StreamingNearDup(spark, root, n_band_buckets=64)
+    assert nd2.process_batch(_df(spark, [(2, DOC_A_NEAR)])).count() == 0
+
+    # bucketed store without a layout file: refused loudly, for ANY
+    # constructor counts — even ones that happen to match
+    nd2.compact_bands(force=True)
+    nd2.compact_sigs(force=True)
+    os.remove(os.path.join(root, "_layout.json"))
+    for counts in (4096, 64):
+        with pytest.raises(ValueError, match="no _layout.json"):
+            StreamingNearDup(spark, root, n_band_buckets=counts)
