@@ -474,12 +474,19 @@ def bench_neardup_history(
                 .parquet(nd.bands_dir)
             )
             nd.process_batch(warm)  # untimed: codegen + cache warm
-            best = 9e9
+            best, best_phases = 9e9, {}
             for batch in trial_batches:
                 t0 = time.perf_counter()
                 nd.process_batch(batch)
-                best = min(best, time.perf_counter() - t0)
+                wall = time.perf_counter() - t0
+                if wall < best:
+                    best, best_phases = wall, dict(nd.last_phase_walls)
             walls.append(round(best, 2))
+            # phase walls of the min trial: separates the history-
+            # dependent probe term (cand_prune_gate) from fixed
+            # plan-compile/job walls — the attribution that settled
+            # the r13 bucket A/B, now on the record every round
+            out.setdefault("phases_min_trial", {})[str(n_hist)] = best_phases
         finally:
             shutil.rmtree(root, ignore_errors=True)
     out["walls_sec"] = walls
@@ -1089,14 +1096,21 @@ def main() -> None:
     # PRE-SUITE noise gate (r13, VERDICT r12 directive #4): measure the
     # canary FIRST and refuse to start the suite on a loaded host.
     # Reference: warm dedup_exact min-of-2 right after warm-up reads
-    # ~0.51-0.58 s on this host across r11/r12 records; 1.5x that is
-    # the "co-tenant load" line. If exceeded, wait and re-measure
+    # ~0.51-0.58 s on this host across r11/r12 records; the ratio below
+    # marks the "co-tenant load" line. If exceeded, wait and re-measure
     # (bounded — the bench must always eventually run), recording every
     # attempt so the record shows whether it started clean. r11 burned
     # ~70 min of verdict cycle on noise attribution and r12's record is
     # muddied the same way — this makes the bench self-defending.
     SENTINEL_REF_SEC = 0.52
-    SENTINEL_LOAD_RATIO = 1.5
+    # Tightened 1.5 -> 1.3 (r14): a 0.735 s start (1.41x ref, residual
+    # load from a just-finished pytest suite) passed the 1.5x gate and
+    # the iso block behind it read 1.2-3x inflated against the same-
+    # session quiet numbers. 1.3x (0.68 s) catches that start; quiet
+    # readings land 0.44-0.58 with margin. The gate stays bounded —
+    # after SENTINEL_MAX_WAITS the suite runs regardless and the
+    # attempts list discloses the hot start.
+    SENTINEL_LOAD_RATIO = 1.3
     SENTINEL_MAX_WAITS = 4
     SENTINEL_WAIT_SEC = 45
     # Quiet-host reference for the parallel CPU-steal probe (VERDICT
@@ -1121,29 +1135,16 @@ def main() -> None:
             best = min(best, round(time.perf_counter() - t0, 3))
         return best
 
-    pre_attempts: list[float] = []
-    for attempt in range(SENTINEL_MAX_WAITS + 1):
-        pre_attempts.append(_measure_canary())
-        if pre_attempts[-1] <= SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO:
-            break
-        if attempt < SENTINEL_MAX_WAITS:
-            print(
-                f"# sentinel: canary {pre_attempts[-1]}s > "
-                f"{SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO:.2f}s threshold "
-                f"(host load?) — waiting {SENTINEL_WAIT_SEC}s "
-                f"(attempt {attempt + 1}/{SENTINEL_MAX_WAITS})",
-                file=sys.stderr,
-            )
-            time.sleep(SENTINEL_WAIT_SEC)
     # Parallel CPU-steal probe (r13): the dedup_exact canary is
-    # SCAN-bound and stays flat under co-tenant CPU load (measured this
+    # SCAN-bound and stays flat under co-tenant CPU load (measured that
     # round: canary 0.44-0.57 s — normal — while untouched CPU-heavy
     # queries ran 30-50% over their r11 records and /proc/loadavg read
     # 3.5-7.9 on an otherwise idle container). This probe is the
     # complement: 256M xxhash64 chains over all 32 cores, pure
     # whole-stage codegen, no IO — its wall time inflates exactly when
-    # other tenants hold cores. Informational (no quiet-host reference
-    # exists yet); compare across rounds next to loadavg_start.
+    # other tenants hold cores. As of r14 it GATES alongside the scan
+    # canary (both signals must be quiet to start): the two catch
+    # disjoint contention classes, IO/page-cache vs pure CPU steal.
     def _cpu_canary() -> float:
         from pyspark.sql import functions as F
 
@@ -1159,7 +1160,27 @@ def main() -> None:
         return best
 
     _cpu_canary()  # throwaway: codegen compile
-    cpu_canary_pre = _cpu_canary()
+    pre_attempts: list[float] = []
+    cpu_attempts: list[float] = []
+    for attempt in range(SENTINEL_MAX_WAITS + 1):
+        pre_attempts.append(_measure_canary())
+        cpu_attempts.append(_cpu_canary())
+        scan_ok = pre_attempts[-1] <= SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO
+        cpu_ok = cpu_attempts[-1] <= CPU_CANARY_REF_SEC * 1.5
+        if scan_ok and cpu_ok:
+            break
+        if attempt < SENTINEL_MAX_WAITS:
+            print(
+                f"# sentinel: scan {pre_attempts[-1]}s "
+                f"(gate {SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO:.2f}) / "
+                f"cpu {cpu_attempts[-1]}s "
+                f"(gate {CPU_CANARY_REF_SEC * 1.5:.2f}) — host load, "
+                f"waiting {SENTINEL_WAIT_SEC}s "
+                f"(attempt {attempt + 1}/{SENTINEL_MAX_WAITS})",
+                file=sys.stderr,
+            )
+            time.sleep(SENTINEL_WAIT_SEC)
+    cpu_canary_pre = cpu_attempts[-1]
 
     def _loadavg() -> list[float]:
         try:
@@ -1172,8 +1193,11 @@ def main() -> None:
         "ref_sec": SENTINEL_REF_SEC,
         "threshold_ratio": SENTINEL_LOAD_RATIO,
         "attempts_sec": pre_attempts,
-        "started_clean": pre_attempts[-1]
-        <= SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO,
+        "cpu_attempts_sec": cpu_attempts,
+        "started_clean": (
+            pre_attempts[-1] <= SENTINEL_REF_SEC * SENTINEL_LOAD_RATIO
+            and cpu_attempts[-1] <= CPU_CANARY_REF_SEC * 1.5
+        ),
         "cpu_canary_sec": cpu_canary_pre,
         "cpu_ref_sec": CPU_CANARY_REF_SEC,
         "loadavg_start": _loadavg(),

@@ -370,13 +370,19 @@ class StreamingNearDup:
 
         _trace = os.environ.get("SPARK_GRAFT_TRACE") == "1"
         _t0 = _time.perf_counter()
+        # per-phase walls of the LAST batch, always recorded (r14): the
+        # bench hist blocks publish them so compute-vs-load attribution
+        # (probe term vs fixed plan-compile/job walls) rides the record
+        # instead of needing an off-record trace session
+        self.last_phase_walls: dict[str, float] = {}
 
         def _mark(label: str) -> None:
             nonlocal _t0
+            now = _time.perf_counter()
+            self.last_phase_walls[label] = round(now - _t0, 3)
             if _trace:
-                now = _time.perf_counter()
                 print(f"# nd-trace {label}: {now - _t0:.3f}s", flush=True)
-                _t0 = now
+            _t0 = now
 
         sig = minhash_signatures(docs, id_col, text_col, self.n_hashes).cache()
         bands = band_hashes(sig, self.n_hashes, self.n_bands).cache()
