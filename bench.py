@@ -1506,6 +1506,11 @@ def main() -> None:
         "neardup_hist10M": {
             "wall": full["neardup_hist10M"]["walls_sec"][0],
             "buckets": full["neardup_hist10M"]["n_band_buckets"],
+            # the history-DEPENDENT term (band probe + cand ckpt); the
+            # rest of the wall is history-independent plan-compile/jobs
+            "probe_sec": full["neardup_hist10M"]["phases_min_trial"][
+                "10000000"
+            ]["cand_prune_gate"],
         },
         "noise_sentinel": full["noise_sentinel"]["ratio"],
         "sentinel_pre_gate": {

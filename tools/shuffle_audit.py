@@ -1,0 +1,131 @@
+"""Per-query shuffle-volume audit: the transferable scale metric.
+
+Wall-clock on local[32] NVMe transfers poorly to a 1000-executor
+cluster; SHUFFLE BYTES transfer almost exactly — every shuffled byte
+is a network byte at scale, and spill means a partition didn't fit an
+executor. This tool runs each registry query against $SPARK_GRAFT_SF_DIR
+and attributes, from Spark's status REST API, the shuffle read/write,
+spill, and scan input of the stages it launched.
+
+Attribution: the driver loop is single-threaded, so every stage whose
+stageId is newer than the pre-query snapshot belongs to the query.
+Each query runs TWICE and the SECOND run is reported — steady-state
+shuffle with the plan's caches warm (signature caches etc. are a
+train-once cost, not a per-execution one); the cold run's bytes are
+kept alongside for the cache-build story.
+
+Usage: python tools/shuffle_audit.py [name-filter ...]
+Writes SHUFFLE_AUDIT.json at the repo root and prints a ranked table.
+A zero-shuffle query is map-side only (scan -> project/filter/limit);
+spill_mb > 0 anywhere is a sizing bug at ANY scale and is flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _stages(api: str, app_id: str) -> dict[int, dict]:
+    out: dict[int, dict] = {}
+    for st in _get(f"{api}/applications/{app_id}/stages?status=complete"):
+        # keep the newest attempt per stage id
+        out[st["stageId"]] = st
+    return out
+
+
+def _delta(stages: dict[int, dict], after_id: int) -> dict[str, float]:
+    mb = 1024 * 1024
+    agg = {"shuffle_write_mb": 0.0, "shuffle_read_mb": 0.0, "spill_mb": 0.0,
+           "input_mb": 0.0, "input_records": 0, "stages": 0}
+    for sid, st in stages.items():
+        if sid <= after_id:
+            continue
+        agg["shuffle_write_mb"] += st.get("shuffleWriteBytes", 0) / mb
+        agg["shuffle_read_mb"] += st.get("shuffleReadBytes", 0) / mb
+        agg["spill_mb"] += (st.get("memoryBytesSpilled", 0)
+                            + st.get("diskBytesSpilled", 0)) / mb
+        agg["input_mb"] += st.get("inputBytes", 0) / mb
+        agg["input_records"] += st.get("inputRecords", 0)
+        agg["stages"] += 1
+    return {k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in agg.items()}
+
+
+def main() -> int:
+    from clockpipe_spark.queries import all_queries
+    from clockpipe_spark.session import get_spark
+
+    filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("shuffle_audit", extra_conf={"spark.ui.enabled": "true"})
+    sc = spark.sparkContext
+    api = f"{sc.uiWebUrl}/api/v1"
+    app_id = _get(f"{api}/applications")[0]["id"]
+
+    queries = all_queries()
+    if filters:
+        queries = {n: q for n, q in queries.items()
+                   if any(f in n for f in filters)}
+
+    results: dict[str, dict] = {}
+    for name, fn in queries.items():
+        runs = []
+        try:
+            for _ in range(2):
+                before = max(_stages(api, app_id), default=-1)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                wall = round(time.perf_counter() - t0, 3)
+                d = _delta(_stages(api, app_id), before)
+                d["wall_sec"] = wall
+                runs.append(d)
+        except Exception as exc:  # noqa: BLE001 — audit must finish the sweep
+            results[name] = {"error": str(exc)[:200]}
+            continue
+        warm = runs[1]
+        warm["cold_shuffle_write_mb"] = runs[0]["shuffle_write_mb"]
+        results[name] = warm
+        print(f"{name:38s} shW {warm['shuffle_write_mb']:9.2f} MB  "
+              f"shR {warm['shuffle_read_mb']:9.2f} MB  "
+              f"spill {warm['spill_mb']:8.2f} MB  "
+              f"inRec {warm['input_records']:>10d}  "
+              f"stages {warm['stages']:3d}  {warm['wall_sec']:6.2f}s",
+              flush=True)
+
+    ok = {n: r for n, r in results.items() if "error" not in r}
+    spillers = {n: r["spill_mb"] for n, r in ok.items() if r["spill_mb"] > 0}
+    top = sorted(ok.items(), key=lambda kv: -kv[1]["shuffle_write_mb"])[:10]
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "errors": [n for n, r in results.items() if "error" in r],
+        "total_shuffle_write_mb": round(
+            sum(r["shuffle_write_mb"] for r in ok.values()), 2),
+        "spillers": spillers,
+        "top10_shuffle_write": {n: r["shuffle_write_mb"] for n, r in top},
+        "queries": results,
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SHUFFLE_AUDIT.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\n== {len(ok)} audited, {len(summary['errors'])} errors, "
+          f"total warm shuffle write {summary['total_shuffle_write_mb']} MB, "
+          f"{len(spillers)} spillers")
+    for n, s in spillers.items():
+        print(f"  SPILL {n}: {s} MB")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
