@@ -531,7 +531,9 @@ SELECT event_id,
                           THEN CAST(x AS BIGINT) ELSE 0 END AS VARCHAR)), ',')
          AS arr_int,
        array_to_string(list_transform(arr,
-           x -> CAST(CAST(COALESCE(TRY_CAST(x AS DOUBLE), 0.0) * 10 AS BIGINT)
+           x -> CAST(CAST(CASE WHEN regexp_matches(x,
+                    '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                    THEN CAST(x AS DOUBLE) ELSE 0.0 END * 10 AS BIGINT)
                      AS VARCHAR)), ',') AS arr_dbl_x10,
        array_to_string(list_transform(sarr, x -> COALESCE(x, ' ')), ',')
          AS arr_str,

@@ -116,9 +116,12 @@ def main() -> int:
         "top10_shuffle_write": {n: r["shuffle_write_mb"] for n, r in top},
         "queries": results,
     }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SHUFFLE_AUDIT.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+    # name-filtered runs are iteration probes — only a FULL sweep may
+    # replace the committed per-round record
+    if not filters:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "SHUFFLE_AUDIT.json"), "w") as f:
+            json.dump(summary, f, indent=1)
     print(f"\n== {len(ok)} audited, {len(summary['errors'])} errors, "
           f"total warm shuffle write {summary['total_shuffle_write_mb']} MB, "
           f"{len(spillers)} spillers")
