@@ -301,6 +301,24 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
     return line
 
 
+def _shuffle_audit_summary(here: str) -> dict:
+    """Headline numbers from the committed SHUFFLE_AUDIT.json (the
+    separate tools/shuffle_audit.py full sweep) so the per-round bench
+    record carries the cluster-transferable metric alongside wall
+    clock. Absent/unreadable file degrades to a note, never a crash."""
+    try:
+        with open(os.path.join(here, "SHUFFLE_AUDIT.json")) as f:
+            a = json.load(f)
+        return {
+            "total_warm_shuffle_write_mb": a["total_shuffle_write_mb"],
+            "n_queries": a["n_queries"],
+            "spillers": len(a["spillers"]),
+            "errors": len(a["errors"]),
+        }
+    except (OSError, KeyError, ValueError):
+        return {"missing": "run tools/shuffle_audit.py"}
+
+
 def bench_cdc(spark, sf_dir: str, trials: int = 3) -> dict[str, float]:
     """BASELINE.md derived targets, measured: snapshot ingest rate and
     sustained CDC merge throughput at the reference's 65,536-change peek
@@ -1512,6 +1530,11 @@ def main() -> None:
                 "10000000"
             ]["cand_prune_gate"],
         },
+        # committed shuffle-audit summary (tools/shuffle_audit.py — a
+        # separate full sweep, NOT re-measured here; its own file holds
+        # per-query detail). Shuffled bytes are the metric that
+        # transfers to a real cluster; spillers must stay 0.
+        "shuffle_audit": _shuffle_audit_summary(here),
         "noise_sentinel": full["noise_sentinel"]["ratio"],
         "sentinel_pre_gate": {
             "attempts": pre_gate["attempts_sec"],
