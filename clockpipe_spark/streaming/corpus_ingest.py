@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clockpipe_spark.streaming.neardup_state import StreamingNearDup
+from clockpipe_spark.streaming.neardup_state import StreamingNearDup, empty_df
 
 _METRICS_SCHEMA = (
     "batch_id long, n_arrived long, n_gated long, n_admitted long"
@@ -253,7 +253,7 @@ class CorpusIngestPipeline:
                     if n.endswith(".parquet") and not n.startswith(("_", "."))
                 )
         if not files:
-            return self.spark.createDataFrame([], schema or _METRICS_SCHEMA)
+            return empty_df(self.spark, schema or _METRICS_SCHEMA)
         return self.spark.read.parquet(*sorted(files))
 
     def corpus(self, schema: str | None = None) -> DataFrame:

@@ -66,6 +66,22 @@ _SIGS_SCHEMA = "id long, minhash array<long>"
 _SHORTS_SCHEMA = "id long, text_hash long"
 
 
+def empty_df(spark: SparkSession, schema: str) -> DataFrame:
+    """JVM-side empty frame. spark.createDataFrame([], schema) builds an
+    RDD-backed relation whose EVERY job execution spins Python workers —
+    measured 0.47-0.52 s per count() vs 0.13-0.16 s for this range(0)
+    projection (r14). The shorts log is empty for any all-long-doc
+    corpus, so the old form taxed every single micro-batch."""
+    from pyspark.sql import types as T
+
+    return spark.range(0).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in T._parse_datatype_string(schema).fields
+        ]
+    )
+
+
 class StreamingNearDup:
     """foreachBatch-compatible cross-batch near-dup filter."""
 
@@ -326,7 +342,7 @@ class StreamingNearDup:
         bucket by id, row-group min/max stats skip history wholesale
         when live ids run ahead of it (the streaming steady state)."""
         if lo is None:
-            return self.spark.createDataFrame([], "id long")
+            return empty_df(self.spark, "id long")
         return (
             self._history(self.sigs_dir, _SIGS_SCHEMA)
             .select("id")
@@ -339,7 +355,7 @@ class StreamingNearDup:
         rows this very batch appends later — otherwise a re-evaluation
         after the state write would match every doc against itself."""
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return empty_df(self.spark, schema)
         return self.spark.read.schema(schema).parquet(*files)
 
     def _history(self, path: str, schema: str) -> DataFrame:
