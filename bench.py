@@ -278,10 +278,14 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
     for key in (
         "ivf_prewarm_sec",
         "state10x",
-        "neardup_hist10x",
         "dedup10x",
         "shared_vs_prev",
         "dedup30x",
+        # hist10x demoted below the cumulative blocks (r14): its ratio
+        # IS the flat-history contract (r13 directive) and its block is
+        # ~50 chars — it was the marginal casualty when shuffle_audit
+        # joined the line
+        "neardup_hist10x",
         "cdc",
         "ingest_dps_by_batches",
         "ingest",
@@ -309,9 +313,10 @@ def _shuffle_audit_summary(here: str) -> dict:
     try:
         with open(os.path.join(here, "SHUFFLE_AUDIT.json")) as f:
             a = json.load(f)
+        # terse keys: this block rides the 1900-char compact line
         return {
-            "total_warm_shuffle_write_mb": a["total_shuffle_write_mb"],
-            "n_queries": a["n_queries"],
+            "warm_shW_mb": a["total_shuffle_write_mb"],
+            "n": a["n_queries"],
             "spillers": len(a["spillers"]),
             "errors": len(a["errors"]),
         }
