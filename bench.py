@@ -428,25 +428,33 @@ def bench_neardup_history(
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
-    # distinct disjoint-id batches per timed trial (fresh admission both
-    # times — see docstring); offsets keep them clear of the warm batch
-    # (+5M) and the seeded history (10M+)
-    trial_batches = [
-        docs.limit(batch_docs)
-        .withColumn("doc_id", F.col("doc_id") + off)
-        .localCheckpoint(eager=True)
-        for off in (6_000_000, 7_000_000)
-    ]
+    # Disjoint TEXT slices per batch (ADVICE r14 #1): minhash keys on
+    # text alone, so batches that differ only in doc_id offset are
+    # exact-signature duplicates of each other — trial docs whose texts
+    # already sit in the store get rejected, and a 50-doc trial whose
+    # texts are a subset of the 200-doc warm batch admits NOTHING
+    # (the r14 hist10M record's "fresh admission" was exactly that).
+    # orderBy+offset+limit carves deterministic non-overlapping row
+    # ranges; the id offsets then keep ids clear of the warm batch
+    # (+5M) and the seeded history (10M+).
+    base = docs.orderBy("doc_id")
     warm = (
-        docs.limit(200)
+        base.limit(200)
         .withColumn("doc_id", F.col("doc_id") + 5_000_000)
         .localCheckpoint(eager=True)
     )
+    trial_batches = [
+        base.offset(200 + i * batch_docs)
+        .limit(batch_docs)
+        .withColumn("doc_id", F.col("doc_id") + off)
+        .localCheckpoint(eager=True)
+        for i, off in enumerate((6_000_000, 7_000_000))
+    ]
     out: dict = {
         "batch_docs": batch_docs,
         "hist_sizes": list(hist_sizes),
         "n_band_buckets": n_band_buckets,
-        "trials": "min-of-2 distinct fresh batches",
+        "trials": "min-of-2 disjoint text slices (genuinely fresh admission)",
     }
     walls = []
     for n_hist in hist_sizes:

@@ -152,19 +152,30 @@ def mongo_timestamp_str(secs: Column) -> Column:
 # '2.5'->BIGINT ROUNDS to 3, so oracles already use the integral
 # regex; Spark try_cast also silently accepted whitespace-padded ints
 # the oracle's regex rejects — a latent cross-engine divergence this
-# closes). Overflow past int64 raises in BOTH engines' ANSI casts —
-# loud, identical, and unreachable for BSON-origin values (already
-# typed i64 in the reference, mongodb.rs:449-456).
+# closes). Overflow guard (ADVICE r14 #2): a plain ANSI cast on an
+# integral string past int64 ABORTS THE JOB — a sanitizing operator
+# must degrade, not fail, on malformed input (the reference yields 0:
+# as_i64().map_or("0", ..), mongodb.rs:449-456). <=18 digits always
+# fits int64 and takes the fast plain-cast arm; the 19+-digit tail
+# (unreachable for BSON-origin values, possible for other callers)
+# takes a per-element try_cast — slow, but only on matched elements.
 _INT_RE = r"^[+-]?[0-9]+$"
+_INT_SAFE_RE = r"^[+-]?[0-9]{1,18}$"
 _DBL_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
 
 def mongo_array_int(col: Column) -> Column:
     """Int32/Int64-headed array: each element as i64, non-parsing
-    elements -> 0 (mongodb.rs:449-456 as_i64().map_or("0", ..))."""
+    elements -> 0 (mongodb.rs:449-456 as_i64().map_or("0", ..));
+    int64-overflowing integral strings also -> 0 (never abort)."""
     return F.transform(
         col,
-        lambda x: F.when(x.rlike(_INT_RE), x.cast("bigint")).otherwise(F.lit(0)),
+        lambda x: F.when(x.rlike(_INT_SAFE_RE), x.cast("bigint"))
+        .when(
+            x.rlike(_INT_RE),
+            F.coalesce(x.try_cast("bigint"), F.lit(0)),
+        )
+        .otherwise(F.lit(0)),
     )
 
 

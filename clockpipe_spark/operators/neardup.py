@@ -21,6 +21,7 @@ SURVEY.md §2.10 north-star scope.
 from __future__ import annotations
 
 import hashlib
+import logging
 import random
 from collections.abc import Iterator
 
@@ -94,8 +95,17 @@ def _register_sig_cache(df: DataFrame) -> None:
     _SIG_CACHES[key] = df
     while len(_SIG_CACHES) > _SIG_CACHE_CAP:
         # registry-only eviction — deliberately NO unpersist (see the
-        # _SIG_CACHE_CAP note: the shared JVM entry may still be hot)
+        # _SIG_CACHE_CAP note: the shared JVM entry may still be hot).
+        # The evicted entry's JVM cache memory is now reclaimable only
+        # via release_signature_caches()/clearCache()/session end —
+        # warn so the leak is visible (ADVICE r14 #3).
         _SIG_CACHES.pop(next(iter(_SIG_CACHES)))
+        logging.getLogger(__name__).warning(
+            "signature-cache registry cap (%d) hit: evicted an entry "
+            "WITHOUT unpersisting; its JVM cache memory persists until "
+            "release_signature_caches()/clearCache()/session end",
+            _SIG_CACHE_CAP,
+        )
 
 
 def portable_hash32(col):

@@ -141,6 +141,21 @@ def test_mongo_typed_arrays(spark):
     arr = F.array(F.lit("1"), F.lit("2.5"), F.lit("x"), F.lit("-3"))
     assert _one(spark, mongo_array_int(arr)) == [1, 0, 0, -3]
     assert _one(spark, mongo_array_double(arr)) == [1.0, 2.5, 0.0, -3.0]
+    # ADVICE r14 #2: integral strings past int64 DEGRADE to 0 (the
+    # reference's as_i64().map_or("0", ..)), never abort the job; long
+    # but in-range values (19-20 chars) still parse via the slow arm
+    over = F.array(
+        F.lit("99999999999999999999"),  # > int64 max -> 0, not abort
+        F.lit("9223372036854775807"),  # int64 max, 19 digits -> parses
+        F.lit("-9223372036854775808"),  # int64 min, 20 chars -> parses
+        F.lit("123456789012345678"),  # 18 digits: fast plain-cast arm
+    )
+    assert _one(spark, mongo_array_int(over)) == [
+        0,
+        9223372036854775807,
+        -9223372036854775808,
+        123456789012345678,
+    ]
     # mongodb.rs:465-481: string-headed array renders non-strings as ' '
     sarr = F.array(F.lit("a"), F.lit(None).cast("string"), F.lit("b"))
     assert _one(spark, mongo_array_string(sarr)) == ["a", " ", "b"]

@@ -37,10 +37,24 @@ def _get(url: str):
 
 
 def _stages(api: str, app_id: str) -> dict[int, dict]:
+    """Newest attempt per stage id, across COMPLETE and FAILED stages.
+
+    ADVICE r14 #5: fetching only status=complete and keeping whichever
+    attempt the REST API listed last silently dropped retried/failed
+    stages' shuffle and spill bytes — understating spill, the one
+    metric this tool exists to flag. Pick max attemptId explicitly.
+    """
     out: dict[int, dict] = {}
-    for st in _get(f"{api}/applications/{app_id}/stages?status=complete"):
-        # keep the newest attempt per stage id
-        out[st["stageId"]] = st
+    for status in ("complete", "failed"):
+        try:
+            stages = _get(f"{api}/applications/{app_id}/stages?status={status}")
+        except Exception:
+            continue  # e.g. no failed stages endpoint variance
+        for st in stages:
+            sid = st["stageId"]
+            prev = out.get(sid)
+            if prev is None or st.get("attemptId", 0) >= prev.get("attemptId", 0):
+                out[sid] = st
     return out
 
 

@@ -110,6 +110,15 @@ def propose_window(
         if stalest not in forced:
             forced.append(stalest)
     budget = size - len(canaries)
+    if len(forced) > budget:
+        # ADVICE r14 #4: fail HERE, not at the paste-time _PRIORITY
+        # length assert — a silent over-budget proposal is worse than
+        # a loud tool error naming the overflow.
+        raise SystemExit(
+            f"--propose BUG: {len(forced)} forced family includes "
+            f"exceed the window budget {budget} (size {size} - "
+            f"{len(canaries)} canaries); raise the window size or "
+            f"trim families: {forced}")
     picked = list(forced)
     for _rnd, name, _status, _kind in rows:
         if len(picked) >= budget:
