@@ -78,7 +78,8 @@ _MODULES = (
 #     keep their documented rows-only nature;
 # (c) the 5 stalest r11 rows in (round, name) order.
 # After this gate runs, NO registry query carries a driver row older
-# than r11 (tools/window_staleness.py verifies).
+# than r12 (tools/window_staleness.py verifies) — the full r11 cohort
+# (40 rows) plus the 5 stalest r12 rows fill the r15 window.
 # Family coverage stays guarded on a ROLLING basis (current window
 # UNION last-3-round driver rows — tests/test_registry_window.py).
 # Registry freeze holds (directive #6: 180 entries, 0 added this
@@ -93,53 +94,53 @@ _PRIORITY = (
     "cdc_apply_to_snapshot",       # K1/K2 merge semantics
     "cdc_replica_state",           # FINAL dedup-on-read
     "dedup_exact",                 # exact-dedup family
-    # ---- last driver row r10 (all 40) ---------------------------
-    "cdc_conflict_audit",
-    "cdc_mask_columns",
-    "cdc_replica_asof",
-    "contamination_bloom",
-    "corpus_doclen_histogram",
-    "correlated_above_avg_orders",
-    "cosine_topk_brute",
-    "dedup_cluster_assign",
-    "dedup_minhash_lsh",           # rows-only (data-dependent LSH state)
-    "embedding_norm_stats",
-    "event_transition_matrix",
-    "grouping_sets_lineitem",
-    "hierarchy_rollup",            # family canary: recursive surface
-    "join_anti_customers_without_orders",
-    "join_broadcast_brand_volume",
-    "join_semi_customers_with_orders",
-    "lateral_explode_tokens",
-    "mm_wav_decode",
-    "ntile_customer_quartiles",
-    "pg_array_literal_parse",
-    "profile_table_stats",
-    "q10_returned_items",
-    "q14_promo_revenue_pct",
-    "q18_large_orders",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "range_join_ship_latency",
-    "sample_stratified_hash",
-    "scalar_string_funcs",
-    "setop_active_both_statuses",
-    "setop_only_open_customers",
-    "stats_percentiles",
-    "stream_tumbling_hourly",
-    "text_ngram_novelty",
-    "ts_gapfill_locf",
-    "ts_seasonal_residual",
-    "window_lag_event_delta",
-    "window_running_revenue",
-    "window_top3_orders_per_customer",
-    "zorder_tile_stats",           # family canary: data layout
-    # ---- last driver row r11, stalest 5 -------------------------
-    "cdc_changelog",
-    "cdc_mongo_bson_casts",
-    "cdc_mongo_infer_project",
-    "cdc_route_counts",
-    "corpus_top_ngrams",
+    # ---- last driver row r11 (all 40) ---------------------------
+    "dedup_cluster_assign_lsh",
+    "dedup_simhash",
+    "distinct_users_per_event_type",
+    "embedding_neardup_pairs",
+    "mm_bmp_decode",
+    "mm_bytes_meta",
+    "mm_fake_image_features",
+    "mm_frame_sample",
+    "mm_image_resize",
+    "neardup_jaccard_pairs",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_part_promotion",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "scalar_date_parts",
+    "scalar_json_extract",
+    "skew_salted_user_revenue",
+    "stream_session_windows",
+    "stream_sliding_30m",
+    "subquery_in_filter",
+    "text_bigram_logprob",
+    "text_bpe_token_stats",
+    "text_c4_filters",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_repetition_stats",
+    "text_rolling_hash",
+    "text_token_stats",
+    "text_unigram_surprisal",
+    "window_function_battery",
+    # ---- last driver row r12, stalest 5 -------------------------
+    "agg_rollup_lineitem",
+    "ann_ivf_topk",                # rows-only (data-dependent IVF state)
+    "ann_ivfpq_topk",              # rows-only (data-dependent PQ state)
+    "ann_lsh_topk",
+    "asof_last_purchase",
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)

@@ -14,10 +14,19 @@ shuffle with the plan's caches warm (signature caches etc. are a
 train-once cost, not a per-execution one); the cold run's bytes are
 kept alongside for the cache-build story.
 
-Usage: python tools/shuffle_audit.py [name-filter ...]
+Usage: python tools/shuffle_audit.py [name-filter ...] [--allow=name ...]
 Writes SHUFFLE_AUDIT.json at the repo root and prints a ranked table.
 A zero-shuffle query is map-side only (scan -> project/filter/limit);
 spill_mb > 0 anywhere is a sizing bug at ANY scale and is flagged.
+
+Cross-round contract (VERDICT r14 directive #5, enforced here): before
+a full sweep overwrites the committed SHUFFLE_AUDIT.json, the new
+numbers are diffed against it — ANY spiller, or any query whose warm
+shuffle write grew >1.5x (above a 1 MB absolute floor, so KB-scale
+noise doesn't flag), fails the run with exit 1. A query whose plan you
+INTENTIONALLY changed this round is exempted with --allow=<name>
+(record the why in PLANS.md); an unexplained jump on an untouched
+query is a plan regression caught before it ships.
 """
 
 from __future__ import annotations
@@ -81,6 +90,8 @@ def main() -> int:
     from clockpipe_spark.session import get_spark
 
     filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+    allowed_growth = {a.split("=", 1)[1] for a in sys.argv[1:]
+                      if a.startswith("--allow=")}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("shuffle_audit", extra_conf={"spark.ui.enabled": "true"})
     sc = spark.sparkContext
@@ -130,18 +141,40 @@ def main() -> int:
         "top10_shuffle_write": {n: r["shuffle_write_mb"] for n, r in top},
         "queries": results,
     }
+    # Cross-round diff against the committed record BEFORE overwriting
+    # it (see module docstring). Runs on full sweeps only — filtered
+    # probes have no complete baseline to compare.
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    record = os.path.join(here, "SHUFFLE_AUDIT.json")
+    regressions: list[str] = []
+    if not filters and os.path.exists(record):
+        with open(record) as f:
+            base = json.load(f).get("queries", {})
+        for n, r in ok.items():
+            b = base.get(n)
+            if not b or "error" in b:
+                continue
+            old_w, new_w = b.get("shuffle_write_mb", 0.0), r["shuffle_write_mb"]
+            if (new_w > 1.5 * old_w and new_w - old_w > 1.0
+                    and n not in allowed_growth):
+                regressions.append(
+                    f"{n}: warm shuffle write {old_w} -> {new_w} MB "
+                    f"({new_w / max(old_w, 1e-9):.2f}x) — plan regression "
+                    f"unless intentionally changed (then --allow={n})")
+    summary["contract_regressions"] = regressions
     # name-filtered runs are iteration probes — only a FULL sweep may
     # replace the committed per-round record
     if not filters:
-        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(here, "SHUFFLE_AUDIT.json"), "w") as f:
+        with open(record, "w") as f:
             json.dump(summary, f, indent=1)
     print(f"\n== {len(ok)} audited, {len(summary['errors'])} errors, "
           f"total warm shuffle write {summary['total_shuffle_write_mb']} MB, "
           f"{len(spillers)} spillers")
     for n, s in spillers.items():
         print(f"  SPILL {n}: {s} MB")
-    return 0
+    for msg in regressions:
+        print(f"  GROWTH {msg}")
+    return 1 if (spillers or regressions) else 0
 
 
 if __name__ == "__main__":
