@@ -70,13 +70,15 @@ def dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components_star(
         corpus, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
     )
-    return (
-        labels.select(
-            F.col("id").alias("doc_id"),
-            F.col("lbl").alias("cluster_id"),
-            (F.col("id") == F.col("lbl")).alias("is_canonical"),
-        )
-        .orderBy("doc_id")
+    # no final orderBy (r15, the changestream lesson): the gate
+    # hash-compares canonically row-sorted frames, and the global
+    # sort's range-partitioner sampling re-executed the final
+    # corpus-labels join a second time (phase-traced: sorted write
+    # 0.47-0.49 s vs 0.13-0.15 s unsorted, tools/trace_cluster_lsh.py)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).alias("is_canonical"),
     )
 
 
