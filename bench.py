@@ -1375,10 +1375,15 @@ def main() -> None:
         # local seeding can't justify per-round.
         # NOT directly comparable to the r13 4.40 s A/B: that was
         # min-of-2 over a REPLAYED batch (the cheaper at-least-once
-        # path ADVICE r13 #3 retired); this records fresh admission
-        # (~8.3 s first measurement, of which ~4 s is history-
-        # independent plan-compile + job walls — see the phase trace
-        # in PLANS.md r14).
+        # path ADVICE r13 #3 retired). r15 (ADVICE r14 #1): the r14
+        # "fresh admission" was still partly false — trial texts were
+        # doc_id-offset copies of the warm batch, so minhash (keyed on
+        # text) rejected every trial doc as a duplicate and no
+        # signature/band writes were timed. Batches now carve DISJOINT
+        # text slices, so this point finally times genuine admission
+        # (anti-join + verify + sig/band append); of the wall, ~4 s is
+        # history-independent plan-compile + job walls (phase trace in
+        # PLANS.md r14, re-confirmed on the r15 record).
         "neardup_hist10M": bench_neardup_history(
             spark,
             sf_dir,

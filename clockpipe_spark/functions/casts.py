@@ -172,7 +172,11 @@ def mongo_array_int(col: Column) -> Column:
         col,
         lambda x: F.when(x.rlike(_INT_SAFE_RE), x.cast("bigint"))
         .when(
-            x.rlike(_INT_RE),
+            # length gate first: interpreted And short-circuits, so
+            # short non-integral elements (the common junk) never pay
+            # the second regex scan — without it this arm cost ~0.8 s
+            # per 1.2M junk elements at sf0.1 (measured r15)
+            (F.length(x) > 18) & x.rlike(_INT_RE),
             F.coalesce(x.try_cast("bigint"), F.lit(0)),
         )
         .otherwise(F.lit(0)),

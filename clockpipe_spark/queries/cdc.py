@@ -512,7 +512,9 @@ def cdc_mongo_bson_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", mongo_array_string(sarr)).alias("arr_str"),
             F.concat_ws(",", mongo_string_array(sarr)).alias("arr_filtered"),
         )
-        .orderBy("event_id")
+        # no final orderBy (r15): the range-sampler re-ran every cast
+        # arm a second time (the changestream lesson); the gate
+        # hash-compares canonically row-sorted frames
     )
 
 

@@ -391,10 +391,12 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, centroids, vec_col="embedding", n_iter=2
     )
     assign = ivf_assigner(centroids, nprobe=1)
+    # no final orderBy (r15): the range-sampler re-ran the Arrow-matmul
+    # assignment UDF a second time; cosmetic — rows-only at the gate
     return emb.select(
         "vec_id",
         F.element_at(assign(F.col("embedding")), 1).alias("cluster_id"),
-    ).orderBy("vec_id")
+    )
 
 
 _PCA_K = 8
@@ -444,7 +446,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("proj", 1), 6).alias("pc1"),
             F.round(F.element_at("proj", 2), 6).alias("pc2"),
         )
-        .orderBy("vec_id")
+        # no final orderBy (r15): cosmetic, see embedding_kmeans_clusters
     )
 
 
@@ -534,13 +536,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, v: a + v,
         )
     ) / F.sqrt(dot(F.col("e"), F.col("e")))
-    return (
-        recon.select(
-            "vec_id",
-            F.concat_ws("-", F.col("code")).alias("pq_code"),
-            F.floor(err * 1e6).cast("bigint").alias("rel_err_x1e6"),
-        )
-        .orderBy("vec_id")
+    return recon.select(
+        "vec_id",
+        F.concat_ws("-", F.col("code")).alias("pq_code"),
+        F.floor(err * 1e6).cast("bigint").alias("rel_err_x1e6"),
+        # no final orderBy (r15): cosmetic, see embedding_kmeans_clusters
     )
 
 
