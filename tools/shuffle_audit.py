@@ -27,6 +27,15 @@ noise doesn't flag), fails the run with exit 1. A query whose plan you
 INTENTIONALLY changed this round is exempted with --allow=<name>
 (record the why in PLANS.md); an unexplained jump on an untouched
 query is a plan regression caught before it ships.
+
+Wall regressions are flagged too (r15): warm wall >2x the committed
+record AND >0.5 s absolute growth. Walls swing +-30% with host state
+(unlike shuffle bytes), so the threshold is loose — it exists because
+shuffle-neutral regressions are real: the r15 overflow-guard rework
+left shuffle bytes identical while an interpreted per-element regex
+doubled cdc_mongo_bson_casts' wall, and only the wall column caught
+it. Wall flags are WARNINGS (printed, recorded in the summary), not
+exit-1 failures — a loaded host must not fail the wrap.
 """
 
 from __future__ import annotations
@@ -147,6 +156,7 @@ def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     record = os.path.join(here, "SHUFFLE_AUDIT.json")
     regressions: list[str] = []
+    wall_warnings: list[str] = []
     if not filters and os.path.exists(record):
         with open(record) as f:
             base = json.load(f).get("queries", {})
@@ -161,7 +171,15 @@ def main() -> int:
                     f"{n}: warm shuffle write {old_w} -> {new_w} MB "
                     f"({new_w / max(old_w, 1e-9):.2f}x) — plan regression "
                     f"unless intentionally changed (then --allow={n})")
+            old_t, new_t = b.get("wall_sec", 0.0), r["wall_sec"]
+            if (new_t > 2.0 * old_t and new_t - old_t > 0.5
+                    and n not in allowed_growth):
+                wall_warnings.append(
+                    f"{n}: warm wall {old_t} -> {new_t} s "
+                    f"({new_t / max(old_t, 1e-9):.2f}x) — shuffle-neutral "
+                    f"regression or host load; iso-confirm before blaming")
     summary["contract_regressions"] = regressions
+    summary["wall_warnings"] = wall_warnings
     # name-filtered runs are iteration probes — only a FULL sweep may
     # replace the committed per-round record
     if not filters:
@@ -174,6 +192,8 @@ def main() -> int:
         print(f"  SPILL {n}: {s} MB")
     for msg in regressions:
         print(f"  GROWTH {msg}")
+    for msg in wall_warnings:
+        print(f"  WALL-WARN {msg}")
     return 1 if (spillers or regressions) else 0
 
 
