@@ -375,6 +375,38 @@ def bench_cdc(spark, sf_dir: str, trials: int = 3) -> dict[str, float]:
     return best
 
 
+def disjoint_doc_slices(docs, warm_n: int, batch_docs: int):
+    """Warm batch + two trial batches carved from DISJOINT row ranges
+    of the documents table (ADVICE r14 #1): minhash keys on TEXT alone,
+    so batches that differ only in a doc_id offset are exact-signature
+    duplicates of each other — trial docs whose texts already sit in
+    the store get rejected, and a 50-doc trial whose texts were a
+    subset of the 200-doc warm batch admitted NOTHING (the r14 hist10M
+    record's "fresh admission" was exactly that). orderBy+offset+limit
+    carves deterministic non-overlapping row ranges; the id offsets
+    then keep ids clear of the warm batch (+5M) and the seeded history
+    (10M+). Pinned by tests/test_bench_slices.py.
+
+    Returns (warm_df, [trial1_df, trial2_df]), each localCheckpoint-ed.
+    """
+    from pyspark.sql import functions as F
+
+    base = docs.orderBy("doc_id")
+    warm = (
+        base.limit(warm_n)
+        .withColumn("doc_id", F.col("doc_id") + 5_000_000)
+        .localCheckpoint(eager=True)
+    )
+    trials = [
+        base.offset(warm_n + i * batch_docs)
+        .limit(batch_docs)
+        .withColumn("doc_id", F.col("doc_id") + off)
+        .localCheckpoint(eager=True)
+        for i, off in enumerate((6_000_000, 7_000_000))
+    ]
+    return warm, trials
+
+
 def bench_neardup_history(
     spark,
     sf_dir: str,
@@ -428,28 +460,7 @@ def bench_neardup_history(
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
-    # Disjoint TEXT slices per batch (ADVICE r14 #1): minhash keys on
-    # text alone, so batches that differ only in doc_id offset are
-    # exact-signature duplicates of each other — trial docs whose texts
-    # already sit in the store get rejected, and a 50-doc trial whose
-    # texts are a subset of the 200-doc warm batch admits NOTHING
-    # (the r14 hist10M record's "fresh admission" was exactly that).
-    # orderBy+offset+limit carves deterministic non-overlapping row
-    # ranges; the id offsets then keep ids clear of the warm batch
-    # (+5M) and the seeded history (10M+).
-    base = docs.orderBy("doc_id")
-    warm = (
-        base.limit(200)
-        .withColumn("doc_id", F.col("doc_id") + 5_000_000)
-        .localCheckpoint(eager=True)
-    )
-    trial_batches = [
-        base.offset(200 + i * batch_docs)
-        .limit(batch_docs)
-        .withColumn("doc_id", F.col("doc_id") + off)
-        .localCheckpoint(eager=True)
-        for i, off in enumerate((6_000_000, 7_000_000))
-    ]
+    warm, trial_batches = disjoint_doc_slices(docs, 200, batch_docs)
     out: dict = {
         "batch_docs": batch_docs,
         "hist_sizes": list(hist_sizes),

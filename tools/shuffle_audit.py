@@ -94,6 +94,38 @@ def _delta(stages: dict[int, dict], after_id: int) -> dict[str, float]:
             for k, v in agg.items()}
 
 
+def contract_diff(
+    ok: dict[str, dict],
+    base: dict[str, dict],
+    allowed_growth: set[str],
+) -> tuple[list[str], list[str]]:
+    """Pure cross-round contract check (unit-tested, Spark-free):
+    returns (byte regressions — exit-1 failures, wall warnings).
+    Thresholds per the module docstring: shuffle write >1.5x and >1 MB
+    absolute; wall >2x and >0.5 s absolute."""
+    regressions: list[str] = []
+    wall_warnings: list[str] = []
+    for n, r in ok.items():
+        b = base.get(n)
+        if not b or "error" in b:
+            continue
+        old_w, new_w = b.get("shuffle_write_mb", 0.0), r["shuffle_write_mb"]
+        if (new_w > 1.5 * old_w and new_w - old_w > 1.0
+                and n not in allowed_growth):
+            regressions.append(
+                f"{n}: warm shuffle write {old_w} -> {new_w} MB "
+                f"({new_w / max(old_w, 1e-9):.2f}x) — plan regression "
+                f"unless intentionally changed (then --allow={n})")
+        old_t, new_t = b.get("wall_sec", 0.0), r["wall_sec"]
+        if (new_t > 2.0 * old_t and new_t - old_t > 0.5
+                and n not in allowed_growth):
+            wall_warnings.append(
+                f"{n}: warm wall {old_t} -> {new_t} s "
+                f"({new_t / max(old_t, 1e-9):.2f}x) — shuffle-neutral "
+                f"regression or host load; iso-confirm before blaming")
+    return regressions, wall_warnings
+
+
 def main() -> int:
     from clockpipe_spark.queries import all_queries
     from clockpipe_spark.session import get_spark
@@ -160,24 +192,7 @@ def main() -> int:
     if not filters and os.path.exists(record):
         with open(record) as f:
             base = json.load(f).get("queries", {})
-        for n, r in ok.items():
-            b = base.get(n)
-            if not b or "error" in b:
-                continue
-            old_w, new_w = b.get("shuffle_write_mb", 0.0), r["shuffle_write_mb"]
-            if (new_w > 1.5 * old_w and new_w - old_w > 1.0
-                    and n not in allowed_growth):
-                regressions.append(
-                    f"{n}: warm shuffle write {old_w} -> {new_w} MB "
-                    f"({new_w / max(old_w, 1e-9):.2f}x) — plan regression "
-                    f"unless intentionally changed (then --allow={n})")
-            old_t, new_t = b.get("wall_sec", 0.0), r["wall_sec"]
-            if (new_t > 2.0 * old_t and new_t - old_t > 0.5
-                    and n not in allowed_growth):
-                wall_warnings.append(
-                    f"{n}: warm wall {old_t} -> {new_t} s "
-                    f"({new_t / max(old_t, 1e-9):.2f}x) — shuffle-neutral "
-                    f"regression or host load; iso-confirm before blaming")
+        regressions, wall_warnings = contract_diff(ok, base, allowed_growth)
     summary["contract_regressions"] = regressions
     summary["wall_warnings"] = wall_warnings
     # name-filtered runs are iteration probes — only a FULL sweep may
