@@ -133,6 +133,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Same contract as connected_components — (id, lbl), lbl = component
     min — via alternating large-star / small-star contraction (Kiveris et
@@ -143,13 +144,21 @@ def connected_components_star(
     instead of n. Same primitive per round — groupBy-min + equi-join — so
     the 100 TB shuffle story is unchanged; only the round count shrinks.
     Fixed point: every edge points directly at its component's min node.
+
+    ``edges_distinct=True`` skips the initial edge dedup — a FULL
+    shuffle of the pair set — when the caller's pair miner already
+    guarantees unique (src, dst) rows (e.g. minhash_lsh_pairs'
+    dropDuplicates, or edges distinct by construction). Duplicate edges
+    would not corrupt the result (the per-round groupBy-min absorbs
+    them); the flag only moves redundant bytes off the wire, so it is
+    safe even if a caller's guarantee is approximate.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
     )
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -68,7 +68,10 @@ def dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dc(spark, sf_dir).select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components_star(
-        corpus, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+        corpus, pairs, id_col="doc_id", src="doc_a", dst="doc_b",
+        # minhash_lsh_pairs dropDuplicates(doc_a, doc_b) + doc_a<doc_b:
+        # edges arrive unique — skip the edge-dedup shuffle (r15)
+        edges_distinct=True,
     )
     # no final orderBy (r15, the changestream lesson): the gate
     # hash-compares canonically row-sorted frames, and the global

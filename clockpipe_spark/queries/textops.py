@@ -503,7 +503,10 @@ def dedup_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("src"), "dst")
     )
     labels = connected_components_star(
-        docs, edges, id_col="doc_id", src="src", dst="dst"
+        docs, edges, id_col="doc_id", src="src", dst="dst",
+        # each src appears once (row_number join) — skip the edge-dedup
+        # shuffle (r15)
+        edges_distinct=True,
     )
     # no final orderBy (r15): cosmetic, see dedup_cluster_assign
     return labels.select(
