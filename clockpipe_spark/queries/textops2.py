@@ -412,15 +412,24 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order out of the hash compare."""
     docs = load_table(spark, sf_dir, "documents")
     flat = bigram_gram_stream(docs)
-    # Deliberately NOT cached: Catalyst re-expands the gram explode per
-    # model branch (bg_freq / ctx_freq / vocab / probe = 4 logical
-    # corpus scans, each column-pruned), and at this scale those scans
-    # are cheaper than materializing the model — measured: caching
-    # bg_freq costs 2.6 s -> 7.5 s cold because the cached subplan
-    # loses AQE and blocks stage overlap. The 100 TB deployment
-    # persists bg_freq/ctx_freq as TABLES (train once, score many) —
-    # that split is an orchestration choice, not this query's plan.
-    bg_freq = flat.groupBy("bg").agg(F.count("*").alias("cbg"))
+    # r15: the gram stream is pre-aggregated to per-doc gram COUNTS and
+    # localCheckpoint-ed ONCE. Before, the explode re-ran per model
+    # branch — column pruning differentiates each branch's subtree, so
+    # neither the fanout exchange nor a shared groupBy is reusable via
+    # ReuseExchange, and plain .cache() was measured WORSE (2.6 -> 7.5 s
+    # cold: the cached subplan loses AQE and blocks stage overlap).
+    # localCheckpoint keeps AQE downstream (runtime shuffle sizes still
+    # drive the broadcast decisions) and the counts frame is the small
+    # one: distinct (doc, gram) pairs, not gram instances — on the
+    # small-vocab corpus that's the whole point of counting first.
+    # This is also the honest local analog of the documented 100 TB
+    # split (persist the count tables; score with equi-joins).
+    grams = (
+        flat.groupBy("doc_id", "w1", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    bg_freq = grams.groupBy("bg").agg(F.sum("cnt").alias("cbg"))
     ctx_freq = bg_freq.groupBy(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
     ).agg(F.sum("cbg").alias("cctx"))
@@ -432,16 +441,22 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale these become shuffle joins on bg / w1. vocab is one
     # row — its broadcast hint stays.
     scored = (
-        flat.join(bg_freq, "bg")
+        grams.join(bg_freq, "bg")
         .join(ctx_freq, "w1")
         .crossJoin(F.broadcast(vocab))
     )
     nll = -F.log2(
         (F.col("cbg") + _BG_K) / (F.col("cctx") + _BG_K * F.col("v"))
     )
+    # instance mean == count-weighted mean over distinct grams; the
+    # floor(*100) scaling already absorbs the engines' float-summation
+    # order differences (docstring), and the weighting changes the sum
+    # order by no more than that
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.floor(F.avg(nll) * 100).cast("bigint").alias("mean_nll_x100"),
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.floor(F.sum(nll * F.col("cnt")) / F.sum("cnt") * 100)
+        .cast("bigint")
+        .alias("mean_nll_x100"),
     )
 
 
