@@ -218,19 +218,33 @@ def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-scaled (engine-divergent round ties)."""
     docs = load_table(spark, sf_dir, "documents")
     wins = _token_windows(docs, _W_SUB)
+    # r15 (the bigram lesson): pre-count to per-doc window counts and
+    # localCheckpoint ONCE — the window explode otherwise re-runs per
+    # branch (dup mining + join-back), and (doc, win) counts are the
+    # small frame. count_distinct(doc_id) collapses to count(*) on the
+    # deduped frame.
+    wcnt = (
+        wins.groupBy("doc_id", "win")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     dup = (
-        wins.groupBy("win")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        wcnt.groupBy("win")
+        .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("win")
         .withColumn("is_dup", F.lit(1))
     )
     return (
-        wins.join(dup, "win", "left")
+        wcnt.join(dup, "win", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
-            F.count("is_dup").alias("dup_windows"),
+            F.sum("cnt").cast("bigint").alias("n_windows"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("cnt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dup_windows"),
         )
         .withColumn(
             "dup_frac",
