@@ -286,7 +286,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("gram"),
-    )
+    # r15 (the bigram lesson): checkpoint the gram stream once — the
+    # 5-gram concat runs INTERPRETED per element inside the HOF
+    # transform, and without the checkpoint it re-ran in both the
+    # first-seen branch and the scoring join branch. (doc_id, gram) is
+    # already distinct via array_distinct, so no pre-count is needed.
+    ).localCheckpoint(eager=True)
     first_seen = (
         grams.filter(F.col("gram").isNotNull())
         .groupBy("gram")
