@@ -261,7 +261,13 @@ def _jaccard_baseline_from_toks(toks: DataFrame) -> DataFrame:
     sh = toks.select(
         "doc_id",
         F.explode(shingles_from_tokens(F.col("toks"), _SHINGLE_K)).alias("shingle"),
-    )
+    # r15 (the bigram lesson, self-join variant): the two self-join
+    # sides already share one expansion via ReuseExchange (identical
+    # subtrees, same shingle partitioning), but the sizes branch prunes
+    # differently and re-ran the interpreted shingle concat. One
+    # checkpoint feeds all three consumers (A/B at sf0.1: warm
+    # 1.77-1.99 -> 1.63-1.92, cold 9.2 -> 3.2 s).
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
