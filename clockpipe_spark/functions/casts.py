@@ -20,24 +20,63 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# The reference trims-then-parses (pgoutput.rs:82-98): Rust's str::trim
+# strips the Unicode White_Space set below. Spark's F.trim strips ONLY
+# ASCII space (0x20), and Spark's string->number casts trim their own
+# Java set (all bytes <= 0x20 — wrongly including \x1c-\x1f, which Rust
+# does NOT trim; the double cast even accepts '1.5d'/'1.5f' suffixes
+# Rust rejects). So neither F.trim nor a bare try_cast is faithful:
+# '\t1' must parse to 1 and '1\x1f' / '1.5d' must default to 0. The
+# faithful shape — shared verbatim by the DuckDB oracles and the
+# hypothesis test models — is one explicit Rust-set trim, then a strict
+# ASCII grammar regex validated BEFORE the cast (r16, the whitespace
+# fidelity fix).
+_RUST_WS = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+_RUST_TRIM_RE = "^[" + _RUST_WS + "]+|[" + _RUST_WS + "]+$"
+
 # strict integer literal — Rust's str::parse::<i64> accepts only [+-]digits;
 # '1.5' or '12abc' FAIL and default to 0 (pgoutput.rs:82-89).
 _INT_RE = r"^[+-]?[0-9]+$"
+# Rust's f64 grammar (f64::from_str): decimal literal with optional
+# exponent, or case-insensitive inf/infinity/nan. ASCII-only — no
+# underscore grouping, no hex, no type suffixes, no Unicode digits.
+_F64_RE = (
+    r"^[+-]?(([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
+    r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$"
+)
+
+
+def rust_trim(col: Column) -> Column:
+    """`str::trim` semantics: strip Rust's Unicode White_Space set from
+    both ends (and nothing else — NOT \\x1c-\\x1f)."""
+    return F.regexp_replace(col, _RUST_TRIM_RE, "")
 
 
 def pg_to_int(col: Column) -> Column:
-    """Text -> integer with the reference's zero-default on parse failure."""
-    s = F.trim(col.cast("string"))
-    return F.when(s.rlike(_INT_RE), s.cast("bigint")).otherwise(F.lit(0)).alias("pg_int")
+    """Text -> integer with the reference's zero-default on parse failure.
+
+    trim-then-parse like pgoutput.rs:82-89; an int64-overflowing integral
+    string is a parse Err in Rust, so it also defaults to 0 (never aborts
+    — hence try_cast on the already-regex-validated string)."""
+    s = rust_trim(col.cast("string"))
+    return F.coalesce(
+        F.when(s.rlike(_INT_RE), s.try_cast("bigint")), F.lit(0)
+    ).alias("pg_int")
 
 
 def pg_to_real(col: Column) -> Column:
     """Text -> double; non-parsing text -> 0.0 (pgoutput.rs:91-98).
 
-    Rust's str::parse::<f64> and Spark/DuckDB double casts agree on the
-    accepted grammar for ordinary literals, so try_cast + coalesce is exact.
-    """
-    return F.coalesce(col.cast("string").try_cast("double"), F.lit(0.0))
+    The grammar regex (Rust's f64::from_str) gates a plain cast: Spark's
+    own cast grammar is close but not identical (it trims \\x1c-\\x1f and
+    accepts '1.5d'/'1.5f', both parse Errs in Rust). Out-of-range
+    literals like '1e999' saturate to Infinity in both engines."""
+    s = rust_trim(col.cast("string"))
+    return F.coalesce(F.when(s.rlike(_F64_RE), s.cast("double")), F.lit(0.0))
 
 
 def pg_bool_parse(col: Column) -> Column:

@@ -32,6 +32,8 @@ from clockpipe_spark.functions.casts import (
     mongo_string_array,
     mongo_timestamp_str,
     pg_bool_parse,
+    _F64_RE,
+    _RUST_WS,
     pg_datetime_trunc,
     pg_to_int,
     pg_to_real,
@@ -298,22 +300,30 @@ def cdc_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CDC_CAST_SQL = """
+# The oracle encodes the SAME trim-then-parse semantics as the engine
+# (r16 whitespace-fidelity fix): DuckDB's 1-arg trim strips only 0x20
+# and its TRY_CAST trims ASCII \t..\r+space (a strict subset of Rust's
+# White_Space) while accepting '_' digit grouping Rust rejects — so the
+# 2-arg trim over the shared _RUST_WS set plus the shared grammar
+# regexes, validated BEFORE the cast, mirror pgoutput.rs:82-98 exactly.
+CDC_CAST_SQL = f"""
 WITH src AS (
   SELECT event_id,
-         json_extract_string(props, '$.k') AS k_str,
-         event_type AS word_str,
+         trim(json_extract_string(props, '$.k'), '{_RUST_WS}') AS k_str,
+         trim(event_type, '{_RUST_WS}') AS word_str,
          CASE WHEN value > 100 THEN 't' ELSE 'off' END AS bool_str,
          ts
   FROM events
 )
 SELECT event_id,
-       CASE WHEN regexp_matches(trim(k_str), '^[+-]?[0-9]+$')
-            THEN CAST(trim(k_str) AS BIGINT) ELSE 0 END  AS k_int,
-       CASE WHEN regexp_matches(trim(word_str), '^[+-]?[0-9]+$')
-            THEN CAST(trim(word_str) AS BIGINT) ELSE 0 END AS word_int,
-       coalesce(TRY_CAST(k_str AS DOUBLE), 0.0)   AS k_real,
-       coalesce(TRY_CAST(word_str AS DOUBLE), 0.0) AS word_real,
+       CASE WHEN regexp_matches(k_str, '^[+-]?[0-9]+$')
+            THEN coalesce(TRY_CAST(k_str AS BIGINT), 0) ELSE 0 END  AS k_int,
+       CASE WHEN regexp_matches(word_str, '^[+-]?[0-9]+$')
+            THEN coalesce(TRY_CAST(word_str AS BIGINT), 0) ELSE 0 END AS word_int,
+       CASE WHEN regexp_matches(k_str, '{_F64_RE}')
+            THEN coalesce(TRY_CAST(k_str AS DOUBLE), 0.0) ELSE 0.0 END AS k_real,
+       CASE WHEN regexp_matches(word_str, '{_F64_RE}')
+            THEN coalesce(TRY_CAST(word_str AS DOUBLE), 0.0) ELSE 0.0 END AS word_real,
        coalesce(lower(bool_str) IN ('t', '1', 'true'), FALSE) AS flag,
        date_trunc('second', ts) AS ts_sec
 FROM src

