@@ -94,53 +94,55 @@ _PRIORITY = (
     "cdc_apply_to_snapshot",       # K1/K2 merge semantics
     "cdc_replica_state",           # FINAL dedup-on-read
     "dedup_exact",                 # exact-dedup family
-    # ---- last driver row r11 (all 40) ---------------------------
-    "dedup_cluster_assign_lsh",
-    "dedup_simhash",
-    "distinct_users_per_event_type",
-    "embedding_neardup_pairs",
-    "mm_bmp_decode",
-    "mm_bytes_meta",
-    "mm_fake_image_features",
-    "mm_frame_sample",
-    "mm_image_resize",
-    "neardup_jaccard_pairs",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_part_promotion",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "scalar_date_parts",
-    "scalar_json_extract",
-    "skew_salted_user_revenue",
-    "stream_session_windows",
-    "stream_sliding_30m",
-    "subquery_in_filter",
-    "text_bigram_logprob",
-    "text_bpe_token_stats",
-    "text_c4_filters",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_repetition_stats",
-    "text_rolling_hash",
-    "text_token_stats",
-    "text_unigram_surprisal",
-    "window_function_battery",
-    # ---- last driver row r12, stalest 5 -------------------------
-    "agg_rollup_lineitem",
-    "ann_ivf_topk",                # rows-only (data-dependent IVF state)
-    "ann_ivfpq_topk",              # rows-only (data-dependent PQ state)
-    "ann_lsh_topk",
-    "asof_last_purchase",
+    # ---- last driver row r12 (all 40; r16 rotation — VERDICT r15
+    # directive #2: the full stalest cohort rotates in together) ---
+    "benchmark_contamination",
+    "cdc_align_projection",
+    "cdc_changestream_decode",
+    "cdc_incremental_agg",
+    "cdc_keep_last",
+    "cdc_lag_report",
+    "cdc_scd2_history",
+    "dedup_components_chain",
+    "doc_chunk_overlap",
+    "embedding_int8_quantize",
+    "embedding_kmeans_clusters",   # rows-only (data-dependent centroids)
+    "embedding_pca_project",       # rows-only (data-dependent basis)
+    "embedding_pq_codes",          # rows-only (data-dependent codebook)
+    "export_shard_manifest",
+    "frequent_items_mg",           # sketches family force-include
+    "funnel_conversion",
+    "join_full_outer_daily",
+    "mixture_temperature_weights",
+    "mm_audio_resample",
+    "mm_image_phash_neardup",
+    "pack_sequences_greedy",
+    "pivot_status_by_priority",
+    "q21_waiting_suppliers",
+    "q3_shipping_priority",
+    "quality_classifier_score",
+    "quantile_histogram_rollup",
+    "retention_cohorts",
+    "sample_bottomk_hash",
+    "sample_by_mixture",
+    "sample_cluster_cap",
+    "scalar_math_battery",
+    "scalar_url_parse",
+    "sequence_match_pattern",
+    "sessionize_lag_gap",
+    "setop_bag_ops",
+    "setop_union_segments",
+    "split_leakage_safe",
+    "stats_regression_battery",
+    "text_substring_dup_spans",
+    "window_frame_moving_avg",
+    # ---- last driver row r13, stalest 5 + family force-includes
+    # (sort/top-k, array/map, ranked retrieval had no r14/r15 row) --
+    "ab_test_summary",
+    "agg_cube_orders",
+    "ann_hard_negatives",          # sort/top-k family force-include
+    "array_agg_per_nation",        # array/map family force-include
+    "bm25_retrieval",              # ranked-retrieval + sort/top-k
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)
