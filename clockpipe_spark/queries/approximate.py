@@ -190,7 +190,6 @@ SELECT id AS doc_id,
        (min(lbl) = id) AS is_canonical
 FROM reach
 GROUP BY id
-ORDER BY doc_id
 """
 
 
@@ -514,7 +513,6 @@ SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
          AS mean_byte_x10000
 FROM frames
 WHERE frame_idx % 3 = 0
-ORDER BY doc_id, frame_idx
 """
 
 
@@ -581,7 +579,6 @@ SELECT doc_id, frame_idx, mean_byte_x10000,
          lag(mean_byte_x10000) OVER (PARTITION BY doc_id ORDER BY frame_idx),
          mean_byte_x10000)) >= 300000 AS INT) AS is_cut
 FROM means
-ORDER BY doc_id, frame_idx
 """
 
 
@@ -705,7 +702,6 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM documents a JOIN documents b
   ON a.doc_id % {_PHASH_GROUPS} = b.doc_id % {_PHASH_GROUPS}
  AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
 """
 
 

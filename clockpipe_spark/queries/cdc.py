@@ -558,7 +558,6 @@ FROM (
          [CAST(user_id AS VARCHAR), NULL] AS sarr
   FROM events
 )
-ORDER BY event_id
 """
 
 

@@ -320,7 +320,6 @@ SELECT doc_id, d.lang, d.source, rate_bp
 FROM d JOIN rates ON d.lang = rates.lang AND d.source = rates.source
 WHERE ((d32 // 65536 * {_KNUTH}) % 65536 * 65536
        + d32 % 65536 * {_KNUTH}) % 4294967296 % 10000 < rate_bp
-ORDER BY doc_id
 """
 
 

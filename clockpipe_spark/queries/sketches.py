@@ -48,7 +48,6 @@ tot AS (SELECT count(*) AS total FROM tokens)
 SELECT term, CAST(cnt AS BIGINT) AS cnt, CAST(total AS BIGINT) AS total
 FROM (SELECT term, count(*) AS cnt FROM tokens GROUP BY term), tot
 WHERE cnt * {_HH_K} > total
-ORDER BY cnt DESC, term
 """
 
 

@@ -156,7 +156,6 @@ FROM events v JOIN events p
  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 GROUP BY v.event_id, v.user_id
-ORDER BY view_id
 """
 
 

@@ -386,7 +386,6 @@ SELECT id AS doc_id,
        (min(lbl) = id) AS is_canonical
 FROM reach
 GROUP BY id
-ORDER BY doc_id
 """
 
 
@@ -435,7 +434,6 @@ FROM (
          ((cluster_id * {_SPLIT_HASH_MULT}) % {_SPLIT_HASH_MOD}) % 100 AS hv
   FROM clusters
 )
-ORDER BY doc_id
 """
 
 

@@ -172,7 +172,6 @@ SELECT doc_id, n_words, mean_word_len_x100, frac_alpha_x100,
         AND frac_alpha_x100 >= 80
         AND NOT has_curly AND NOT has_lorem) AS keep
 FROM v
-ORDER BY doc_id
 """
 
 

@@ -83,3 +83,57 @@ def test_shrink_never_flags():
     new = {"q": _row(1.0, 0.5)}
     regs, walls = contract_diff(new, base, set())
     assert regs == [] and walls == []
+
+
+def test_errored_query_green_in_baseline_fails_gate():
+    # ADVICE r15 #3: a query that errors in the new sweep while green in
+    # the committed baseline is the hardest regression — must exit 1.
+    base = {"q": _row(2.0, 1.0)}
+    regs, walls = contract_diff({}, base, set(), errored={"q"})
+    assert len(regs) == 1 and "ERRORED" in regs[0] and "q" in regs[0]
+    assert walls == []
+
+
+def test_errored_query_also_errored_in_baseline_skipped():
+    base = {"q": {"error": "boom"}}
+    regs, _ = contract_diff({}, base, set(), errored={"q"})
+    assert regs == []
+
+
+def test_errored_query_allowlist_exempts():
+    base = {"q": _row(2.0, 1.0)}
+    regs, _ = contract_diff({}, base, {"q"}, errored={"q"})
+    assert regs == []
+
+
+def test_stage_attempt_tie_prefers_complete():
+    # ADVICE r15 #2: on an attemptId tie the complete attempt's fuller
+    # metrics must win regardless of fetch order.
+    from tools.shuffle_audit import _stages
+
+    fetched = {
+        "complete": [{"stageId": 1, "attemptId": 0, "status": "COMPLETE",
+                      "shuffleWriteBytes": 1000}],
+        "failed": [{"stageId": 1, "attemptId": 0, "status": "FAILED",
+                    "shuffleWriteBytes": 10}],
+    }
+
+    import tools.shuffle_audit as sa
+    orig = sa._get
+    sa._get = lambda url: fetched["complete" if "complete" in url else "failed"]
+    try:
+        out = _stages("http://x", "app")
+    finally:
+        sa._get = orig
+    assert out[1]["status"] == "COMPLETE"
+    assert out[1]["shuffleWriteBytes"] == 1000
+
+    # a strictly newer failed retry still wins (its bytes are the
+    # newest ground truth for that stage id)
+    fetched["failed"][0]["attemptId"] = 1
+    sa._get = lambda url: fetched["complete" if "complete" in url else "failed"]
+    try:
+        out = _stages("http://x", "app")
+    finally:
+        sa._get = orig
+    assert out[1]["attemptId"] == 1 and out[1]["status"] == "FAILED"

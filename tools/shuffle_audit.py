@@ -71,7 +71,16 @@ def _stages(api: str, app_id: str) -> dict[int, dict]:
         for st in stages:
             sid = st["stageId"]
             prev = out.get(sid)
-            if prev is None or st.get("attemptId", 0) >= prev.get("attemptId", 0):
+            # ADVICE r15 #2: on an attemptId TIE, prefer the complete
+            # attempt — a failed retry that died early has partial task
+            # metrics and would understate shuffle/spill bytes (the old
+            # >= tie-break kept whichever status list was fetched last).
+            key = (st.get("attemptId", 0), 1 if status == "complete" else 0)
+            prev_key = (
+                (prev.get("attemptId", 0), 1 if prev.get("status") == "COMPLETE" else 0)
+                if prev is not None else (-1, -1)
+            )
+            if key > prev_key:
                 out[sid] = st
     return out
 
@@ -98,13 +107,23 @@ def contract_diff(
     ok: dict[str, dict],
     base: dict[str, dict],
     allowed_growth: set[str],
+    errored: frozenset[str] | set[str] = frozenset(),
 ) -> tuple[list[str], list[str]]:
     """Pure cross-round contract check (unit-tested, Spark-free):
     returns (byte regressions — exit-1 failures, wall warnings).
     Thresholds per the module docstring: shuffle write >1.5x and >1 MB
-    absolute; wall >2x and >0.5 s absolute."""
+    absolute; wall >2x and >0.5 s absolute. A query that ERRORS in the
+    new sweep while green in the committed baseline is the hardest
+    regression of all and fails the gate (ADVICE r15 #3 — previously it
+    was silently skipped and the run exited 0)."""
     regressions: list[str] = []
     wall_warnings: list[str] = []
+    for n in sorted(errored):
+        b = base.get(n)
+        if b and "error" not in b and n not in allowed_growth:
+            regressions.append(
+                f"{n}: ERRORED in this sweep but was green in the "
+                f"committed baseline — fix or --allow={n} explicitly")
     for n, r in ok.items():
         b = base.get(n)
         if not b or "error" in b:
@@ -192,7 +211,9 @@ def main() -> int:
     if not filters and os.path.exists(record):
         with open(record) as f:
             base = json.load(f).get("queries", {})
-        regressions, wall_warnings = contract_diff(ok, base, allowed_growth)
+        regressions, wall_warnings = contract_diff(
+            ok, base, allowed_growth,
+            errored={n for n, r in results.items() if "error" in r})
     summary["contract_regressions"] = regressions
     summary["wall_warnings"] = wall_warnings
     # name-filtered runs are iteration probes — only a FULL sweep may
