@@ -25,7 +25,16 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=4)
     queries = all_queries()
-    for name in HEADLINE + EXTRA_DETAIL:
+    # r16: dump EVERY registry query, not just the bench detail set —
+    # the lint previously machine-audited 75/180 plans and the other
+    # 105 were only ever eyeballed. --detail restores the old subset
+    # for quick iteration probes.
+    names = (
+        list(HEADLINE + EXTRA_DETAIL)
+        if "--detail" in sys.argv
+        else sorted(queries)
+    )
+    for name in names:
         df = queries[name](spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

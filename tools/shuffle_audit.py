@@ -9,10 +9,14 @@ spill, and scan input of the stages it launched.
 
 Attribution: the driver loop is single-threaded, so every stage whose
 stageId is newer than the pre-query snapshot belongs to the query.
-Each query runs TWICE and the SECOND run is reported — steady-state
-shuffle with the plan's caches warm (signature caches etc. are a
-train-once cost, not a per-execution one); the cold run's bytes are
-kept alongside for the cache-build story.
+Each query runs THREE times: the FIRST is the cold run (its bytes are
+kept alongside for the cache-build story), the SECOND's bytes are the
+reported steady-state shuffle (signature caches etc. are a train-once
+cost, not a per-execution one), and the reported wall is the MIN of
+the two warm runs (r16: single-warm-run walls kept flagging mid-sweep
+self-contention — 4 false WALL-WARNs in each of r15 and r16's sweeps,
+each costing an iso-confirmation pass; min-of-2 matches the bench's
+min-of-N discipline and bytes are load-invariant either way).
 
 Usage: python tools/shuffle_audit.py [name-filter ...] [--allow=name ...]
 Writes SHUFFLE_AUDIT.json at the repo root and prints a ranked table.
@@ -167,7 +171,7 @@ def main() -> int:
     for name, fn in queries.items():
         runs = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 before = max(_stages(api, app_id), default=-1)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -179,6 +183,9 @@ def main() -> int:
             results[name] = {"error": str(exc)[:200]}
             continue
         warm = runs[1]
+        # bytes from the first warm run; wall = min of the two warm
+        # runs (module docstring: single-run walls flag self-contention)
+        warm["wall_sec"] = round(min(r["wall_sec"] for r in runs[1:]), 3)
         warm["cold_shuffle_write_mb"] = runs[0]["shuffle_write_mb"]
         results[name] = warm
         print(f"{name:38s} shW {warm['shuffle_write_mb']:9.2f} MB  "
