@@ -66,27 +66,31 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimates are approximate by nature, so this entry is rows-only for
     the driver; test_sketches.py bounds the error vs the exact counts
     and asserts the merge identity."""
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count("*").alias("n_events"),
     )
-    cum = (
-        daily.select(F.col("day").alias("as_of"))
-        .join(daily, F.col("day") <= F.col("as_of"))
-        .groupBy("as_of")
-        .agg(F.hll_union_agg("sk").alias("cum_sk"))
+    # cumulative merge as a RUNNING hll_union_agg window, not a
+    # day<=as_of pair self-join (r16: the 180-plan lint flagged the
+    # old shape's BroadcastNestedLoopJoin; the window is O(days) state
+    # instead of O(days^2) pairs and produced bit-identical estimates).
+    # The global window's single partition is correct, not a smell:
+    # the day table is calendar-bounded (one row per day) regardless
+    # of corpus size — thousands of rows at any scale.
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        daily.join(cum, daily.day == cum.as_of)
-        .select(
-            "day",
-            "n_events",
-            F.hll_sketch_estimate("sk").cast("long").alias("daily_users_est"),
-            F.hll_sketch_estimate("cum_sk").cast("long").alias("cum_users_est"),
-        )
-        .orderBy("day")
-    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.hll_sketch_estimate("sk").cast("long").alias("daily_users_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("long")
+        .alias("cum_users_est"),
+    ).orderBy("day")
 
 
 QUERIES = {
