@@ -22,7 +22,17 @@ def zscore_per_group(
 ) -> DataFrame:
     """Per-group z-score via applyInPandas (grouped map): each group's
     Arrow batch is normalized in pandas. ddof=1 (sample stddev) to match
-    SQL stddev_samp. Single-value groups -> NULL (stddev undefined)."""
+    SQL stddev_samp. Single-value groups -> NULL (stddev undefined).
+
+    The explicit-count repartition on the group key is load-bearing
+    (r16): AQE's BYTE-based partition coalescing collapsed the grouped
+    exchange to ONE post-shuffle partition at bench scale — bytes are
+    tiny but the stage's cost is one Python call PER GROUP, so every
+    group ran serially in a single worker (measured 3.5 s; 0.95 s
+    32-way). REPARTITION_BY_NUM is exempt from AQE coalescing and
+    already satisfies the grouping distribution, so no second exchange
+    is added. The same rule as operators/fanout.py: when per-ROW (or
+    per-GROUP) Python cost dominates bytes, pin the parallelism."""
     schema = f"{id_col} long, {group_col} string, z double"
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -35,8 +45,14 @@ def zscore_per_group(
             {id_col: pdf[id_col], group_col: pdf[group_col], "z": z.round(6)}
         )
 
-    return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
-        normalize, schema
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return (
+        df.select(id_col, group_col, value_col)
+        .repartition(n_part, group_col)
+        .groupBy(group_col)
+        .applyInPandas(normalize, schema)
     )
 
 
