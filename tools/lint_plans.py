@@ -92,6 +92,22 @@ def lint(plans_dir: str) -> int:
                 f"zero-key aggregates x{n_zero_key_agg} and no "
                 "allowlist entry"
             )
+        # Grouped-map (applyInPandas) stages must PIN their shuffle
+        # parallelism (r16): AQE's byte-based partition coalescing
+        # collapsed the z-score grouped exchange to ONE post-shuffle
+        # partition — bytes are tiny but the stage pays one Python call
+        # per group, so every group ran serially (3.5 s vs 0.95 s
+        # 32-way). A FlatMapGroupsInPandas fed by a coalescible
+        # ENSURE_REQUIREMENTS exchange instead of an explicit
+        # REPARTITION_BY_NUM re-creates that trap.
+        n_gmap = nodes.count("FlatMapGroupsInPandas")
+        if n_gmap and "REPARTITION_BY_NUM" not in text:
+            failures.append(
+                f"{name}: FlatMapGroupsInPandas x{n_gmap} without a "
+                "REPARTITION_BY_NUM exchange — AQE can coalesce the "
+                "grouped shuffle to 1 partition and serialize every "
+                "per-group Python call"
+            )
         if n_smj and _DIM_SCAN.search(text):
             infos.append(
                 f"{name}: SortMergeJoin + dim-table scan co-occur "
