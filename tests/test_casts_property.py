@@ -87,3 +87,45 @@ def test_cast_quirks_match_reference_semantics(spark, values):
         else:
             assert abs(got - want) <= 1e-9 * max(1.0, abs(want)), repr(v)
         assert r["as_bool"] == _py_bool(v), repr(v)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_value, min_size=1, max_size=40))
+def test_cast_quirks_match_duckdb_oracle_arms(spark, values):
+    """Engine vs the ORACLE's own SQL arms (not just the Python model):
+    the driver gate only ever compares fixture-derived values, so the
+    shared trim-set/grammar contract between clockpipe_spark.functions
+    .casts and the DuckDB CASE/regexp/trim expressions in CDC_CAST_SQL
+    is fuzzed here over adversarial padded strings."""
+    import duckdb
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, s string")
+    got = {
+        r["i"]: (r["as_int"], r["as_real"])
+        for r in df.select(
+            "i",
+            pg_to_int(F.col("s")).alias("as_int"),
+            pg_to_real(F.col("s")).alias("as_real"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(values):
+        t = con.execute("SELECT trim(?, ?)", [v, _RUST_WS]).fetchone()[0]
+        oi = con.execute(
+            "SELECT CASE WHEN regexp_matches(?, '^[+-]?[0-9]+$') "
+            "THEN coalesce(TRY_CAST(? AS BIGINT), 0) ELSE 0 END",
+            [t, t],
+        ).fetchone()[0]
+        orl = con.execute(
+            "SELECT CASE WHEN regexp_matches(?, ?) "
+            "THEN coalesce(TRY_CAST(? AS DOUBLE), 0.0) ELSE 0.0 END",
+            [t, _F64_PAT, t],
+        ).fetchone()[0]
+        assert got[i][0] == oi, repr(v)
+        g = got[i][1]
+        if orl != orl:  # NaN
+            assert g != g, repr(v)
+        elif orl in (float("inf"), float("-inf")):
+            assert g == orl, repr(v)
+        else:
+            assert abs(g - orl) <= 1e-9 * max(1.0, abs(orl)), repr(v)
