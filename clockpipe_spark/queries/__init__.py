@@ -61,30 +61,23 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
-# Round-14 rotation (VERDICT r13 directives #1 and #5): the entire
-# 40-row r10 cohort rotates in — it is the ONLY cohort older than r11
-# and it contains ``hierarchy_rollup`` and ``zorder_tile_stats``, the
-# two family canaries the r13 rotation left outside the rolling window
-# (the one red pytest at r13 judge time).  The remaining 5 slots take
-# the stalest r11 rows.  tools/window_staleness.py --propose — now
-# FAMILY-AWARE: it force-includes the stalest member of any family
-# with no row in the last 2 rounds and refuses a proposal that leaves
-# a family uncovered — emitted this list verbatim.
-# Composition:
-# (a) the 5 standing canaries (q1_pricing_summary,
-#     cdc_pgoutput_roundtrip, cdc_apply_to_snapshot, cdc_replica_state,
-#     dedup_exact);
-# (b) ALL 40 r10 rows — dedup_minhash_lsh and approx-sketch members
-#     keep their documented rows-only nature;
-# (c) the 5 stalest r11 rows in (round, name) order.
-# After this gate runs, NO registry query carries a driver row older
-# than r12 (tools/window_staleness.py verifies) — the full r11 cohort
-# (40 rows) plus the 5 stalest r12 rows fill the r15 window.
+# Round-16 rotation (VERDICT r15 directive #2, strengthened): the full
+# stalest r12 cohort rotates in, and tools/window_staleness.py
+# --propose now force-includes the stalest member of every family with
+# no row in the NEWEST round (newest-1, not newest-2): when the driver
+# deposits the next CORRECTNESS file post-wrap, the strict guard's
+# coverage set becomes (this window UNION the round that was newest at
+# proposal time), so forcing against two prior rounds let families
+# riding the older one orphan at judge time — the structural red of
+# both r13 and r15.  Under newest-1 the guard survives the deposit by
+# construction.  cdc_cast_matrix is in the window per directive #1
+# (driver row on the r16 whitespace-fidelity fix).
 # Family coverage stays guarded on a ROLLING basis (current window
-# UNION last-3-round driver rows — tests/test_registry_window.py).
-# Registry freeze holds (directive #6: 180 entries, 0 added this
-# rotation; any new oracle must pass the dtype-strict twin at sf0.001 +
-# sf0.01 pre-registration, tests/test_oracle_dtype_guard.py).
+# UNION last-3-round driver rows) plus the strict newest-1 assert —
+# both in tests/test_registry_window.py.
+# Registry freeze holds (180 entries, 0 added this rotation; any new
+# oracle must pass the dtype-strict twin at sf0.001 + sf0.01
+# pre-registration, tests/test_oracle_dtype_guard.py).
 _GATE_WINDOW = 50
 
 _PRIORITY = (
@@ -94,8 +87,11 @@ _PRIORITY = (
     "cdc_apply_to_snapshot",       # K1/K2 merge semantics
     "cdc_replica_state",           # FINAL dedup-on-read
     "dedup_exact",                 # exact-dedup family
-    # ---- last driver row r12 (all 40; r16 rotation — VERDICT r15
-    # directive #2: the full stalest cohort rotates in together) ---
+    # ---- r16 rotation, tool-proposed under the NEWEST-1 family
+    # invariant: stalest r12 cohort + every family with no row in
+    # the newest round forced in, incl. cdc_cast_matrix (directive
+    # #1's driver-r16 row on the whitespace-fidelity fix) ---------
+    # ---- last driver row r12 ----
     "benchmark_contamination",
     "cdc_align_projection",
     "cdc_changestream_decode",
@@ -106,11 +102,11 @@ _PRIORITY = (
     "dedup_components_chain",
     "doc_chunk_overlap",
     "embedding_int8_quantize",
-    "embedding_kmeans_clusters",   # rows-only (data-dependent centroids)
-    "embedding_pca_project",       # rows-only (data-dependent basis)
-    "embedding_pq_codes",          # rows-only (data-dependent codebook)
+    "embedding_kmeans_clusters",
+    "embedding_pca_project",
+    "embedding_pq_codes",
     "export_shard_manifest",
-    "frequent_items_mg",           # sketches family force-include
+    "frequent_items_mg",
     "funnel_conversion",
     "join_full_outer_daily",
     "mixture_temperature_weights",
@@ -132,17 +128,17 @@ _PRIORITY = (
     "sessionize_lag_gap",
     "setop_bag_ops",
     "setop_union_segments",
-    "split_leakage_safe",
-    "stats_regression_battery",
-    "text_substring_dup_spans",
-    "window_frame_moving_avg",
-    # ---- last driver row r13, stalest 5 + family force-includes
-    # (sort/top-k, array/map, ranked retrieval had no r14/r15 row) --
-    "ab_test_summary",
-    "agg_cube_orders",
-    "ann_hard_negatives",          # sort/top-k family force-include
-    "array_agg_per_nation",        # array/map family force-include
-    "bm25_retrieval",              # ranked-retrieval + sort/top-k
+    # ---- last driver row r13 ----
+    "ann_hard_negatives",
+    "array_agg_per_nation",
+    "bm25_retrieval",
+    "cdc_cast_matrix",
+    "chi_square_lang_source",
+    "ts_anomaly_mad",
+    "ts_resample_ohlc",
+    # ---- last driver row r14 ----
+    "hierarchy_rollup",
+    "zorder_tile_stats",
 )
 
 if len(_PRIORITY) != _GATE_WINDOW:  # drift fails loudly (ADVICE r3)

@@ -242,13 +242,16 @@ def test_propose_force_includes_orphaned_family():
 
 def test_current_window_plus_recent2_covers_all_families():
     """The property the proposer enforces, asserted on the REAL window:
-    every family has a member in _PRIORITY or the newest 2 CORRECTNESS
-    files — so when the next driver file lands (window becomes the 3rd
-    rolling round), test_every_family_covered_rolling stays green by
-    construction, not by luck."""
+    every family has a member in _PRIORITY or the NEWEST CORRECTNESS
+    file — newest-1, not newest-2 (r16): when the driver deposits the
+    next file post-wrap, the strict coverage set becomes (_PRIORITY as
+    the new round UNION the round that is newest now), so a family
+    riding the second-newest round would orphan at judge time — the
+    exact structural red of both r13 and r15. Under newest-1 this test
+    stays green across the deposit by construction."""
     tool = _load_staleness_tool()
-    recent2 = tool.last_n_round_rows(tool.history(), 2)
-    covered = set(_PRIORITY) | recent2
+    recent1 = tool.last_n_round_rows(tool.history(), 1)
+    covered = set(_PRIORITY) | recent1
     missing = [fam for fam, names in _FAMILY_CANARIES.items()
                if not (names & covered)]
     assert not missing, f"next driver round would orphan: {missing}"

@@ -93,11 +93,13 @@ def propose_window(
     """Family-aware window draft (VERDICT r13 directive #1).
 
     ``rows`` is (last_round, name, status, kind) sorted stalest-first;
-    ``recent2`` is the set of names with a driver row in the newest 2
-    recorded rounds.  Once the proposal becomes the newest CORRECTNESS
-    file, the rolling guard sees (proposal UNION previous 2 rounds), so
-    any family with no member in ``recent2`` gets its stalest member
-    force-included.  Returns (proposal, forced); raises SystemExit if a
+    ``recent2`` is the set of names whose driver rows remain visible to
+    the strict 2-round guard AFTER the proposal lands as the newest
+    CORRECTNESS file — i.e. the NEWEST round only (the caller passes
+    last_n_round_rows(hist, 1); r16 lesson — forcing against the newest
+    TWO rounds let families riding the older one orphan on deposit, the
+    judge-time red of both r13 and r15).  Any family with no member in
+    ``recent2`` gets its stalest member force-included.  Returns (proposal, forced); raises SystemExit if a
     family would still be uncovered (families larger than the window
     can't happen in practice — the check is a loud backstop).
     """
@@ -164,12 +166,17 @@ def main() -> int:
         print(f"  r{rnd} {status} {kind} {name}")
 
     if "--propose" in sys.argv:
+        # Newest-1, not newest-2 (r16): once the proposal becomes the
+        # newest CORRECTNESS file, the strict guard sees (proposal UNION
+        # the round that was newest at proposal time) — coverage against
+        # two prior rounds let families riding the OLDER one orphan on
+        # deposit, the exact judge-time red of r13 and r15.
         proposal, forced = propose_window(
-            rows, last_n_round_rows(hist, 2), family_canaries(), len(window))
+            rows, last_n_round_rows(hist, 1), family_canaries(), len(window))
         print("\n# --propose: paste-ready _PRIORITY draft (canaries + "
               "family force-includes + stalest queue)")
         if forced:
-            print("# family force-includes (no row in last 2 rounds): "
+            print("# family force-includes (no row in the newest round): "
                   + ", ".join(forced))
         print("_PRIORITY = (")
         for n in _CANARIES:
