@@ -61,20 +61,23 @@ _MODULES = (
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # order.  This list pins that window so it carries maximal evidence.
 #
-# Round-16 rotation (VERDICT r15 directive #2, strengthened): the full
-# stalest r12 cohort rotates in, and tools/window_staleness.py
-# --propose now force-includes the stalest member of every family with
-# no row in the NEWEST round (newest-1, not newest-2): when the driver
-# deposits the next CORRECTNESS file post-wrap, the strict guard's
-# coverage set becomes (this window UNION the round that was newest at
-# proposal time), so forcing against two prior rounds let families
-# riding the older one orphan at judge time — the structural red of
-# both r13 and r15.  Under newest-1 the guard survives the deposit by
-# construction.  cdc_cast_matrix is in the window per directive #1
-# (driver row on the r16 whitespace-fidelity fix).
-# Family coverage stays guarded on a ROLLING basis (current window
-# UNION last-3-round driver rows) plus the strict newest-1 assert —
-# both in tests/test_registry_window.py.
+# Round-17 rotation (VERDICT r16 directive #1): the window is now
+# DEPOSIT-INVARIANT — every SURVEY-§2 family has a member IN the
+# window itself, so the strict family guard
+# (tests/test_registry_window.py) asserts on _PRIORITY alone with NO
+# union over past CORRECTNESS rounds.  Three consecutive rounds (r13,
+# r15, r16) went judge-time red on union-based coverage: once the
+# driver deposits the round's CORRECTNESS file post-wrap, the newest
+# round's rows ARE the window, so any union term collapses and
+# families riding a prior round orphan instantly.  The composition is
+# tool-proposed (tools/window_staleness.py --propose): 5 standing
+# canaries + a 25-query greedy family hitting set (multi-family
+# queries free slots; stalest members preferred, so family canaries
+# rotate within their family) + the 20 stalest remaining rows.  This
+# rotation clears the whole r12 cohort and 35 of the 38 r13 rows
+# (directive #2: floor ≥ r13 at close; the 3 r13 leftovers —
+# udf_zscore_per_user, unpivot_status_revenue, window_range_time_frame
+# — rotate next round through the 20 slots).
 # Registry freeze holds (180 entries, 0 added this rotation; any new
 # oracle must pass the dtype-strict twin at sf0.001 + sf0.01
 # pre-registration, tests/test_oracle_dtype_guard.py).
@@ -87,56 +90,54 @@ _PRIORITY = (
     "cdc_apply_to_snapshot",       # K1/K2 merge semantics
     "cdc_replica_state",           # FINAL dedup-on-read
     "dedup_exact",                 # exact-dedup family
-    # ---- r16 rotation, tool-proposed under the NEWEST-1 family
-    # invariant: stalest r12 cohort + every family with no row in
-    # the newest round forced in, incl. cdc_cast_matrix (directive
-    # #1's driver-r16 row on the whitespace-fidelity fix) ---------
+    # ---- family hitting set + stalest queue, tool-proposed ------
     # ---- last driver row r12 ----
-    "benchmark_contamination",
-    "cdc_align_projection",
-    "cdc_changestream_decode",
-    "cdc_incremental_agg",
-    "cdc_keep_last",
-    "cdc_lag_report",
-    "cdc_scd2_history",
-    "dedup_components_chain",
-    "doc_chunk_overlap",
-    "embedding_int8_quantize",
-    "embedding_kmeans_clusters",
-    "embedding_pca_project",
-    "embedding_pq_codes",
-    "export_shard_manifest",
-    "frequent_items_mg",
-    "funnel_conversion",
-    "join_full_outer_daily",
-    "mixture_temperature_weights",
-    "mm_audio_resample",
-    "mm_image_phash_neardup",
-    "pack_sequences_greedy",
-    "pivot_status_by_priority",
-    "q21_waiting_suppliers",
-    "q3_shipping_priority",
-    "quality_classifier_score",
-    "quantile_histogram_rollup",
-    "retention_cohorts",
-    "sample_bottomk_hash",
-    "sample_by_mixture",
-    "sample_cluster_cap",
-    "scalar_math_battery",
-    "scalar_url_parse",
-    "sequence_match_pattern",
-    "sessionize_lag_gap",
-    "setop_bag_ops",
-    "setop_union_segments",
+    "split_leakage_safe",
+    "stats_regression_battery",
+    "text_substring_dup_spans",
+    "window_frame_moving_avg",
     # ---- last driver row r13 ----
-    "ann_hard_negatives",
-    "array_agg_per_nation",
-    "bm25_retrieval",
-    "cdc_cast_matrix",
-    "chi_square_lang_source",
-    "ts_anomaly_mad",
-    "ts_resample_ohlc",
+    "ab_test_summary",
+    "agg_cube_orders",
+    "ann_ivf_topk_prebuilt",
+    "approx_distinct_users",
+    "array_hof_battery",
+    "asof_next_purchase",
+    "asof_purchase_recency_gated",
+    "attribution_linear",
+    "cdc_scd2_asof_counts",
+    "cdc_snapshot_diff",
+    "cdc_table_checksum",
+    "dau_cumulative",
+    "dist_drift_l1",
+    "dq_constraint_violations",
+    "embedding_centroid_report",
+    "fk_fanout_histogram",
+    "hll_user_rollup",
+    "inverted_index_stats",
+    "map_function_battery",
+    "mm_video_scene_cuts",
+    "neardup_edit_distance",
+    "neardup_jaccard_prefix",
+    "neardup_triangle_stats",
+    "sample_weighted_bottomk",
+    "scalar_bitops_battery",
+    "scalar_null_battery",
+    "scalar_variant_extract",
+    "stream_interval_join",
+    "text_pii_redact",
+    "text_quality_scores",
+    "tfidf_top_terms",
+    "topk_orders_by_price",
+    "trending_terms",
+    "ts_ewma_bounded",
+    "ts_time_weighted_avg",
     # ---- last driver row r14 ----
+    "contamination_bloom",
+    "ts_seasonal_residual",
+    # ---- last driver row r16 ----
+    "ann_hard_negatives",
+    "cdc_cast_matrix",
     "hierarchy_rollup",
     "zorder_tile_stats",
 )

@@ -19,18 +19,21 @@ level: the 39-query never-driver-checked backlog rotates in at once
 slots leaves no room for one canary per SQL feature.  Each family set
 below lists every registry query that honestly represents the family.
 
-Round 11 moves the family guard from per-window to ROLLING coverage:
-the r9-r11 directive to rotate the 50 stalest rows in (45 of 59 from
-the r2-r6 queue) is arithmetically incompatible with one in-window
-canary per family — 15 families have no member in the stale queue, and
-parking 15 fresh rows in the window would leave the queue unclearable.
-What the guard actually protects is that no family silently stops
-being driver-checked; with a rotating window that property lives in
-the UNION of the current window and the recent driver record.  The
-test now asserts every family has a member either in ``_PRIORITY`` or
-in one of the last ``_ROLLING_ROUNDS`` CORRECTNESS files — so a family
-can never go more than ``_ROLLING_ROUNDS`` rounds without a row, and a
-rotation that orphans a family still fails loudly.
+Round 17 makes the family guard DEPOSIT-INVARIANT (VERDICT r16
+directive #1, the third consecutive judge-time red of this test's
+union-based predecessors).  Rounds 11-16 asserted coverage over
+``_PRIORITY UNION recent CORRECTNESS rounds`` — structurally unsound:
+when the driver deposits the round's CORRECTNESS file post-wrap, the
+newest round's rows ARE the window, so every union term collapses to
+``_PRIORITY`` alone and any family whose coverage rode a prior round
+orphans at judge time (the exact r13/r15/r16 red).  The only
+deposit-proof shape is coverage from ``_PRIORITY`` with NO union:
+``tools/window_staleness.py --propose`` builds the window as 5
+standing canaries + a greedy family hitting set (34 families fit in
+~30 slots because multi-family queries cover several at once) + the
+stalest remaining rows, and the strict test here asserts every family
+intersects ``_PRIORITY`` itself.  A simulated-deposit unit test pins
+the invariant on the proposer's output.
 """
 
 from __future__ import annotations
@@ -150,36 +153,18 @@ def test_window_size_pinned():
     assert len(set(_PRIORITY)) == _GATE_WINDOW, "duplicate names in _PRIORITY"
 
 
-_ROLLING_ROUNDS = 3
-
-
-def _recent_driver_rows() -> set[str]:
-    """Query names with a row in the last _ROLLING_ROUNDS CORRECTNESS
-    files (any status — a red row still proves the family is being
-    checked; going red is its own loud signal)."""
-    import glob
-    import json
-    import os
-    import re
-
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(
-        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )[-_ROLLING_ROUNDS:]
-    names: set[str] = set()
-    for p in files:
-        names |= set(json.load(open(p)))
-    return names
-
-
-def test_every_family_covered_rolling():
-    covered = set(_PRIORITY) | _recent_driver_rows()
+def test_every_family_covered_by_window_alone():
+    """THE deposit-invariant guard (VERDICT r16 directive #1): every
+    family must intersect ``_PRIORITY`` ITSELF.  No union with any
+    CORRECTNESS file — this predicate reads no history, so the driver's
+    post-wrap deposit (or deleting every CORRECTNESS file) cannot
+    change its value.  The r13/r15/r16 judge-time reds are impossible
+    by construction."""
+    covered = set(_PRIORITY)
     missing = [fam for fam, names in _FAMILY_CANARIES.items()
                if not (names & covered)]
     assert not missing, (
-        f"families with no member in the current window or the last "
-        f"{_ROLLING_ROUNDS} driver rounds: {missing}"
+        f"families with no member in the gate window itself: {missing}"
     )
 
 
@@ -212,12 +197,10 @@ def _load_staleness_tool():
     return mod
 
 
-def test_propose_force_includes_orphaned_family():
-    """The r13 rotation mechanically orphaned 'recursive surface' and
-    'data layout' from the rolling window (the one red pytest at r13
-    judge time).  propose_window must force-include the stalest member
-    of any family with no row in the last 2 rounds, even when the pure
-    stalest-first queue would not reach it."""
+def test_propose_covers_families_from_window_alone():
+    """propose_window must seat a member of EVERY family in the
+    proposal itself, even when the family's members are all fresher
+    than the stalest-first queue would reach."""
     tool = _load_staleness_tool()
     canaries = ("c1",)
     # q_fam is FRESHER (r9) than the fillers (r5), so a pure
@@ -228,33 +211,65 @@ def test_propose_force_includes_orphaned_family():
             (9, "q_fam", "green", "oracle"),
             (0, "c1", "green", "oracle")]
     rows.sort()
-    proposal, forced = tool.propose_window(
-        rows, recent2=set(), families={"fam": {"q_fam"}}, size=3,
-        canaries=canaries)
-    assert forced == ["q_fam"]
+    proposal, family_picks = tool.propose_window(
+        rows, families={"fam": {"q_fam"}}, size=3, canaries=canaries)
+    assert family_picks == ["q_fam"]
     assert "q_fam" in proposal and len(proposal) == 3
-    # A family already covered by the recent record is NOT forced.
-    proposal2, forced2 = tool.propose_window(
-        rows, recent2={"q_fam"}, families={"fam": {"q_fam"}}, size=3,
-        canaries=canaries)
-    assert forced2 == [] and "q_fam" not in proposal2
+    # A multi-family query covers all its families with one slot.
+    proposal2, picks2 = tool.propose_window(
+        rows, families={"famA": {"q_fam", "fill_a"},
+                        "famB": {"q_fam", "fill_b"}},
+        size=3, canaries=canaries)
+    assert picks2 == ["q_fam"] and "q_fam" in proposal2
 
 
-def test_current_window_plus_recent2_covers_all_families():
-    """The property the proposer enforces, asserted on the REAL window:
-    every family has a member in _PRIORITY or the NEWEST CORRECTNESS
-    file — newest-1, not newest-2 (r16): when the driver deposits the
-    next file post-wrap, the strict coverage set becomes (_PRIORITY as
-    the new round UNION the round that is newest now), so a family
-    riding the second-newest round would orphan at judge time — the
-    exact structural red of both r13 and r15. Under newest-1 this test
-    stays green across the deposit by construction."""
+def test_propose_survives_simulated_deposit():
+    """The r16 failure, pinned as a unit test: simulate the driver's
+    post-wrap deposit — the newest CORRECTNESS round's rows become
+    EXACTLY the proposed window — then assert (a) every family is still
+    covered with coverage drawn from the window alone, and (b) a
+    re-proposal from the post-deposit history still covers every
+    family.  The r16 'newest-1' scheme failed (a): post-deposit, its
+    union term equalled the window, so families riding the pre-deposit
+    newest round orphaned."""
     tool = _load_staleness_tool()
-    recent1 = tool.last_n_round_rows(tool.history(), 1)
-    covered = set(_PRIORITY) | recent1
-    missing = [fam for fam, names in _FAMILY_CANARIES.items()
-               if not (names & covered)]
-    assert not missing, f"next driver round would orphan: {missing}"
+    canaries = ("c1",)
+    families = {"famA": {"q_a1", "q_a2"}, "famB": {"q_b"},
+                "famC": {"q_a2", "q_c"}}
+    rows = [(3, "q_a1", "green", "oracle"),
+            (4, "q_b", "green", "oracle"),
+            (5, "q_a2", "green", "oracle"),
+            (6, "q_c", "green", "oracle"),
+            (6, "fill_x", "green", "oracle"),
+            (2, "c1", "green", "oracle")]
+    rows.sort()
+    proposal, _ = tool.propose_window(rows, families, size=4,
+                                      canaries=canaries)
+    # (a) the strict predicate reads the window only; the deposit adds
+    # rows for in-window names and cannot change it.
+    deposited = set(proposal)
+    assert all(names & set(proposal) for names in families.values())
+    # (b) re-propose with the deposit as the freshest round: everything
+    # in the old window moves to round 7, the rest keeps its round.
+    rows2 = [(7 if n in deposited else r, n, s, k) for r, n, s, k in rows]
+    rows2.sort()
+    proposal2, _ = tool.propose_window(rows2, families, size=4,
+                                       canaries=canaries)
+    assert all(names & set(proposal2) for names in families.values())
+
+
+def test_real_window_was_tool_proposed():
+    """_PRIORITY must equal what the proposer emits from the committed
+    CORRECTNESS history, so the paste can't drift from the tool and the
+    deposit-invariance argument applies to the REAL window.  Guarded to
+    the r16-history state: once the driver deposits CORRECTNESS_r17 the
+    staleness ranks shift, so this pin only asserts family coverage
+    (the invariant) plus canary prefix, not exact membership."""
+    tool = _load_staleness_tool()
+    assert list(_PRIORITY[:len(tool._CANARIES)]) == list(tool._CANARIES)
+    covered = set(_PRIORITY)
+    fams = tool.family_canaries()
+    assert all(names & covered for names in fams.values())
 
 
 def test_no_nonscalar_output_columns(spark, sf_dir):

@@ -9,22 +9,27 @@ Prints queries sorted stalest-first with their oracle/rows-only kind,
 then a per-round histogram and the current window's composition.
 
 --propose additionally emits a ready-to-paste ``_PRIORITY`` tuple for
-the NEXT rotation: the 5 standing canaries first, then the stalest
-non-canary rows in (round, name) order until the window is full. Run it
-AFTER the driver writes the round's CORRECTNESS file so the history
-includes the freshest gate rows; the output is a starting point — the
-verdict's round-specific directives (new oracles needing a first hash
-row, watch-item movers) still get hand-placed.
+the NEXT rotation: the 5 standing canaries first, then one in-window
+canary per SURVEY-§2 family, then the stalest remaining rows until the
+window is full. Run it AFTER the driver writes the round's CORRECTNESS
+file so the history includes the freshest gate rows; the output is a
+starting point — the verdict's round-specific directives (new oracles
+needing a first hash row, watch-item movers) still get hand-placed.
 
-The proposal is FAMILY-AWARE (VERDICT r13 directive #1): once the
-proposed window becomes the newest CORRECTNESS file, the rolling guard
-(tests/test_registry_window.py) checks coverage over (window UNION the
-previous 2 rounds' rows).  The r13 proposal — a pure stalest-first
-queue — mechanically orphaned the 'recursive surface' and 'data
-layout' families and flipped that guard red at judge time.  Now the
-proposer force-includes the stalest member of every family that has no
-row in the last 2 rounds, and refuses to emit any proposal that would
-leave a family uncovered.
+DEPOSIT-INVARIANT family coverage (VERDICT r16 directive #1): three
+consecutive rounds (r13, r15, r16) went judge-time red on the same
+structural trap — any guard of the form "family covered by (_PRIORITY
+UNION recent driver rows)" dies when the driver deposits the next
+CORRECTNESS file post-wrap, because after the deposit the newest
+round's rows ARE the window, so the union collapses to _PRIORITY
+alone.  The only deposit-proof shape is coverage from _PRIORITY with
+NO union: every family keeps one member IN the window every round.
+The proposer therefore builds a greedy hitting set over the family
+sets (coverage-first, stalest-member tie-break — queries spanning
+several families free slots; stale members double as staleness
+refresh), then fills the remaining slots stalest-first.  Measured on
+the r17 registry: 30 hitting-set slots cover all 34 families, leaving
+20 rotation slots — the 42-query r12/r13 backlog clears in ~2 rounds.
 """
 
 from __future__ import annotations
@@ -70,13 +75,6 @@ def family_canaries() -> dict[str, set[str]]:
     return mod._FAMILY_CANARIES
 
 
-def last_n_round_rows(hist: dict[str, list[tuple[int, str]]], n: int) -> set[str]:
-    """Names with a driver row in the newest *n* recorded rounds."""
-    rounds = sorted({rnd for h in hist.values() for rnd, _ in h})[-n:]
-    keep = set(rounds)
-    return {name for name, h in hist.items() if any(r in keep for r, _ in h)}
-
-
 _CANARIES = (
     "q1_pricing_summary", "cdc_pgoutput_roundtrip",
     "cdc_apply_to_snapshot", "cdc_replica_state", "dedup_exact",
@@ -85,56 +83,67 @@ _CANARIES = (
 
 def propose_window(
     rows: list[tuple[int, str, str, str]],
-    recent2: set[str],
     families: dict[str, set[str]],
     size: int,
     canaries: tuple[str, ...] = _CANARIES,
 ) -> tuple[list[str], list[str]]:
-    """Family-aware window draft (VERDICT r13 directive #1).
+    """Deposit-invariant window draft (VERDICT r16 directive #1).
 
-    ``rows`` is (last_round, name, status, kind) sorted stalest-first;
-    ``recent2`` is the set of names whose driver rows remain visible to
-    the strict 2-round guard AFTER the proposal lands as the newest
-    CORRECTNESS file — i.e. the NEWEST round only (the caller passes
-    last_n_round_rows(hist, 1); r16 lesson — forcing against the newest
-    TWO rounds let families riding the older one orphan on deposit, the
-    judge-time red of both r13 and r15).  Any family with no member in
-    ``recent2`` gets its stalest member force-included.  Returns (proposal, forced); raises SystemExit if a
-    family would still be uncovered (families larger than the window
-    can't happen in practice — the check is a loud backstop).
+    ``rows`` is (last_round, name, status, kind) sorted stalest-first.
+    Every family gets a member IN the proposal itself — coverage never
+    references past CORRECTNESS files, so the strict guard
+    (tests/test_registry_window.py) survives any driver deposit by
+    construction: the deposit can only ever ADD rows for names already
+    in the window.
+
+    Build: greedy hitting set seeded with the standing ``canaries`` —
+    among members of still-uncovered families, repeatedly take the one
+    covering the most uncovered families (stalest-member tie-break, so
+    family canaries rotate within their family and refresh staleness);
+    then fill the remaining slots with the stalest non-picked rows.
+    Returns (proposal, family_picks); raises SystemExit if the hitting
+    set alone overflows the window (34 families into 50 slots cannot
+    overflow today — the check is a loud backstop for family growth).
     """
     rank = {name: i for i, (_rnd, name, *_rest) in enumerate(rows)}
-    forced: list[str] = []
-    for _fam, names in sorted(families.items()):
-        if names & (recent2 | set(canaries)):
-            continue
-        stalest = min(names, key=lambda n: rank.get(n, len(rank)))
-        if stalest not in forced:
-            forced.append(stalest)
-    budget = size - len(canaries)
-    if len(forced) > budget:
+
+    def fams_of(q: str) -> set[str]:
+        return {f for f, names in families.items() if q in names}
+
+    picked = list(canaries)
+    covered = {f for f, names in families.items() if names & set(picked)}
+    family_picks: list[str] = []
+    while len(covered) < len(families):
+        cands = set().union(
+            *[names for f, names in families.items() if f not in covered])
+        best = min(cands, key=lambda q: (-len(fams_of(q) - covered),
+                                         rank.get(q, len(rank)), q))
+        picked.append(best)
+        family_picks.append(best)
+        covered |= fams_of(best)
+    if len(picked) > size:
         # ADVICE r14 #4: fail HERE, not at the paste-time _PRIORITY
         # length assert — a silent over-budget proposal is worse than
         # a loud tool error naming the overflow.
         raise SystemExit(
-            f"--propose BUG: {len(forced)} forced family includes "
-            f"exceed the window budget {budget} (size {size} - "
-            f"{len(canaries)} canaries); raise the window size or "
-            f"trim families: {forced}")
-    picked = list(forced)
+            f"--propose BUG: {len(picked)} hitting-set slots exceed the "
+            f"window size {size}; raise the window size or merge "
+            f"families: {family_picks}")
     for _rnd, name, _status, _kind in rows:
-        if len(picked) >= budget:
+        if len(picked) >= size:
             break
-        if name not in canaries and name not in picked:
+        if name not in picked:
             picked.append(name)
-    proposal = list(canaries) + sorted(picked, key=lambda n: rank.get(n, len(rank)))
+    proposal = (list(canaries)
+                + sorted(picked[len(canaries):],
+                         key=lambda n: rank.get(n, len(rank))))
     uncovered = [fam for fam, names in families.items()
-                 if not (names & (set(proposal) | recent2))]
+                 if not (names & set(proposal))]
     if uncovered:
         raise SystemExit(
-            f"--propose BUG: draft leaves families uncovered even "
-            f"after force-include: {uncovered}")
-    return proposal, forced
+            f"--propose BUG: draft leaves families uncovered by the "
+            f"window alone: {uncovered}")
+    return proposal, family_picks
 
 
 def main() -> int:
@@ -166,18 +175,17 @@ def main() -> int:
         print(f"  r{rnd} {status} {kind} {name}")
 
     if "--propose" in sys.argv:
-        # Newest-1, not newest-2 (r16): once the proposal becomes the
-        # newest CORRECTNESS file, the strict guard sees (proposal UNION
-        # the round that was newest at proposal time) — coverage against
-        # two prior rounds let families riding the OLDER one orphan on
-        # deposit, the exact judge-time red of r13 and r15.
-        proposal, forced = propose_window(
-            rows, last_n_round_rows(hist, 1), family_canaries(), len(window))
-        print("\n# --propose: paste-ready _PRIORITY draft (canaries + "
-              "family force-includes + stalest queue)")
-        if forced:
-            print("# family force-includes (no row in the newest round): "
-                  + ", ".join(forced))
+        # Deposit-invariant (r17): every family covered by the proposal
+        # ITSELF — no union with any CORRECTNESS round — so the strict
+        # guard cannot go red when the driver deposits post-wrap (the
+        # structural judge-time red of r13, r15, and r16).
+        proposal, family_picks = propose_window(
+            rows, family_canaries(), len(window))
+        print("\n# --propose: paste-ready _PRIORITY draft (standing "
+              "canaries + family hitting set + stalest queue)")
+        if family_picks:
+            print("# family hitting-set picks (coverage from the window "
+                  "alone): " + ", ".join(family_picks))
         print("_PRIORITY = (")
         for n in _CANARIES:
             print(f'    "{n}",')
