@@ -48,6 +48,12 @@ _F64_RE = (
     r"^[+-]?(([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
     r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$"
 )
+# NaN spellings Rust's f64 grammar accepts but Spark's cast does not:
+# Spark's special-literal fold recognizes case-insensitive 'nan' only
+# UNSIGNED, so '-nan'/'+NAN' abort the ANSI cast (CAST_INVALID_INPUT,
+# verified live — ADVICE r16 HIGH) while Rust f64::from_str and DuckDB
+# TRY_CAST both yield NaN. Matched first and emitted as lit(NaN).
+_NAN_RE = r"^[+-]?[nN][aA][nN]$"
 
 
 def rust_trim(col: Column) -> Column:
@@ -71,12 +77,20 @@ def pg_to_int(col: Column) -> Column:
 def pg_to_real(col: Column) -> Column:
     """Text -> double; non-parsing text -> 0.0 (pgoutput.rs:91-98).
 
-    The grammar regex (Rust's f64::from_str) gates a plain cast: Spark's
+    The grammar regex (Rust's f64::from_str) gates the cast: Spark's
     own cast grammar is close but not identical (it trims \\x1c-\\x1f and
     accepts '1.5d'/'1.5f', both parse Errs in Rust). Out-of-range
-    literals like '1e999' saturate to Infinity in both engines."""
+    literals like '1e999' saturate to Infinity in both engines. Signed
+    or case-variant NaN is special-cased FIRST — it passes the Rust
+    grammar but aborts Spark's ANSI cast (ADVICE r16 HIGH) — and the
+    remaining arm uses try_cast so this expression can never abort,
+    mirroring pg_to_int's never-abort shape."""
     s = rust_trim(col.cast("string"))
-    return F.coalesce(F.when(s.rlike(_F64_RE), s.cast("double")), F.lit(0.0))
+    return F.coalesce(
+        F.when(s.rlike(_NAN_RE), F.lit(float("nan")))
+        .when(s.rlike(_F64_RE), s.try_cast("double")),
+        F.lit(0.0),
+    )
 
 
 def pg_bool_parse(col: Column) -> Column:

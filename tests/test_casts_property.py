@@ -30,10 +30,14 @@ _value = st.one_of(
     st.from_regex(r"[+-]?[0-9]{1,24}", fullmatch=True),
     st.from_regex(r" ?[+-]?[0-9]{1,6}(\.[0-9]{1,6})? ?", fullmatch=True),
     st.sampled_from(["t", "T", "1", "true", "TRUE", "false", "", " t", "2.5"]),
+    # 'nan'/'-nan' sampled deterministically (ADVICE r16): signed NaN
+    # passes Rust's f64 grammar but aborted Spark's ANSI cast — the only
+    # path to it before was st.text() randomly emitting '-nan'.
     st.builds(
         lambda pad, core, pad2: pad + core + pad2,
         st.sampled_from(list(_RUST_WS) + ["\x1c", "\x1d", "\x1e", "\x1f", ""]),
-        st.sampled_from(["1", "-7", "2.5", "inf", "1e3", "x"]),
+        st.sampled_from(["1", "-7", "2.5", "inf", "1e3", "x",
+                         "nan", "-nan", "+NAN", "-inf"]),
         st.sampled_from(list(_RUST_WS) + ["\x1f", ""]),
     ),
 )
