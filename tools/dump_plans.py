@@ -20,8 +20,11 @@ from clockpipe_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "plans"
+    # flags out before positionals (ADVICE r16: `dump_plans.py --detail`
+    # used to parse '--detail' as sf_dir and fail every load)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "plans"
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=4)
     queries = all_queries()
