@@ -291,6 +291,9 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
         "ingest",
         "live_pg",
         "iso",
+        # r17 directive evidence: each bar-bearing section's canary
+        # window — sheds dead last among the optional blocks
+        "sect_gates",
     ):
         if len(line) <= budget:
             return line
@@ -1187,7 +1190,7 @@ def main() -> None:
     # other tenants hold cores. As of r14 it GATES alongside the scan
     # canary (both signals must be quiet to start): the two catch
     # disjoint contention classes, IO/page-cache vs pure CPU steal.
-    def _cpu_canary() -> float:
+    def _cpu_canary(trials: int = 3) -> float:
         from pyspark.sql import functions as F
 
         df = spark.range(0, 256_000_000, 1, 32)
@@ -1195,7 +1198,7 @@ def main() -> None:
         for _ in range(8):
             expr = F.xxhash64(expr)
         best = 9e9
-        for _ in range(3):
+        for _ in range(trials):
             t0 = time.perf_counter()
             df.select(F.max(expr)).collect()
             best = min(best, round(time.perf_counter() - t0, 3))
@@ -1245,6 +1248,59 @@ def main() -> None:
         "loadavg_start": _loadavg(),
     }
 
+    # Per-section canary gates (r17, VERDICT r16 directive #3): the r16
+    # official record stamped iso numbers that DOUBLED under loadavg
+    # 11.3 while ``tail_loaded: false`` — the pre-gate only defends the
+    # START of the run, and the tail probe's 1.5x threshold passed
+    # because the CPU canary read 0.593 vs the 0.55 reference. Every
+    # bar-bearing section (iso block, live-PG, ingest) now runs between
+    # its OWN canary reads; if either read regresses >1.3x the quiet
+    # reference, the section waits and RE-RUNS (bounded) instead of
+    # stamping a loaded window official, and the recorded result is the
+    # attempt with the quietest canary envelope. Both canary readings
+    # ship alongside each section so the record discloses its own
+    # measurement window.
+    SECTION_CANARY_RATIO = 1.3
+    SECTION_MAX_RERUNS = 2
+
+    def _gated_section(label, run):
+        gate_sec = CPU_CANARY_REF_SEC * SECTION_CANARY_RATIO
+        attempts: list[dict] = []
+        best = None  # (worst_canary, result, pre, post, attempt_idx)
+        for i in range(SECTION_MAX_RERUNS + 1):
+            pre = _cpu_canary(trials=2)
+            result = run()
+            post = _cpu_canary(trials=2)
+            worst = max(pre, post)
+            attempts.append(
+                {"canary_pre_sec": pre, "canary_post_sec": post,
+                 "hot": worst > gate_sec}
+            )
+            if best is None or worst < best[0]:
+                best = (worst, result, pre, post, i)
+            if worst <= gate_sec:
+                break
+            if i < SECTION_MAX_RERUNS:
+                print(
+                    f"# section {label}: canary {pre}/{post}s > gate "
+                    f"{gate_sec:.2f}s — waiting {SENTINEL_WAIT_SEC}s "
+                    f"and re-running the section",
+                    file=sys.stderr,
+                )
+                time.sleep(SENTINEL_WAIT_SEC)
+        gate = {
+            "canary_ref_sec": CPU_CANARY_REF_SEC,
+            "threshold_ratio": SECTION_CANARY_RATIO,
+            "attempts": attempts,
+            "picked_attempt": best[4],
+            "canary_pre_sec": best[2],
+            "canary_post_sec": best[3],
+            # True only if EVERY attempt (incl. the picked one) ran hot:
+            # the bar readings must then be discounted on the record
+            "section_loaded": best[0] > gate_sec,
+        }
+        return best[1], gate
+
     # Isolation A/B, immediately after warm-up: each query here runs
     # first-in-suite (quiet JVM, no position effects) so a suite-order
     # or co-tenant artifact separates from a real plan regression.
@@ -1271,21 +1327,25 @@ def main() -> None:
         # whether the suite reading is position noise
         "text_c4_filters",
     ]
-    iso: dict[str, float] = {}
-    for name in ISO_QUERIES:
-        # min-of-3 for the minhash iso (VERDICT r13 directive #7): the
-        # decomposition puts steady-state at ~1.3 s (1.2 s of it
-        # Catalyst plan-compile); one clean <=1.4 s read closes the
-        # thread, and under load min-of-2 keeps landing 1.38-1.89
-        trials = 3 if name == "dedup_minhash_lsh" else 2
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            iso[name] = min(
-                iso.get(name, 9e9), round(time.perf_counter() - t0, 3)
-            )
+    def _run_iso() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in ISO_QUERIES:
+            # min-of-3 for the minhash iso (VERDICT r13 directive #7):
+            # the decomposition puts steady-state at ~1.3 s (1.2 s of it
+            # Catalyst plan-compile); one clean <=1.4 s read closes the
+            # thread, and under load min-of-2 keeps landing 1.38-1.89
+            trials = 3 if name == "dedup_minhash_lsh" else 2
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                out[name] = min(
+                    out.get(name, 9e9), round(time.perf_counter() - t0, 3)
+                )
+        return out
+
+    iso, iso_gate = _gated_section("iso", _run_iso)
 
     # build the IVF index OUTSIDE the timed region so the prebuilt
     # entry's trials measure serving only. Prewarm time disclosed; it
@@ -1334,6 +1394,16 @@ def main() -> None:
         extra[name] = min(trials)
 
     total = round(sum(timings.values()), 3)
+
+    # bar-bearing late sections, each inside its own canary gate
+    # (directive #3): a hot window re-runs the section, never stamps it
+    live_pg, live_pg_gate = _gated_section(
+        "live_pg", lambda: bench_live_pg(spark)
+    )
+    ingest_main, ingest_gate = _gated_section(
+        "ingest", lambda: bench_ingest(spark, sf_dir)
+    )
+
     full = {
         "metric": "headline_total",
         "value": total,
@@ -1356,11 +1426,20 @@ def main() -> None:
         # round 8: throughput against a REAL postgres (throwaway
         # cluster; psql transport disclosed; {"error"} if the host
         # can't run one — never fails the bench)
-        "live_pg": bench_live_pg(spark),
+        "live_pg": live_pg,
         # batch-size sweep (VERDICT r6 directive #5): same corpus
         # through 2 / 4 / 8 micro-batches separates per-batch fixed
         # cost from marginal per-doc cost
-        "ingest": bench_ingest(spark, sf_dir),
+        "ingest": ingest_main,
+        # r17 (VERDICT r16 directive #3): each bar-bearing section's
+        # own canary window — [pre, post] around the PICKED attempt,
+        # re-run trail in "attempts", loaded flag if no quiet window
+        # was found within the re-run budget
+        "section_gates": {
+            "iso": iso_gate,
+            "live_pg": live_pg_gate,
+            "ingest": ingest_gate,
+        },
         "ingest_sweep": {
             str(n): bench_ingest(spark, sf_dir, n_batches=n) for n in (2, 8)
         },
@@ -1564,6 +1643,17 @@ def main() -> None:
         # per-query detail). Shuffled bytes are the metric that
         # transfers to a real cluster; spillers must stay 0.
         "shuffle_audit": _shuffle_audit_summary(here),
+        # per-section canary gates (r17 directive #3): quietest-window
+        # [pre, post] canary reads, which attempt was picked, and
+        # whether NO quiet window was found (bar readings discounted)
+        "sect_gates": {
+            k: {
+                "c": [g["canary_pre_sec"], g["canary_post_sec"]],
+                "pick": g["picked_attempt"],
+                "hot": g["section_loaded"],
+            }
+            for k, g in full["section_gates"].items()
+        },
         "noise_sentinel": full["noise_sentinel"]["ratio"],
         "sentinel_pre_gate": {
             "attempts": pre_gate["attempts_sec"],
