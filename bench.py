@@ -279,13 +279,18 @@ def emit_line(payload: dict, budget: int = TAIL_BUDGET) -> str:
         "ivf_prewarm_sec",
         "state10x",
         "dedup10x",
-        "shared_vs_prev",
         "dedup30x",
         # hist10x demoted below the cumulative blocks (r14): its ratio
         # IS the flat-history contract (r13 directive) and its block is
         # ~50 chars — it was the marginal casualty when shuffle_audit
         # joined the line
         "neardup_hist10x",
+        # demoted below the cumulative blocks (r17): the cross-round
+        # ratio is verdict-read every round and recomputable from the
+        # committed BENCH_DETAIL files, but losing it from the line
+        # cost the r16 verdict a manual recomputation — it now outlives
+        # state10x/dedup10x on the line
+        "shared_vs_prev",
         "cdc",
         "ingest_dps_by_batches",
         "ingest",
@@ -1643,15 +1648,17 @@ def main() -> None:
         # per-query detail). Shuffled bytes are the metric that
         # transfers to a real cluster; spillers must stay 0.
         "shuffle_audit": _shuffle_audit_summary(here),
-        # per-section canary gates (r17 directive #3): quietest-window
-        # [pre, post] canary reads, which attempt was picked, and
-        # whether NO quiet window was found (bar readings discounted)
+        # per-section canary gates (r17 directive #3), compact form:
+        # [canary_pre, canary_post, picked_attempt, loaded?1:0] — a
+        # trailing 1 means NO quiet window was found within the re-run
+        # budget and the section's bar readings carry a discount
         "sect_gates": {
-            k: {
-                "c": [g["canary_pre_sec"], g["canary_post_sec"]],
-                "pick": g["picked_attempt"],
-                "hot": g["section_loaded"],
-            }
+            k: [
+                g["canary_pre_sec"],
+                g["canary_post_sec"],
+                g["picked_attempt"],
+                1 if g["section_loaded"] else 0,
+            ]
             for k, g in full["section_gates"].items()
         },
         "noise_sentinel": full["noise_sentinel"]["ratio"],
