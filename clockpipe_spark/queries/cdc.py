@@ -540,7 +540,8 @@ SELECT event_id,
                 '%Y-%m-%d %H:%M:%S') AS ts_str,
        array_to_string(list_transform(arr,
            x -> CAST(CASE WHEN regexp_matches(x, '^[+-]?[0-9]+$')
-                          THEN CAST(x AS BIGINT) ELSE 0 END AS VARCHAR)), ',')
+                          THEN COALESCE(TRY_CAST(x AS BIGINT), 0)
+                          ELSE 0 END AS VARCHAR)), ',')
          AS arr_int,
        array_to_string(list_transform(arr,
            x -> CAST(CAST(CASE WHEN regexp_matches(x,
