@@ -1375,17 +1375,30 @@ def main() -> None:
     # Build+execute per trial: driver-side work (IVF centroid sampling,
     # eager component loops) belongs in the measurement.
     N_TRIALS = 3
-    timings: dict[str, float] = {}
-    first_run: dict[str, float] = {}
-    for name in HEADLINE:
-        trials = []
-        for _ in range(N_TRIALS):
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            trials.append(round(time.perf_counter() - t0, 3))
-        first_run[name] = trials[0]
-        timings[name] = min(trials)
+
+    def _run_headline() -> tuple[dict[str, float], dict[str, float]]:
+        tm: dict[str, float] = {}
+        fr: dict[str, float] = {}
+        for name in HEADLINE:
+            trials = []
+            for _ in range(N_TRIALS):
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                trials.append(round(time.perf_counter() - t0, 3))
+            fr[name] = trials[0]
+            tm[name] = min(trials)
+        return tm, fr
+
+    # The headline total is itself a standing bar (the ≤~31 s band) and
+    # was the r16 record's biggest casualty (34.20 s under a loadavg
+    # 3.7→11.3 deposit window vs 28.86 s same-code quiet) — it gets the
+    # same canary gate as the other bar-bearing sections.  Re-running
+    # costs ~N_TRIALS × headline wall, so the budget is the shared
+    # SECTION_MAX_RERUNS bound.
+    (timings, first_run), headline_gate = _gated_section(
+        "headline", _run_headline
+    )
 
     extra: dict[str, float] = {}
     for name in EXTRA_DETAIL:
@@ -1441,6 +1454,7 @@ def main() -> None:
         # re-run trail in "attempts", loaded flag if no quiet window
         # was found within the re-run budget
         "section_gates": {
+            "headline": headline_gate,
             "iso": iso_gate,
             "live_pg": live_pg_gate,
             "ingest": ingest_gate,
@@ -1652,10 +1666,12 @@ def main() -> None:
         # [canary_pre, canary_post, picked_attempt, loaded?1:0] — a
         # trailing 1 means NO quiet window was found within the re-run
         # budget and the section's bar readings carry a discount
+        # (hl=headline, lpg=live_pg, ing=ingest; full detail in
+        # BENCH_DETAIL.json section_gates)
         "sect_gates": {
-            k: [
-                g["canary_pre_sec"],
-                g["canary_post_sec"],
+            {"headline": "hl", "live_pg": "lpg", "ingest": "ing"}.get(k, k): [
+                round(g["canary_pre_sec"], 2),
+                round(g["canary_post_sec"], 2),
                 g["picked_attempt"],
                 1 if g["section_loaded"] else 0,
             ]
