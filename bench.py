@@ -1269,40 +1269,62 @@ def main() -> None:
     SECTION_MAX_RERUNS = 2
 
     def _gated_section(label, run):
-        gate_sec = CPU_CANARY_REF_SEC * SECTION_CANARY_RATIO
+        # BOTH canaries, like the pre-gate: the CPU-steal probe misses
+        # IO/page-cache contention entirely (observed same-session: a
+        # gated live-PG section read 16.0k events/s under cpu canaries
+        # 0.56-0.62 — quiet — while a standalone re-probe minutes later
+        # read 24.4k; live-PG and ingest are IO-heavy, so the SCAN
+        # canary must vote too).  A canary read is a RATIO to its own
+        # quiet reference; the section is hot if any of the four reads
+        # (scan/cpu × pre/post) exceeds SECTION_CANARY_RATIO.
+        def _probe() -> dict[str, float]:
+            return {"scan": _measure_canary(), "cpu": _cpu_canary(trials=2)}
+
+        def _worst(pre: dict, post: dict) -> float:
+            return max(
+                pre["scan"] / SENTINEL_REF_SEC,
+                post["scan"] / SENTINEL_REF_SEC,
+                pre["cpu"] / CPU_CANARY_REF_SEC,
+                post["cpu"] / CPU_CANARY_REF_SEC,
+            )
+
         attempts: list[dict] = []
-        best = None  # (worst_canary, result, pre, post, attempt_idx)
+        best = None  # (worst_ratio, result, pre, post, attempt_idx)
         for i in range(SECTION_MAX_RERUNS + 1):
-            pre = _cpu_canary(trials=2)
+            pre = _probe()
             result = run()
-            post = _cpu_canary(trials=2)
-            worst = max(pre, post)
+            post = _probe()
+            worst = round(_worst(pre, post), 3)
             attempts.append(
-                {"canary_pre_sec": pre, "canary_post_sec": post,
-                 "hot": worst > gate_sec}
+                {"pre": pre, "post": post, "worst_ratio": worst,
+                 "hot": worst > SECTION_CANARY_RATIO}
             )
             if best is None or worst < best[0]:
                 best = (worst, result, pre, post, i)
-            if worst <= gate_sec:
+            if worst <= SECTION_CANARY_RATIO:
                 break
             if i < SECTION_MAX_RERUNS:
                 print(
-                    f"# section {label}: canary {pre}/{post}s > gate "
-                    f"{gate_sec:.2f}s — waiting {SENTINEL_WAIT_SEC}s "
-                    f"and re-running the section",
+                    f"# section {label}: canary ratio {worst} > "
+                    f"{SECTION_CANARY_RATIO} (scan {pre['scan']}/"
+                    f"{post['scan']}s, cpu {pre['cpu']}/{post['cpu']}s) "
+                    f"— waiting {SENTINEL_WAIT_SEC}s and re-running "
+                    f"the section",
                     file=sys.stderr,
                 )
                 time.sleep(SENTINEL_WAIT_SEC)
         gate = {
-            "canary_ref_sec": CPU_CANARY_REF_SEC,
+            "scan_ref_sec": SENTINEL_REF_SEC,
+            "cpu_ref_sec": CPU_CANARY_REF_SEC,
             "threshold_ratio": SECTION_CANARY_RATIO,
             "attempts": attempts,
             "picked_attempt": best[4],
-            "canary_pre_sec": best[2],
-            "canary_post_sec": best[3],
+            "canary_pre": best[2],
+            "canary_post": best[3],
+            "worst_ratio": best[0],
             # True only if EVERY attempt (incl. the picked one) ran hot:
             # the bar readings must then be discounted on the record
-            "section_loaded": best[0] > gate_sec,
+            "section_loaded": best[0] > SECTION_CANARY_RATIO,
         }
         return best[1], gate
 
@@ -1663,15 +1685,14 @@ def main() -> None:
         # transfers to a real cluster; spillers must stay 0.
         "shuffle_audit": _shuffle_audit_summary(here),
         # per-section canary gates (r17 directive #3), compact form:
-        # [canary_pre, canary_post, picked_attempt, loaded?1:0] — a
+        # [worst scan/cpu canary ratio, picked_attempt, loaded?1:0] — a
         # trailing 1 means NO quiet window was found within the re-run
         # budget and the section's bar readings carry a discount
-        # (hl=headline, lpg=live_pg, ing=ingest; full detail in
-        # BENCH_DETAIL.json section_gates)
+        # (hl=headline, lpg=live_pg, ing=ingest; the four raw canary
+        # reads per attempt live in BENCH_DETAIL.json section_gates)
         "sect_gates": {
             {"headline": "hl", "live_pg": "lpg", "ingest": "ing"}.get(k, k): [
-                round(g["canary_pre_sec"], 2),
-                round(g["canary_post_sec"], 2),
+                g["worst_ratio"],
                 g["picked_attempt"],
                 1 if g["section_loaded"] else 0,
             ]
