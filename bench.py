@@ -1118,6 +1118,61 @@ def bench_live_pg(
         shutil.rmtree(target, ignore_errors=True)
 
 
+def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
+                      max_reruns, wait_sec, sleep=time.sleep):
+    """Run a bar-bearing bench section between canary reads; re-run (up
+    to ``max_reruns``) if any of the four reads (scan/cpu × pre/post)
+    regresses past ``threshold``× its quiet reference, keeping the
+    attempt with the quietest envelope.  ``section_loaded`` is True only
+    when EVERY attempt ran hot — the bar reading must then be discounted
+    on the record (consumer contract in PLANS.md "the headline band,
+    decided once").  Module-level and probe/sleep-injectable so the
+    exhausted-re-run branch is unit-testable (VERDICT r17 directive #5
+    — that branch had never fired on a real record)."""
+    attempts: list[dict] = []
+    best = None  # (worst_ratio, result, pre, post, attempt_idx)
+    for i in range(max_reruns + 1):
+        pre = probe()
+        result = run()
+        post = probe()
+        worst = round(max(
+            pre["scan"] / scan_ref, post["scan"] / scan_ref,
+            pre["cpu"] / cpu_ref, post["cpu"] / cpu_ref,
+        ), 3)
+        attempts.append(
+            {"pre": pre, "post": post, "worst_ratio": worst,
+             "hot": worst > threshold}
+        )
+        if best is None or worst < best[0]:
+            best = (worst, result, pre, post, i)
+        if worst <= threshold:
+            break
+        if i < max_reruns:
+            print(
+                f"# section {label}: canary ratio {worst} > "
+                f"{threshold} (scan {pre['scan']}/"
+                f"{post['scan']}s, cpu {pre['cpu']}/{post['cpu']}s) "
+                f"— waiting {wait_sec}s and re-running "
+                f"the section",
+                file=sys.stderr,
+            )
+            sleep(wait_sec)
+    gate = {
+        "scan_ref_sec": scan_ref,
+        "cpu_ref_sec": cpu_ref,
+        "threshold_ratio": threshold,
+        "attempts": attempts,
+        "picked_attempt": best[4],
+        "canary_pre": best[2],
+        "canary_post": best[3],
+        "worst_ratio": best[0],
+        # True only if EVERY attempt (incl. the picked one) ran hot:
+        # the bar readings must then be discounted on the record
+        "section_loaded": best[0] > threshold,
+    }
+    return best[1], gate
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1280,53 +1335,12 @@ def main() -> None:
         def _probe() -> dict[str, float]:
             return {"scan": _measure_canary(), "cpu": _cpu_canary(trials=2)}
 
-        def _worst(pre: dict, post: dict) -> float:
-            return max(
-                pre["scan"] / SENTINEL_REF_SEC,
-                post["scan"] / SENTINEL_REF_SEC,
-                pre["cpu"] / CPU_CANARY_REF_SEC,
-                post["cpu"] / CPU_CANARY_REF_SEC,
-            )
-
-        attempts: list[dict] = []
-        best = None  # (worst_ratio, result, pre, post, attempt_idx)
-        for i in range(SECTION_MAX_RERUNS + 1):
-            pre = _probe()
-            result = run()
-            post = _probe()
-            worst = round(_worst(pre, post), 3)
-            attempts.append(
-                {"pre": pre, "post": post, "worst_ratio": worst,
-                 "hot": worst > SECTION_CANARY_RATIO}
-            )
-            if best is None or worst < best[0]:
-                best = (worst, result, pre, post, i)
-            if worst <= SECTION_CANARY_RATIO:
-                break
-            if i < SECTION_MAX_RERUNS:
-                print(
-                    f"# section {label}: canary ratio {worst} > "
-                    f"{SECTION_CANARY_RATIO} (scan {pre['scan']}/"
-                    f"{post['scan']}s, cpu {pre['cpu']}/{post['cpu']}s) "
-                    f"— waiting {SENTINEL_WAIT_SEC}s and re-running "
-                    f"the section",
-                    file=sys.stderr,
-                )
-                time.sleep(SENTINEL_WAIT_SEC)
-        gate = {
-            "scan_ref_sec": SENTINEL_REF_SEC,
-            "cpu_ref_sec": CPU_CANARY_REF_SEC,
-            "threshold_ratio": SECTION_CANARY_RATIO,
-            "attempts": attempts,
-            "picked_attempt": best[4],
-            "canary_pre": best[2],
-            "canary_post": best[3],
-            "worst_ratio": best[0],
-            # True only if EVERY attempt (incl. the picked one) ran hot:
-            # the bar readings must then be discounted on the record
-            "section_loaded": best[0] > SECTION_CANARY_RATIO,
-        }
-        return best[1], gate
+        return gated_section_run(
+            label, run, _probe,
+            scan_ref=SENTINEL_REF_SEC, cpu_ref=CPU_CANARY_REF_SEC,
+            threshold=SECTION_CANARY_RATIO, max_reruns=SECTION_MAX_RERUNS,
+            wait_sec=SENTINEL_WAIT_SEC,
+        )
 
     # Isolation A/B, immediately after warm-up: each query here runs
     # first-in-suite (quiet JVM, no position effects) so a suite-order
@@ -1457,6 +1471,12 @@ def main() -> None:
         "noise_mitigation": "min-of-3 headline trials",
         "queries": timings,
         "queries_run1": first_run,
+        # ADVICE r17 low: when the headline gate discarded attempt 0 for
+        # a hot canary, the picked attempt's trials[0] ran against a
+        # JVM/page cache warmed by the discarded attempt — queries_run1
+        # then measures a warm first pass, not cold start. Flagged so
+        # cold-start consumers skip it instead of misreading it.
+        "run1_warm": headline_gate["picked_attempt"] > 0,
         "extra_queries": extra,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "iso": iso,

@@ -65,9 +65,20 @@ def rust_trim(col: Column) -> Column:
 def pg_to_int(col: Column) -> Column:
     """Text -> integer with the reference's zero-default on parse failure.
 
-    trim-then-parse like pgoutput.rs:82-89; an int64-overflowing integral
-    string is a parse Err in Rust, so it also defaults to 0 (never aborts
-    — hence try_cast on the already-regex-validated string)."""
+    trim-then-parse like pgoutput.rs:82-89. DELIBERATE DIVERGENCE for
+    strings in [2^63, 2^64): the reference validates with
+    `parse::<i64>() || parse::<u64>()` and passes the TEXT through
+    unchanged — typing is deferred to the eventual ClickHouse column
+    (pgoutput.rs:84), so a u64-range string survives iff that column
+    happens to be UInt64. Our output is a Spark `bigint` (int64), which
+    has no representation for [2^63, 2^64), so those strings
+    zero-default here along with everything else try_cast rejects —
+    the same outcome a ClickHouse Int64 column would give. Strings
+    beyond 2^64 are parse Errs in Rust too, so both engines agree
+    there. Never aborts — hence try_cast on the already-regex-validated
+    string (ADVICE r17 low: this docstring previously claimed all
+    int64-overflowing strings are parse Errs in Rust; only >u64 ones
+    are)."""
     s = rust_trim(col.cast("string"))
     return F.coalesce(
         F.when(s.rlike(_INT_RE), s.try_cast("bigint")), F.lit(0)
@@ -84,7 +95,9 @@ def pg_to_real(col: Column) -> Column:
     or case-variant NaN is special-cased FIRST — it passes the Rust
     grammar but aborts Spark's ANSI cast (ADVICE r16 HIGH) — and the
     remaining arm uses try_cast so this expression can never abort,
-    mirroring pg_to_int's never-abort shape."""
+    mirroring pg_to_int's never-abort shape (whose u64 divergence is
+    documented there; no such issue here — f64::from_str saturates
+    rather than overflows, matching Spark's double cast)."""
     s = rust_trim(col.cast("string"))
     return F.coalesce(
         F.when(s.rlike(_NAN_RE), F.lit(float("nan")))

@@ -1,0 +1,104 @@
+"""Unit tests for bench.py's per-section canary gate (gated_section_run).
+
+VERDICT r17 directive #5: the "2 re-runs exhausted -> section_loaded:
+true stamped" branch had never fired on a real record (every committed
+run found a quiet window within the budget), so the discount-flag path
+was shipping untested.  These tests drive the extracted module-level
+helper with injected probes and a no-op sleep:
+
+* all attempts hot -> the budget is exhausted, section_loaded lands
+  True, and the record keeps the QUIETEST attempt (not the last);
+* a later quiet attempt -> early exit, section_loaded False;
+* quiet attempt 0 -> exactly one attempt, no sleep.
+
+Consumer contract (PLANS.md "the headline band, decided once"): a bar
+reading whose gate carries section_loaded: true is a disclosed-warm
+drift sample — it cannot satisfy a band/bar by itself, and
+tools/band_record.py refuses to stamp such a record as the round's
+band evidence.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import gated_section_run
+
+_SCAN_REF = 0.52
+_CPU_REF = 0.55
+
+
+def _mk_probe(readings):
+    """Probe returning successive {scan, cpu} dicts from a list of
+    (scan_ratio, cpu_ratio) tuples expressed vs the quiet references."""
+    it = iter(readings)
+
+    def probe():
+        scan_r, cpu_r = next(it)
+        return {"scan": round(_SCAN_REF * scan_r, 4),
+                "cpu": round(_CPU_REF * cpu_r, 4)}
+
+    return probe
+
+
+def _run(result_seq):
+    it = iter(result_seq)
+    calls = []
+
+    def run():
+        r = next(it)
+        calls.append(r)
+        return r
+
+    return run, calls
+
+
+def test_exhausted_reruns_stamp_section_loaded():
+    # 3 attempts (max_reruns=2), every envelope hot; quietest is the
+    # middle one (worst 1.5) — it must be picked AND flagged loaded.
+    probe = _mk_probe([
+        (2.0, 1.0), (1.0, 1.9),   # attempt 0: worst 2.0
+        (1.5, 1.0), (1.2, 1.0),   # attempt 1: worst 1.5  <- quietest
+        (1.8, 1.0), (1.0, 1.7),   # attempt 2: worst 1.8
+    ])
+    run, calls = _run(["r0", "r1", "r2"])
+    slept = []
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=slept.append)
+    assert len(calls) == 3, "budget is max_reruns+1 attempts"
+    assert slept == [45, 45], "sleeps between attempts only, not after the last"
+    assert gate["section_loaded"] is True
+    assert gate["picked_attempt"] == 1 and result == "r1"
+    assert [a["hot"] for a in gate["attempts"]] == [True, True, True]
+    assert gate["worst_ratio"] == 1.5
+    # the flag's consumer needs the full re-run trail on the record
+    assert len(gate["attempts"]) == 3
+
+
+def test_quiet_rerun_clears_the_flag():
+    probe = _mk_probe([
+        (1.6, 1.0), (1.0, 1.4),   # attempt 0: hot (1.6)
+        (1.0, 1.0), (1.1, 1.0),   # attempt 1: quiet (1.1)
+    ])
+    run, calls = _run(["hot", "quiet"])
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None)
+    assert len(calls) == 2, "early exit on the first quiet envelope"
+    assert gate["section_loaded"] is False
+    assert gate["picked_attempt"] == 1 and result == "quiet"
+    assert [a["hot"] for a in gate["attempts"]] == [True, False]
+
+
+def test_quiet_first_attempt_runs_once_and_never_sleeps():
+    probe = _mk_probe([(1.0, 1.0), (1.0, 1.0)])
+    run, calls = _run(["only"])
+    slept = []
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=slept.append)
+    assert len(calls) == 1 and result == "only"
+    assert slept == []
+    assert gate["section_loaded"] is False and gate["picked_attempt"] == 0

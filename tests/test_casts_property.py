@@ -37,7 +37,15 @@ _value = st.one_of(
         lambda pad, core, pad2: pad + core + pad2,
         st.sampled_from(list(_RUST_WS) + ["\x1c", "\x1d", "\x1e", "\x1f", ""]),
         st.sampled_from(["1", "-7", "2.5", "inf", "1e3", "x",
-                         "nan", "-nan", "+NAN", "-inf"]),
+                         "nan", "-nan", "+NAN", "-inf",
+                         # u64-boundary cores (ADVICE r17): 2^63 and
+                         # 2^64-1 parse as u64 in the reference (text
+                         # passed through to ClickHouse) but have no
+                         # bigint representation here -> documented
+                         # zero-default divergence (pg_to_int); 2^64 is
+                         # a parse Err in both engines.
+                         "9223372036854775808", "18446744073709551615",
+                         "18446744073709551616"]),
         st.sampled_from(list(_RUST_WS) + ["\x1f", ""]),
     ),
 )
@@ -53,7 +61,9 @@ def _py_int(s: str) -> int:
     if not _INT_RE.match(t):
         return 0
     v = int(t)
-    # i64 overflow is a parse Err in Rust -> the zero default
+    # Out-of-bigint-range -> 0: for v >= 2^64 a parse Err in Rust too;
+    # for [2^63, 2^64) a DOCUMENTED divergence (the reference's u64
+    # branch passes the text through to ClickHouse, see pg_to_int).
     return v if -(2**63) <= v < 2**63 else 0
 
 

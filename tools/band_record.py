@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Stamp the round's headline-band record (PLANS.md "the headline band,
+decided once", VERDICT r17 directive #1).
+
+The <=31 s headline band is judged against BENCH_BAND.json — the
+round's best FULLY-GATED run — not against the driver's BENCH_r{N}
+deposit (a drift sample for the headline; its own section gates keep
+governing the iso/live-PG/ingest bars).  This tool is the only writer
+of BENCH_BAND.json and refuses to stamp a record that does not qualify:
+
+* every section gate must have found a quiet window
+  (``section_loaded: false`` for all four sections);
+* the headline gate's picked worst canary ratio must be <= its
+  threshold (redundant with the flag, asserted anyway);
+* ``run1_warm`` is carried through so cold-start consumers know
+  whether queries_run1 means anything.
+
+Usage:
+    python tools/band_record.py [BENCH_DETAIL.json] [--band 31.0]
+
+Run bench.py, then stamp while BENCH_DETAIL.json still holds that run
+(the driver's post-wrap deposit overwrites it).  Exit 0 and write
+BENCH_BAND.json iff the run qualifies; exit 2 with the disqualifying
+sections named otherwise.  band_met / q10_vs_r01 are RECORDED, not
+gated — a qualifying quiet run that misses the band is a real
+regression and must be visible, not suppressed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_BAND_SEC = 31.0
+# q1_pricing_summary-era first-round record: q10_returned_items read
+# 0.602 s in BENCH_r01.json; the baseline contract is <=2x per query.
+Q10_R01_SEC = 0.602
+
+
+def main(argv: list[str]) -> int:
+    band = DEFAULT_BAND_SEC
+    paths = []
+    it = iter(argv)
+    for a in it:
+        if a == "--band":
+            band = float(next(it))
+        elif a.startswith("--band="):
+            band = float(a.split("=", 1)[1])
+        else:
+            paths.append(a)
+    src = paths[0] if paths else os.path.join(HERE, "BENCH_DETAIL.json")
+
+    with open(src) as f:
+        detail = json.load(f)
+
+    gates = detail.get("section_gates") or {}
+    required = ("headline", "iso", "live_pg", "ingest")
+    missing = [s for s in required if s not in gates]
+    if missing:
+        print(f"band_record: REFUSED — record has no gate for: {missing} "
+              f"(pre-gate-era record? re-run bench.py)", file=sys.stderr)
+        return 2
+    loaded = [s for s in required if gates[s].get("section_loaded")]
+    if loaded:
+        print(f"band_record: REFUSED — sections stamped loaded (no quiet "
+              f"window within the re-run budget): {loaded}; this run is a "
+              f"disclosed-warm drift sample, not band evidence",
+              file=sys.stderr)
+        return 2
+    hg = gates["headline"]
+    if hg["worst_ratio"] > hg["threshold_ratio"]:
+        print(f"band_record: REFUSED — headline picked ratio "
+              f"{hg['worst_ratio']} > {hg['threshold_ratio']} yet "
+              f"section_loaded is false (gate invariant broken)",
+              file=sys.stderr)
+        return 2
+
+    value = detail["value"]
+    q10 = (detail.get("queries") or {}).get("q10_returned_items")
+    record = {
+        "stamped_from": os.path.basename(src),
+        "metric": detail.get("metric"),
+        "value": value,
+        "unit": detail.get("unit"),
+        "sf": detail.get("sf"),
+        "band_sec": band,
+        "band_met": value <= band,
+        "queries": detail.get("queries"),
+        "run1_warm": bool(detail.get("run1_warm")),
+        "q10_returned_items_sec": q10,
+        "q10_vs_r01": round(q10 / Q10_R01_SEC, 3) if q10 else None,
+        "section_worst_ratios": {s: gates[s]["worst_ratio"] for s in required},
+        "section_picked_attempts": {
+            s: gates[s]["picked_attempt"] for s in required},
+    }
+    out = os.path.join(HERE, "BENCH_BAND.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"band_record: stamped {out} — headline {value}s "
+          f"(band <={band}: {'MET' if record['band_met'] else 'MISSED'}), "
+          f"q10 {q10}s = {record['q10_vs_r01']}x r01, "
+          f"worst gate ratios {record['section_worst_ratios']}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

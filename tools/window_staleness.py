@@ -116,6 +116,14 @@ def propose_window(
     while len(covered) < len(families):
         cands = set().union(
             *[names for f, names in families.items() if f not in covered])
+        if not cands:
+            # ADVICE r17 low: a family declared with an EMPTY member set
+            # would otherwise surface as min()'s bare ValueError; name
+            # the uncoverable families in the loud backstop instead.
+            empty = sorted(f for f in families if f not in covered)
+            raise SystemExit(
+                f"--propose BUG: families with no registered members "
+                f"cannot be covered: {empty}")
         best = min(cands, key=lambda q: (-len(fams_of(q) - covered),
                                          rank.get(q, len(rank)), q))
         picked.append(best)
