@@ -1,0 +1,96 @@
+"""tools/band_record.py is the only writer of BENCH_BAND.json — the
+record the <=31 s headline band is judged against (PLANS.md "the
+headline band, decided once").  These tests pin its refusal contract:
+a record with any section stamped ``section_loaded: true`` (or with no
+gates at all) must NEVER become band evidence, while a qualifying run
+is stamped with band_met / q10_vs_r01 RECORDED, not gated."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import band_record
+
+
+def _gate(loaded=False, worst=1.0, picked=0):
+    return {
+        "section_loaded": loaded,
+        "worst_ratio": worst,
+        "threshold_ratio": 1.3,
+        "picked_attempt": picked,
+    }
+
+
+def _detail(value=30.5, q10=0.62, **gate_overrides):
+    gates = {s: _gate() for s in ("headline", "iso", "live_pg", "ingest")}
+    for s, g in gate_overrides.items():
+        gates[s] = g
+    return {
+        "metric": "headline_total",
+        "value": value,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"q10_returned_items": q10},
+        "run1_warm": False,
+        "section_gates": gates,
+    }
+
+
+def _write(tmp_path, detail):
+    src = tmp_path / "BENCH_DETAIL.json"
+    src.write_text(json.dumps(detail))
+    return str(src)
+
+
+def test_qualifying_run_is_stamped_with_band_and_q10_recorded(tmp_path):
+    src = _write(tmp_path, _detail(value=30.5, q10=0.62))
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["band_met"] is True and rec["band_sec"] == 31.0
+    assert rec["q10_vs_r01"] == round(0.62 / band_record.Q10_R01_SEC, 3)
+    assert rec["stamped_from"] == "BENCH_DETAIL.json"
+    assert set(rec["section_worst_ratios"]) == {
+        "headline", "iso", "live_pg", "ingest"}
+
+
+def test_band_miss_on_a_quiet_run_is_recorded_not_suppressed(tmp_path):
+    # a fully-gated quiet run that misses the band is a REAL regression:
+    # the tool must stamp it (visible) rather than refuse it (hidden)
+    src = _write(tmp_path, _detail(value=33.0, q10=1.3))
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["band_met"] is False
+    assert rec["q10_vs_r01"] > 2.0  # recorded, judged elsewhere
+
+
+def test_loaded_section_refused(tmp_path):
+    src = _write(tmp_path, _detail(
+        live_pg=_gate(loaded=True, worst=1.6, picked=2)))
+    assert band_record.main([src]) == 2
+    assert not (tmp_path / "BENCH_BAND.json").exists()
+
+
+def test_pre_gate_era_record_refused(tmp_path):
+    detail = _detail()
+    del detail["section_gates"]["ingest"]
+    src = _write(tmp_path, detail)
+    assert band_record.main([src]) == 2
+    assert not (tmp_path / "BENCH_BAND.json").exists()
+
+
+def test_gate_invariant_breach_refused(tmp_path):
+    # section_loaded false but the picked ratio over threshold — a
+    # broken gate must not silently become band evidence
+    src = _write(tmp_path, _detail(
+        headline=_gate(loaded=False, worst=1.5)))
+    assert band_record.main([src]) == 2
+
+
+def test_band_override_flag(tmp_path):
+    src = _write(tmp_path, _detail(value=33.0))
+    assert band_record.main([src, "--band", "34.5"]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["band_sec"] == 34.5 and rec["band_met"] is True

@@ -95,7 +95,9 @@ def main(argv: list[str]) -> int:
         "section_picked_attempts": {
             s: gates[s]["picked_attempt"] for s in required},
     }
-    out = os.path.join(HERE, "BENCH_BAND.json")
+    # written next to the source record: repo root in real use (the
+    # default src is HERE/BENCH_DETAIL.json), a tmp dir under test
+    out = os.path.join(os.path.dirname(os.path.abspath(src)), "BENCH_BAND.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")
