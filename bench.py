@@ -1118,8 +1118,51 @@ def bench_live_pg(
         shutil.rmtree(target, ignore_errors=True)
 
 
+def read_cpu_steal() -> tuple[int, int] | None:
+    """(steal_ticks, busy_ticks) from /proc/stat's aggregate cpu line,
+    or None where unavailable.  busy = everything but idle/iowait —
+    the CPU time this guest wanted; steal is the slice the hypervisor
+    gave to a co-tenant instead.  Deltas of these certify a whole bench
+    section (or suite) directly: single-thread canary probes CANNOT see
+    steal (a lone runnable thread is rarely preempted on a 32-vCPU
+    guest) — measured r18: all four canaries quiet (worst 0.995) while
+    a 32-thread saturating burn showed 19.9% steal and the parallel
+    bar sections ran 1.5-2x their quiet-day walls."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if parts[:1] != ["cpu"] or len(parts) < 9:
+        return None
+    user, nice, system, idle, iowait, irq, softirq, steal = (
+        int(x) for x in parts[1:9])
+    return steal, user + nice + system + irq + softirq + steal
+
+
+def steal_pct(pre: tuple[int, int] | None, post: tuple[int, int] | None):
+    """Percent of this window's busy CPU stolen by the hypervisor, or
+    None when /proc/stat is unavailable or the window saw no busy
+    time."""
+    if pre is None or post is None:
+        return None
+    dsteal, dbusy = post[0] - pre[0], post[1] - pre[1]
+    if dbusy <= 0:
+        return None
+    return round(100.0 * dsteal / dbusy, 2)
+
+
+# A section attempt is hot when the hypervisor stole more than this
+# share of its busy CPU — direct accounting, no probe blind spots.
+# Quiet-host baseline reads ~0-2%; the r18 contended window read
+# 14-20% under parallel load.
+SECTION_STEAL_MAX_PCT = 5.0
+
+
 def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
-                      max_reruns, wait_sec, sleep=time.sleep):
+                      max_reruns, wait_sec, sleep=time.sleep,
+                      steal_reader=read_cpu_steal,
+                      steal_max_pct=SECTION_STEAL_MAX_PCT):
     """Run a bar-bearing bench section between canary reads; re-run (up
     to ``max_reruns``) if any of the four reads (scan/cpu × pre/post)
     regresses past ``threshold``× its quiet reference, keeping the
@@ -1130,29 +1173,41 @@ def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
     exhausted-re-run branch is unit-testable (VERDICT r17 directive #5
     — that branch had never fired on a real record)."""
     attempts: list[dict] = []
-    best = None  # (worst_ratio, result, pre, post, attempt_idx)
+    best = None  # (badness, result, pre, post, attempt_idx, worst, steal)
     for i in range(max_reruns + 1):
         pre = probe()
+        st0 = steal_reader()
         result = run()
+        st1 = steal_reader()
         post = probe()
         worst = round(max(
             pre["scan"] / scan_ref, post["scan"] / scan_ref,
             pre["cpu"] / cpu_ref, post["cpu"] / cpu_ref,
         ), 3)
+        steal = steal_pct(st0, st1)
+        # one badness scalar: the worse of (canary ratio vs threshold)
+        # and (measured steal vs the steal budget); >1 means hot. Steal
+        # is the stronger signal — it covers the section's ENTIRE run
+        # window from kernel accounting, where the canaries only sample
+        # its edges (r18: quiet canaries around a 19.9%-steal section).
+        badness = max(
+            worst / threshold,
+            (steal / steal_max_pct) if steal is not None else 0.0,
+        )
         attempts.append(
             {"pre": pre, "post": post, "worst_ratio": worst,
-             "hot": worst > threshold}
+             "steal_pct": steal, "hot": badness > 1.0}
         )
-        if best is None or worst < best[0]:
-            best = (worst, result, pre, post, i)
-        if worst <= threshold:
+        if best is None or badness < best[0]:
+            best = (badness, result, pre, post, i, worst, steal)
+        if badness <= 1.0:
             break
         if i < max_reruns:
             print(
-                f"# section {label}: canary ratio {worst} > "
-                f"{threshold} (scan {pre['scan']}/"
-                f"{post['scan']}s, cpu {pre['cpu']}/{post['cpu']}s) "
-                f"— waiting {wait_sec}s and re-running "
+                f"# section {label}: hot window (canary ratio {worst} vs "
+                f"{threshold}, steal {steal}% vs {steal_max_pct}%; scan "
+                f"{pre['scan']}/{post['scan']}s, cpu {pre['cpu']}/"
+                f"{post['cpu']}s) — waiting {wait_sec}s and re-running "
                 f"the section",
                 file=sys.stderr,
             )
@@ -1161,14 +1216,16 @@ def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
         "scan_ref_sec": scan_ref,
         "cpu_ref_sec": cpu_ref,
         "threshold_ratio": threshold,
+        "steal_max_pct": steal_max_pct,
         "attempts": attempts,
         "picked_attempt": best[4],
         "canary_pre": best[2],
         "canary_post": best[3],
-        "worst_ratio": best[0],
+        "worst_ratio": best[5],
+        "steal_pct": best[6],
         # True only if EVERY attempt (incl. the picked one) ran hot:
         # the bar readings must then be discounted on the record
-        "section_loaded": best[0] > threshold,
+        "section_loaded": best[0] > 1.0,
     }
     return best[1], gate
 
@@ -1183,6 +1240,7 @@ def main() -> None:
         prev_detail = json.load(open(os.path.join(here, "BENCH_DETAIL.json")))
     except (OSError, json.JSONDecodeError):
         prev_detail = None
+    suite_steal0 = read_cpu_steal()
     spark = get_spark("clockpipe-bench")
     queries = all_queries()
 
@@ -1591,6 +1649,14 @@ def main() -> None:
         "tail_loaded": cpu_end_attempts[-1] > CPU_CANARY_REF_SEC * 1.5,
         "loadavg_end": _loadavg(),
     }
+    # r18: hypervisor steal across the WHOLE suite, from /proc/stat
+    # deltas — the suite-level certification the per-section canaries
+    # cannot give (quiet canaries bounded a 34 s suite that kernel
+    # accounting showed ran under ~15-20% steal; a lone canary thread
+    # is rarely preempted, stolen ticks never lie). None where
+    # /proc/stat is unavailable. Computed LAST so it covers every
+    # block above, including the post-headline scale stories.
+    full["suite_steal_pct"] = steal_pct(suite_steal0, read_cpu_steal())
 
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(full, f, indent=1)
@@ -1710,14 +1776,19 @@ def main() -> None:
         # budget and the section's bar readings carry a discount
         # (hl=headline, lpg=live_pg, ing=ingest; the four raw canary
         # reads per attempt live in BENCH_DETAIL.json section_gates)
+        # [worst canary ratio, picked_attempt, loaded?1:0, steal_pct]
         "sect_gates": {
             {"headline": "hl", "live_pg": "lpg", "ingest": "ing"}.get(k, k): [
                 g["worst_ratio"],
                 g["picked_attempt"],
                 1 if g["section_loaded"] else 0,
+                g.get("steal_pct"),
             ]
             for k, g in full["section_gates"].items()
         },
+        # whole-suite hypervisor steal (r18) — kernel accounting, the
+        # certification canary probes can't give
+        "steal": full.get("suite_steal_pct"),
         "noise_sentinel": full["noise_sentinel"]["ratio"],
         "sentinel_pre_gate": {
             "attempts": pre_gate["attempts_sec"],

@@ -89,6 +89,34 @@ def test_gate_invariant_breach_refused(tmp_path):
     assert band_record.main([src]) == 2
 
 
+def test_suite_steal_over_budget_refused(tmp_path):
+    # quiet canaries everywhere, but the suite-wide kernel accounting
+    # shows heavy hypervisor steal — the r18 blind spot, now refused
+    detail = _detail(value=30.5)
+    detail["suite_steal_pct"] = 14.9
+    src = _write(tmp_path, detail)
+    assert band_record.main([src]) == 2
+    assert not (tmp_path / "BENCH_BAND.json").exists()
+
+
+def test_suite_steal_recorded_when_quiet(tmp_path):
+    detail = _detail(value=30.5)
+    detail["suite_steal_pct"] = 1.3
+    src = _write(tmp_path, detail)
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["suite_steal_pct"] == 1.3
+
+
+def test_pre_steal_record_passes_on_canary_gates_alone(tmp_path):
+    # records written before the steal instrument carry no field —
+    # they qualify on the canary gates (the _detail fixture has none)
+    src = _write(tmp_path, _detail(value=30.5))
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["suite_steal_pct"] is None
+
+
 def test_band_override_flag(tmp_path):
     src = _write(tmp_path, _detail(value=33.0))
     assert band_record.main([src, "--band", "34.5"]) == 0

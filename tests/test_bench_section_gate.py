@@ -66,7 +66,8 @@ def test_exhausted_reruns_stamp_section_loaded():
     slept = []
     result, gate = gated_section_run(
         "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
-        threshold=1.3, max_reruns=2, wait_sec=45, sleep=slept.append)
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=slept.append,
+        steal_reader=lambda: None)
     assert len(calls) == 3, "budget is max_reruns+1 attempts"
     assert slept == [45, 45], "sleeps between attempts only, not after the last"
     assert gate["section_loaded"] is True
@@ -85,7 +86,8 @@ def test_quiet_rerun_clears_the_flag():
     run, calls = _run(["hot", "quiet"])
     result, gate = gated_section_run(
         "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
-        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None)
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None,
+        steal_reader=lambda: None)
     assert len(calls) == 2, "early exit on the first quiet envelope"
     assert gate["section_loaded"] is False
     assert gate["picked_attempt"] == 1 and result == "quiet"
@@ -98,7 +100,65 @@ def test_quiet_first_attempt_runs_once_and_never_sleeps():
     slept = []
     result, gate = gated_section_run(
         "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
-        threshold=1.3, max_reruns=2, wait_sec=45, sleep=slept.append)
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=slept.append,
+        steal_reader=lambda: None)
     assert len(calls) == 1 and result == "only"
     assert slept == []
     assert gate["section_loaded"] is False and gate["picked_attempt"] == 0
+
+
+def _mk_steal(pcts):
+    """Steal reader: per attempt, (pre, post) tick pairs producing the
+    given steal percentages over 1000 busy ticks."""
+    seq = []
+    base = 0
+    for p in pcts:
+        stolen = int(10 * p)  # p% of 1000 busy ticks
+        seq.append((base, base * 10))
+        seq.append((base + stolen, base * 10 + 1000))
+        base += stolen + 7
+    it = iter(seq)
+    return lambda: next(it)
+
+
+def test_steal_votes_hot_even_when_canaries_are_quiet():
+    # the r18 blind spot: every scan/cpu canary quiet while kernel
+    # accounting shows the section ran under heavy hypervisor steal —
+    # the steal vote must force the re-run and, exhausted, the flag
+    probe = _mk_probe([(1.0, 1.0)] * 6)  # all canaries quiet
+    run, calls = _run(["s0", "s1", "s2"])
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None,
+        steal_reader=_mk_steal([19.9, 14.0, 16.5]), steal_max_pct=5.0)
+    assert len(calls) == 3
+    assert gate["section_loaded"] is True
+    assert gate["picked_attempt"] == 1 and result == "s1"  # least-stolen
+    assert gate["steal_pct"] == 14.0
+    assert [a["steal_pct"] for a in gate["attempts"]] == [19.9, 14.0, 16.5]
+
+
+def test_low_steal_and_quiet_canaries_pass_first_attempt():
+    probe = _mk_probe([(1.0, 1.0)] * 2)
+    run, calls = _run(["ok"])
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None,
+        steal_reader=_mk_steal([1.2]), steal_max_pct=5.0)
+    assert len(calls) == 1 and gate["section_loaded"] is False
+    assert gate["steal_pct"] == 1.2
+
+
+def test_steal_breaks_canary_tie_when_picking():
+    # canaries identical-hot on both attempts; the steal numbers must
+    # decide which attempt's result is stamped
+    probe = _mk_probe([(1.5, 1.0)] * 6)
+    run, calls = _run(["a0", "a1", "a2"])
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None,
+        steal_reader=_mk_steal([18.0, 3.0, 12.0]), steal_max_pct=5.0)
+    # attempt 1: canary ratio 1.5/1.3 = 1.154 badness vs steal 3/5 = 0.6
+    # -> badness 1.154, still hot on canaries, but the LEAST bad
+    assert gate["picked_attempt"] == 1 and result == "a1"
+    assert gate["section_loaded"] is True

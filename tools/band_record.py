@@ -37,6 +37,10 @@ DEFAULT_BAND_SEC = 31.0
 # q1_pricing_summary-era first-round record: q10_returned_items read
 # 0.602 s in BENCH_r01.json; the baseline contract is <=2x per query.
 Q10_R01_SEC = 0.602
+# band evidence must come from a suite whose hypervisor steal stayed
+# under this share of busy CPU (quiet-host baseline ~0-2%; the r18
+# contended window read 14-20% with every canary quiet)
+SUITE_STEAL_MAX_PCT = 5.0
 
 
 def main(argv: list[str]) -> int:
@@ -76,6 +80,19 @@ def main(argv: list[str]) -> int:
               f"section_loaded is false (gate invariant broken)",
               file=sys.stderr)
         return 2
+    # r18: whole-suite hypervisor-steal certification. A suite that ran
+    # under significant steal is not band evidence even if every probe
+    # window happened to be quiet — stolen ticks cover the entire run.
+    # Old records (pre-steal bench) carry no field and pass on the
+    # canary gates alone; a None on a NEW record means /proc/stat was
+    # unavailable, also canary-only.
+    suite_steal = detail.get("suite_steal_pct")
+    if suite_steal is not None and suite_steal > SUITE_STEAL_MAX_PCT:
+        print(f"band_record: REFUSED — suite ran under {suite_steal}% "
+              f"hypervisor steal (max {SUITE_STEAL_MAX_PCT}%); this is "
+              f"a disclosed-contended drift sample, not band evidence",
+              file=sys.stderr)
+        return 2
 
     value = detail["value"]
     q10 = (detail.get("queries") or {}).get("q10_returned_items")
@@ -94,6 +111,9 @@ def main(argv: list[str]) -> int:
         "section_worst_ratios": {s: gates[s]["worst_ratio"] for s in required},
         "section_picked_attempts": {
             s: gates[s]["picked_attempt"] for s in required},
+        "section_steal_pct": {
+            s: gates[s].get("steal_pct") for s in required},
+        "suite_steal_pct": suite_steal,
     }
     # written next to the source record: repo root in real use (the
     # default src is HERE/BENCH_DETAIL.json), a tmp dir under test
