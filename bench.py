@@ -1322,6 +1322,42 @@ def main() -> None:
             best = min(best, round(time.perf_counter() - t0, 3))
         return best
 
+    # Memory-bandwidth canary (r18, record-only — no gate): the third
+    # contention class. A co-tenant on OTHER physical cores sharing the
+    # memory controller slows every parallel stage WITHOUT any steal
+    # ticks and without inflating the 1-thread canaries — observed r18:
+    # headline ran 9% uniformly warm (median 1.092x vs the r17
+    # close-out, no mover >0.27 s) on a window whose steal read 0.72%
+    # and whose canaries read 1.024. This probe times a 32-thread
+    # saturating numpy triad (pure streaming reads+writes, no Spark) in
+    # GB/s; it ships in every gate probe so quiet-steal-yet-slow
+    # records carry their own attribution. Quiet reference to be
+    # banded once a few rounds of readings exist.
+    def _mem_canary() -> float:
+        import numpy as np
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = 8_000_000  # 64 MB per array, x3 arrays per worker
+        def triad(_i):
+            a = np.ones(n)
+            b = np.ones(n)
+            t0 = time.perf_counter()
+            c = a + 1.5 * b
+            dt = time.perf_counter() - t0
+            return c[0], dt
+        best = 9e9
+        with ThreadPoolExecutor(32) as ex:
+            # round 0 is an unmeasured warmup: first-touch page faults
+            # on fresh numpy arenas dominate it (measured 10 s vs 0.2 s
+            # steady) — a cold first round would read as contention
+            for r in range(3):
+                t0 = time.perf_counter()
+                list(ex.map(triad, range(32)))
+                if r > 0:
+                    best = min(best, time.perf_counter() - t0)
+        # 3 streams x 64 MB x 32 workers moved in `best` seconds
+        return round(3 * 64e-3 * 32 / max(best, 1e-9), 1)
+
     _cpu_canary()  # throwaway: codegen compile
     pre_attempts: list[float] = []
     cpu_attempts: list[float] = []
@@ -1391,7 +1427,10 @@ def main() -> None:
         # quiet reference; the section is hot if any of the four reads
         # (scan/cpu × pre/post) exceeds SECTION_CANARY_RATIO.
         def _probe() -> dict[str, float]:
-            return {"scan": _measure_canary(), "cpu": _cpu_canary(trials=2)}
+            # mem_gbps is record-only attribution (see _mem_canary);
+            # only scan/cpu vote in the gate's worst-ratio
+            return {"scan": _measure_canary(), "cpu": _cpu_canary(trials=2),
+                    "mem_gbps": _mem_canary()}
 
         return gated_section_run(
             label, run, _probe,
