@@ -1158,11 +1158,27 @@ def steal_pct(pre: tuple[int, int] | None, post: tuple[int, int] | None):
 # 14-20% under parallel load.
 SECTION_STEAL_MAX_PCT = 5.0
 
+# A section attempt is memory-bus-contended when the post-section
+# 32-thread triad reads UNDER this bandwidth (GB/s) — the third
+# contention class, the one both canaries and steal are blind to
+# (r19, VERDICT r18 directive #1; decided once, like the band).
+# Evidence for the 24 GB/s line (full table in PLANS.md "the
+# memory-bandwidth vote"): quiet windows cluster 31-39 GB/s across
+# two days of readings (r18: 33.5/34.1/37.2/37.8/38.x; r19 day-2
+# confirm: 38.2/37.6/37.2/31.2); every window the r18 banding data
+# called warm read <=23.3 (9.1/12.4/13.4/16.2/16.6/17.3/17.7/18.2/
+# 20.2/21.9/22.7/23.1/23.3) — including the r18 official deposit's
+# headline (17.3/21.9 GB/s, steal 0.75%, canaries 1.009) that missed
+# the <=31 s band by 6.6% while "fully gated". 24 = ~0.67x the quiet
+# floor, above the warm cluster's max, below the quiet cluster's min.
+MEM_CANARY_MIN_GBPS = 24.0
+
 
 def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
                       max_reruns, wait_sec, sleep=time.sleep,
                       steal_reader=read_cpu_steal,
-                      steal_max_pct=SECTION_STEAL_MAX_PCT):
+                      steal_max_pct=SECTION_STEAL_MAX_PCT,
+                      mem_probe=None, mem_min_gbps=MEM_CANARY_MIN_GBPS):
     """Run a bar-bearing bench section between canary reads; re-run (up
     to ``max_reruns``) if any of the four reads (scan/cpu × pre/post)
     regresses past ``threshold``× its quiet reference, keeping the
@@ -1171,41 +1187,59 @@ def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
     on the record (consumer contract in PLANS.md "the headline band,
     decided once").  Module-level and probe/sleep-injectable so the
     exhausted-re-run branch is unit-testable (VERDICT r17 directive #5
-    — that branch had never fired on a real record)."""
+    — that branch had never fired on a real record).
+
+    Three votes per attempt, each catching a contention class the
+    others are blind to: scan/cpu canaries (IO/page-cache + CPU load at
+    the section's edges), kernel-accounted hypervisor steal (whole-run
+    CPU preemption), and — when ``mem_probe`` is given — a post-section
+    memory-bandwidth reading voting hot UNDER ``mem_min_gbps`` (r19:
+    co-tenants on other physical cores sharing the memory controller
+    slow every parallel stage with zero steal ticks and quiet
+    canaries; the r18 deposit missed the band by 6.6% exactly this
+    way). The mem burn runs AFTER the post scan/cpu canaries so its
+    ~6 GB, 32-thread footprint never immediately precedes a timed
+    section or perturbs a canary read (ADVICE r18 #1)."""
     attempts: list[dict] = []
-    best = None  # (badness, result, pre, post, attempt_idx, worst, steal)
+    # (badness, result, pre, post, attempt_idx, worst, steal, mem)
+    best = None
     for i in range(max_reruns + 1):
         pre = probe()
         st0 = steal_reader()
         result = run()
         st1 = steal_reader()
         post = probe()
+        mem = mem_probe() if mem_probe is not None else None
         worst = round(max(
             pre["scan"] / scan_ref, post["scan"] / scan_ref,
             pre["cpu"] / cpu_ref, post["cpu"] / cpu_ref,
         ), 3)
         steal = steal_pct(st0, st1)
-        # one badness scalar: the worse of (canary ratio vs threshold)
-        # and (measured steal vs the steal budget); >1 means hot. Steal
-        # is the stronger signal — it covers the section's ENTIRE run
-        # window from kernel accounting, where the canaries only sample
-        # its edges (r18: quiet canaries around a 19.9%-steal section).
+        # one badness scalar: the worst of (canary ratio vs threshold),
+        # (measured steal vs the steal budget), and (bandwidth floor vs
+        # measured bandwidth); >1 means hot. Steal is the stronger CPU
+        # signal — it covers the section's ENTIRE run window from
+        # kernel accounting, where the canaries only sample its edges
+        # (r18: quiet canaries around a 19.9%-steal section). The mem
+        # vote is the only one that sees same-socket bus contention.
         badness = max(
             worst / threshold,
             (steal / steal_max_pct) if steal is not None else 0.0,
+            (mem_min_gbps / max(mem, 1e-9)) if mem is not None else 0.0,
         )
         attempts.append(
             {"pre": pre, "post": post, "worst_ratio": worst,
-             "steal_pct": steal, "hot": badness > 1.0}
+             "steal_pct": steal, "mem_gbps": mem, "hot": badness > 1.0}
         )
         if best is None or badness < best[0]:
-            best = (badness, result, pre, post, i, worst, steal)
+            best = (badness, result, pre, post, i, worst, steal, mem)
         if badness <= 1.0:
             break
         if i < max_reruns:
             print(
                 f"# section {label}: hot window (canary ratio {worst} vs "
-                f"{threshold}, steal {steal}% vs {steal_max_pct}%; scan "
+                f"{threshold}, steal {steal}% vs {steal_max_pct}%, mem "
+                f"{mem} GB/s vs floor {mem_min_gbps}; scan "
                 f"{pre['scan']}/{post['scan']}s, cpu {pre['cpu']}/"
                 f"{post['cpu']}s) — waiting {wait_sec}s and re-running "
                 f"the section",
@@ -1217,12 +1251,14 @@ def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
         "cpu_ref_sec": cpu_ref,
         "threshold_ratio": threshold,
         "steal_max_pct": steal_max_pct,
+        "mem_min_gbps": mem_min_gbps if mem_probe is not None else None,
         "attempts": attempts,
         "picked_attempt": best[4],
         "canary_pre": best[2],
         "canary_post": best[3],
         "worst_ratio": best[5],
         "steal_pct": best[6],
+        "mem_gbps": best[7],
         # True only if EVERY attempt (incl. the picked one) ran hot:
         # the bar readings must then be discounted on the record
         "section_loaded": best[0] > 1.0,
@@ -1322,17 +1358,20 @@ def main() -> None:
             best = min(best, round(time.perf_counter() - t0, 3))
         return best
 
-    # Memory-bandwidth canary (r18, record-only — no gate): the third
-    # contention class. A co-tenant on OTHER physical cores sharing the
-    # memory controller slows every parallel stage WITHOUT any steal
-    # ticks and without inflating the 1-thread canaries — observed r18:
-    # headline ran 9% uniformly warm (median 1.092x vs the r17
-    # close-out, no mover >0.27 s) on a window whose steal read 0.72%
-    # and whose canaries read 1.024. This probe times a 32-thread
-    # saturating numpy triad (pure streaming reads+writes, no Spark) in
-    # GB/s; it ships in every gate probe so quiet-steal-yet-slow
-    # records carry their own attribution. Quiet reference to be
-    # banded once a few rounds of readings exist.
+    # Memory-bandwidth canary (r18 record-only; VOTES since r19 —
+    # VERDICT r18 directive #1): the third contention class. A
+    # co-tenant on OTHER physical cores sharing the memory controller
+    # slows every parallel stage WITHOUT any steal ticks and without
+    # inflating the 1-thread canaries — observed r18: headline ran 9%
+    # uniformly warm (median 1.092x vs the r17 close-out, no mover
+    # >0.27 s) on a window whose steal read 0.72% and whose canaries
+    # read 1.024. This probe times a 32-thread saturating numpy triad
+    # (pure streaming reads+writes, no Spark) in GB/s; it runs ONCE per
+    # attempt, after the post scan/cpu canaries (ADVICE r18 #1: the
+    # ~6 GB burn must never immediately precede a timed section or a
+    # canary read), and votes hot under MEM_CANARY_MIN_GBPS — evidence
+    # table at the constant and in PLANS.md "the memory-bandwidth
+    # vote".
     def _mem_canary() -> float:
         import numpy as np
         from concurrent.futures import ThreadPoolExecutor
@@ -1427,16 +1466,15 @@ def main() -> None:
         # quiet reference; the section is hot if any of the four reads
         # (scan/cpu × pre/post) exceeds SECTION_CANARY_RATIO.
         def _probe() -> dict[str, float]:
-            # mem_gbps is record-only attribution (see _mem_canary);
-            # only scan/cpu vote in the gate's worst-ratio
-            return {"scan": _measure_canary(), "cpu": _cpu_canary(trials=2),
-                    "mem_gbps": _mem_canary()}
+            return {"scan": _measure_canary(), "cpu": _cpu_canary(trials=2)}
 
+        # mem_probe votes (r19): measured once per attempt, post-only —
+        # gated_section_run sequences the burn after the post canaries
         return gated_section_run(
             label, run, _probe,
             scan_ref=SENTINEL_REF_SEC, cpu_ref=CPU_CANARY_REF_SEC,
             threshold=SECTION_CANARY_RATIO, max_reruns=SECTION_MAX_RERUNS,
-            wait_sec=SENTINEL_WAIT_SEC,
+            wait_sec=SENTINEL_WAIT_SEC, mem_probe=_mem_canary,
         )
 
     # Isolation A/B, immediately after warm-up: each query here runs

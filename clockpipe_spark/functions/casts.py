@@ -73,7 +73,11 @@ def pg_to_int(col: Column) -> Column:
     happens to be UInt64. Our output is a Spark `bigint` (int64), which
     has no representation for [2^63, 2^64), so those strings
     zero-default here along with everything else try_cast rejects —
-    the same outcome a ClickHouse Int64 column would give. Strings
+    no Int64 representation exists in either engine for that range
+    (ADVICE r18 low: a ClickHouse Int64 column typically REJECTS such
+    text rather than zero-defaulting, so the divergence is ours to own,
+    not an equivalence — it stays deliberate, documented, and
+    boundary-fuzzed at 2^63/2^64-1/2^64). Strings
     beyond 2^64 are parse Errs in Rust too, so both engines agree
     there. Never aborts — hence try_cast on the already-regex-validated
     string (ADVICE r17 low: this docstring previously claimed all

@@ -137,3 +137,67 @@ def test_band_override_flag(tmp_path):
     assert band_record.main([src, "--band", "34.5"]) == 0
     rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
     assert rec["band_sec"] == 34.5 and rec["band_met"] is True
+
+
+def test_headline_mem_gate_invariant_breach_refused(tmp_path):
+    # r19 mem vote: loaded=false yet the picked headline attempt's
+    # bandwidth under the gate's own recorded floor — broken gate,
+    # never band evidence
+    detail = _detail(value=30.5)
+    detail["section_gates"]["headline"]["mem_gbps"] = 17.3
+    detail["section_gates"]["headline"]["mem_min_gbps"] = 24.0
+    src = _write(tmp_path, detail)
+    assert band_record.main([src]) == 2
+    assert not (tmp_path / "BENCH_BAND.json").exists()
+
+
+def test_pre_vote_mem_attribution_does_not_refuse(tmp_path):
+    # r18-era records carried mem_gbps as record-only attribution with
+    # no floor field — a warm reading there is disclosure, not a broken
+    # gate; the record still qualifies on its voting gates
+    detail = _detail(value=30.5)
+    detail["section_gates"]["headline"]["mem_gbps"] = 17.3
+    src = _write(tmp_path, detail)
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["section_mem_gbps"]["headline"] == 17.3
+
+
+def test_quiet_mem_voting_record_is_stamped_with_mem_recorded(tmp_path):
+    detail = _detail(value=29.9)
+    for s in ("headline", "iso", "live_pg", "ingest"):
+        detail["section_gates"][s]["mem_gbps"] = 37.2
+        detail["section_gates"][s]["mem_min_gbps"] = 24.0
+    src = _write(tmp_path, detail)
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["section_mem_gbps"] == {
+        s: 37.2 for s in ("headline", "iso", "live_pg", "ingest")}
+
+
+def test_steal_threshold_read_from_gate_record_not_a_local_copy(tmp_path):
+    # ADVICE r18 #2: a record gated with a LOOSER bench budget (e.g.
+    # 10%) must be judged against that budget, not a hand-copied 5 —
+    # the tool reads steal_max_pct from the gate like threshold_ratio
+    detail = _detail(value=30.5)
+    detail["section_gates"]["headline"]["steal_pct"] = 9.0
+    detail["section_gates"]["headline"]["steal_max_pct"] = 10.0
+    src = _write(tmp_path, detail)
+    assert band_record.main([src]) == 0
+
+
+def test_q10_zero_reading_reports_zero_ratio_not_missing(tmp_path):
+    # ADVICE r18 #3: 0.0 is a measurement, None is an absence
+    src = _write(tmp_path, _detail(value=30.5, q10=0.0))
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["q10_vs_r01"] == 0.0 and rec["q10_returned_items_sec"] == 0.0
+
+
+def test_q10_absent_reports_none(tmp_path):
+    detail = _detail(value=30.5)
+    detail["queries"] = {}
+    src = _write(tmp_path, detail)
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["q10_vs_r01"] is None and rec["q10_returned_items_sec"] is None

@@ -162,3 +162,72 @@ def test_steal_breaks_canary_tie_when_picking():
     # -> badness 1.154, still hot on canaries, but the LEAST bad
     assert gate["picked_attempt"] == 1 and result == "a1"
     assert gate["section_loaded"] is True
+
+
+def _mk_mem(gbps_seq):
+    """Mem probe: one post-section bandwidth reading per attempt."""
+    it = iter(gbps_seq)
+    return lambda: next(it)
+
+
+def test_mem_vote_hot_even_when_canaries_and_steal_quiet():
+    # the r18 deposit's blind spot (VERDICT r18 directive #1): steal
+    # 0.75%, worst canary 1.009 — "fully gated" — yet the headline ran
+    # on a 17.3/21.9 GB/s memory-bus-contended window and missed the
+    # band by 6.6%. The mem vote must force the re-run and, exhausted,
+    # the section_loaded flag; the quietest (highest-bandwidth) attempt
+    # is the one stamped.
+    probe = _mk_probe([(1.0, 1.0)] * 6)          # canaries quiet
+    run, calls = _run(["m0", "m1", "m2"])
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None,
+        steal_reader=_mk_steal([0.8, 0.7, 0.9]), steal_max_pct=5.0,
+        mem_probe=_mk_mem([17.3, 21.9, 16.2]), mem_min_gbps=24.0)
+    assert len(calls) == 3
+    assert gate["section_loaded"] is True
+    assert gate["picked_attempt"] == 1 and result == "m1"  # least-contended
+    assert gate["mem_gbps"] == 21.9 and gate["mem_min_gbps"] == 24.0
+    assert [a["mem_gbps"] for a in gate["attempts"]] == [17.3, 21.9, 16.2]
+    assert [a["hot"] for a in gate["attempts"]] == [True, True, True]
+
+
+def test_mem_recovery_on_rerun_clears_the_flag():
+    probe = _mk_probe([(1.0, 1.0)] * 4)
+    run, calls = _run(["warm", "quiet"])
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None,
+        steal_reader=_mk_steal([0.5, 0.4]), steal_max_pct=5.0,
+        mem_probe=_mk_mem([12.4, 38.2]), mem_min_gbps=24.0)
+    assert len(calls) == 2
+    assert gate["section_loaded"] is False
+    assert gate["picked_attempt"] == 1 and result == "quiet"
+    assert [a["hot"] for a in gate["attempts"]] == [True, False]
+    assert gate["mem_gbps"] == 38.2
+
+
+def test_quiet_mem_passes_first_attempt():
+    probe = _mk_probe([(1.0, 1.0)] * 2)
+    run, calls = _run(["ok"])
+    result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None,
+        steal_reader=_mk_steal([0.5]), steal_max_pct=5.0,
+        mem_probe=_mk_mem([33.5]), mem_min_gbps=24.0)
+    assert len(calls) == 1 and gate["section_loaded"] is False
+    assert gate["mem_gbps"] == 33.5
+
+
+def test_no_mem_probe_keeps_legacy_record_shape():
+    # unit probes without a mem reading (and any pre-r19 caller) must
+    # see no mem vote and explicit nulls on the record, never a KeyError
+    probe = _mk_probe([(1.0, 1.0)] * 2)
+    run, _calls = _run(["legacy"])
+    _result, gate = gated_section_run(
+        "unit", run, probe, scan_ref=_SCAN_REF, cpu_ref=_CPU_REF,
+        threshold=1.3, max_reruns=2, wait_sec=45, sleep=lambda _s: None,
+        steal_reader=lambda: None)
+    assert gate["section_loaded"] is False
+    assert gate["mem_gbps"] is None and gate["mem_min_gbps"] is None
+    assert gate["attempts"][0]["mem_gbps"] is None

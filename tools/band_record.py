@@ -37,11 +37,13 @@ DEFAULT_BAND_SEC = 31.0
 # q1_pricing_summary-era first-round record: q10_returned_items read
 # 0.602 s in BENCH_r01.json; the baseline contract is <=2x per query.
 Q10_R01_SEC = 0.602
-# the headline section's hypervisor steal must stay under this share
-# of busy CPU (quiet-host baseline ~0-2%; the r18 contended window
-# read 14-20% with every canary quiet) — same budget the bench gates
-# vote with (bench.SECTION_STEAL_MAX_PCT)
-SUITE_STEAL_MAX_PCT = 5.0
+# Fallback steal budget for records written before the gate carried
+# its own ``steal_max_pct`` field. ADVICE r18 #2: the live threshold is
+# READ FROM THE GATE RECORD (like threshold_ratio), so bench.py's
+# budget can never silently drift from the invariant check here; this
+# constant only backstops pre-field records, matching the
+# bench.SECTION_STEAL_MAX_PCT value they were gated with.
+PRE_FIELD_STEAL_MAX_PCT = 5.0
 
 
 def main(argv: list[str]) -> int:
@@ -96,9 +98,23 @@ def main(argv: list[str]) -> int:
     # steal fields and qualify on their canary gates alone.
     suite_steal = detail.get("suite_steal_pct")
     hl_steal = hg.get("steal_pct")
-    if hl_steal is not None and hl_steal > SUITE_STEAL_MAX_PCT:
+    steal_max = hg.get("steal_max_pct", PRE_FIELD_STEAL_MAX_PCT)
+    if hl_steal is not None and hl_steal > steal_max:
         print(f"band_record: REFUSED — headline section ran under "
-              f"{hl_steal}% steal (max {SUITE_STEAL_MAX_PCT}%) yet "
+              f"{hl_steal}% steal (max {steal_max}%) yet "
+              f"section_loaded is false (gate invariant broken)",
+              file=sys.stderr)
+        return 2
+    # r19 memory-bandwidth vote, same defensive shape: the vote already
+    # lands section_loaded inside the gate, so a below-floor picked
+    # reading with loaded=false can only mean the gate is broken.
+    # Pre-vote records carry mem_gbps as record-only attribution (or
+    # not at all) and a null mem_min_gbps — no invariant to check.
+    hl_mem = hg.get("mem_gbps")
+    mem_floor = hg.get("mem_min_gbps")
+    if hl_mem is not None and mem_floor is not None and hl_mem < mem_floor:
+        print(f"band_record: REFUSED — headline section ran at "
+              f"{hl_mem} GB/s memory bandwidth (floor {mem_floor}) yet "
               f"section_loaded is false (gate invariant broken)",
               file=sys.stderr)
         return 2
@@ -116,12 +132,17 @@ def main(argv: list[str]) -> int:
         "queries": detail.get("queries"),
         "run1_warm": bool(detail.get("run1_warm")),
         "q10_returned_items_sec": q10,
-        "q10_vs_r01": round(q10 / Q10_R01_SEC, 3) if q10 else None,
+        # ADVICE r18 #3: identity check, not truthiness — a measured
+        # ~0.0 s q10 must report as 0.0x, never conflate with "absent"
+        "q10_vs_r01": (round(q10 / Q10_R01_SEC, 3)
+                       if q10 is not None else None),
         "section_worst_ratios": {s: gates[s]["worst_ratio"] for s in required},
         "section_picked_attempts": {
             s: gates[s]["picked_attempt"] for s in required},
         "section_steal_pct": {
             s: gates[s].get("steal_pct") for s in required},
+        "section_mem_gbps": {
+            s: gates[s].get("mem_gbps") for s in required},
         "suite_steal_pct": suite_steal,
     }
     # written next to the source record: repo root in real use (the
