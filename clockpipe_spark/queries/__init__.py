@@ -70,16 +70,15 @@ _MODULES = (
 # queries free slots; stalest members preferred, so family canaries
 # rotate within their family) + the stalest remaining rows.
 #
-# Round-18 rotation (VERDICT r17 directive #2): clears the r13 trio
-# (udf_zscore_per_user — also re-exercises the FlatMapGroupsInPandas
-# lint rule end-to-end —, unpivot_status_revenue,
-# window_range_time_frame) and 33 of the 41 r14 rows; after the r18
-# deposit the staleness floor is r14 with 8 queries
+# Round-19 rotation (VERDICT r18 directive #3): clears the ENTIRE r14
+# staleness floor — the 8 queries that had rotated last at r14
 # (q6_revenue_forecast, setop_active_both_statuses,
 # setop_only_open_customers, stats_percentiles, text_ngram_novelty,
 # window_lag_event_delta, window_running_revenue,
-# window_top3_orders_per_customer — they rotate first at r19),
-# meeting the directive's "floor ≥ r14 at close".
+# window_top3_orders_per_customer) lead the queue — then bites into
+# the 45-row r15 backlog (28 of its members in-window this round,
+# stalest-first where the family hitting set allows). After the r19
+# deposit the staleness floor is r15.
 # Registry freeze holds (180 entries, 0 added this rotation; any new
 # oracle must pass the dtype-strict twin at sf0.001 + sf0.01
 # pre-registration, tests/test_oracle_dtype_guard.py).
@@ -93,51 +92,52 @@ _PRIORITY = (
     "cdc_replica_state",           # FINAL dedup-on-read
     "dedup_exact",                 # exact-dedup family
     # ---- family hitting set + stalest queue, tool-proposed ------
-    # ---- last driver row r13 ----
-    "udf_zscore_per_user",
-    "unpivot_status_revenue",
-    "window_range_time_frame",
-    # ---- last driver row r14 ----
-    "cdc_changelog",
-    "cdc_conflict_audit",
-    "cdc_mask_columns",
-    "cdc_mongo_bson_casts",
-    "cdc_mongo_infer_project",
-    "cdc_replica_asof",
-    "cdc_route_counts",
-    "corpus_doclen_histogram",
-    "corpus_top_ngrams",
-    "correlated_above_avg_orders",
-    "cosine_topk_brute",
-    "dedup_cluster_assign",
-    "dedup_minhash_lsh",
-    "embedding_norm_stats",
-    "event_transition_matrix",
-    "grouping_sets_lineitem",
-    "join_anti_customers_without_orders",
-    "join_broadcast_brand_volume",
-    "join_semi_customers_with_orders",
-    "lateral_explode_tokens",
-    "mm_wav_decode",
-    "ntile_customer_quartiles",
-    "pg_array_literal_parse",
-    "profile_table_stats",
-    "q10_returned_items",
-    "q14_promo_revenue_pct",
-    "q18_large_orders",
-    "q5_local_supplier_volume",
-    "range_join_ship_latency",
-    "sample_stratified_hash",
-    "scalar_string_funcs",
-    "stream_tumbling_hourly",
-    "ts_gapfill_locf",
+    # ---- last driver row r14 (the whole r14 floor rotates) ------
+    "q6_revenue_forecast",
+    "setop_active_both_statuses",
+    "setop_only_open_customers",
+    "stats_percentiles",
+    "text_ngram_novelty",
+    "window_lag_event_delta",
+    "window_running_revenue",
+    "window_top3_orders_per_customer",
+    # ---- last driver row r15 ----
+    "agg_rollup_lineitem",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "asof_last_purchase",
+    "dedup_cluster_assign_lsh",
+    "dedup_simhash",
+    "distinct_users_per_event_type",
+    "embedding_neardup_pairs",
+    "mm_bmp_decode",
+    "mm_bytes_meta",
+    "mm_fake_image_features",
+    "mm_frame_sample",
+    "mm_image_resize",
+    "neardup_jaccard_pairs",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "scalar_date_parts",
+    "stream_session_windows",
+    "window_function_battery",
     # ---- last driver row r16 ----
-    "array_agg_per_nation",
-    "benchmark_contamination",
-    "bm25_retrieval",
-    "frequent_items_mg",
-    "ts_anomaly_mad",
+    "cdc_scd2_history",
+    "chi_square_lang_source",
+    "embedding_int8_quantize",
+    "funnel_conversion",
+    "join_full_outer_daily",
+    "mixture_temperature_weights",
+    "quantile_histogram_rollup",
+    "ts_resample_ohlc",
     # ---- last driver row r17 ----
+    "ann_hard_negatives",
+    "array_hof_battery",
+    "contamination_bloom",
+    "inverted_index_stats",
+    "ts_seasonal_residual",
+    # ---- last driver row r18 (family-canary slots) ----
     "cdc_cast_matrix",
     "cdc_snapshot_diff",
     "hierarchy_rollup",
