@@ -1198,8 +1198,14 @@ def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
     slow every parallel stage with zero steal ticks and quiet
     canaries; the r18 deposit missed the band by 6.6% exactly this
     way). The mem burn runs AFTER the post scan/cpu canaries so its
-    ~6 GB, 32-thread footprint never immediately precedes a timed
-    section or perturbs a canary read (ADVICE r18 #1)."""
+    ~6 GB, 32-thread footprint never immediately precedes THIS
+    section's timed run or its own canary reads (ADVICE r18 #1).
+    Residual adjacency, accepted: when sections run back-to-back, the
+    final quiet attempt's burn precedes the NEXT section's pre scan
+    canary — bounded by design, because _measure_canary is min-of-2
+    and its first trial repopulates any page cache the burn evicted
+    (and a hot attempt's burn is separated from the next probe by the
+    wait_sec sleep)."""
     attempts: list[dict] = []
     # (badness, result, pre, post, attempt_idx, worst, steal, mem)
     best = None
@@ -1236,10 +1242,14 @@ def gated_section_run(label, run, probe, *, scan_ref, cpu_ref, threshold,
         if badness <= 1.0:
             break
         if i < max_reruns:
+            # name the mem vote only when it exists (a no-mem_probe
+            # caller must not see a floor that never voted)
+            mem_msg = (f", mem {mem} GB/s vs floor {mem_min_gbps}"
+                       if mem_probe is not None else "")
             print(
                 f"# section {label}: hot window (canary ratio {worst} vs "
-                f"{threshold}, steal {steal}% vs {steal_max_pct}%, mem "
-                f"{mem} GB/s vs floor {mem_min_gbps}; scan "
+                f"{threshold}, steal {steal}% vs {steal_max_pct}%"
+                f"{mem_msg}; scan "
                 f"{pre['scan']}/{post['scan']}s, cpu {pre['cpu']}/"
                 f"{post['cpu']}s) — waiting {wait_sec}s and re-running "
                 f"the section",
@@ -1526,7 +1536,13 @@ def main() -> None:
     # build the IVF index OUTSIDE the timed region so the prebuilt
     # entry's trials measure serving only. Prewarm time disclosed; it
     # includes the index build only when the corpus-fingerprint cache
-    # is cold (first run on fresh testdata).
+    # is cold (first run on fresh testdata). One throwaway warm scan
+    # first: this timing sits right after the iso gate's final mem
+    # burn, and the warm read re-populates whatever page cache the
+    # burn displaced so the disclosed number isn't burn-shadowed.
+    queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     t0 = time.perf_counter()
     queries["ann_ivf_topk_prebuilt"](spark, sf_dir).write.format("noop").mode(
         "overwrite"

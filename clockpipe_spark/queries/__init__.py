@@ -76,9 +76,9 @@ _MODULES = (
 # setop_only_open_customers, stats_percentiles, text_ngram_novelty,
 # window_lag_event_delta, window_running_revenue,
 # window_top3_orders_per_customer) lead the queue — then bites into
-# the 45-row r15 backlog (28 of its members in-window this round,
-# stalest-first where the family hitting set allows). After the r19
-# deposit the staleness floor is r15.
+# the 45-row r15 backlog (20 of its members in-window this round,
+# stalest-first where the family hitting set allows; 25 r15 rows
+# remain for r20). After the r19 deposit the staleness floor is r15.
 # Registry freeze holds (180 entries, 0 added this rotation; any new
 # oracle must pass the dtype-strict twin at sf0.001 + sf0.01
 # pre-registration, tests/test_oracle_dtype_guard.py).

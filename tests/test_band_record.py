@@ -152,15 +152,30 @@ def test_headline_mem_gate_invariant_breach_refused(tmp_path):
 
 
 def test_pre_vote_mem_attribution_does_not_refuse(tmp_path):
-    # r18-era records carried mem_gbps as record-only attribution with
-    # no floor field — a warm reading there is disclosure, not a broken
-    # gate; the record still qualifies on its voting gates
+    # r18-era records carried mem_gbps as record-only attribution
+    # INSIDE the picked attempt's canary_pre/canary_post probe dicts
+    # (the real shape bench.py wrote that round — e.g. the r18 deposit
+    # headline: canary_pre {'scan':0.239,'cpu':0.514,'mem_gbps':17.3})
+    # with no gate-level floor. A warm reading there is disclosure, not
+    # a broken gate; the record still qualifies on its voting gates and
+    # the attribution is stamped from the probe dicts (post preferred).
     detail = _detail(value=30.5)
-    detail["section_gates"]["headline"]["mem_gbps"] = 17.3
+    hg = detail["section_gates"]["headline"]
+    hg["canary_pre"] = {"scan": 0.239, "cpu": 0.514, "mem_gbps": 17.3}
+    hg["canary_post"] = {"scan": 0.244, "cpu": 0.520, "mem_gbps": 21.9}
     src = _write(tmp_path, detail)
     assert band_record.main([src]) == 0
     rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
-    assert rec["section_mem_gbps"]["headline"] == 17.3
+    assert rec["section_mem_gbps"]["headline"] == 21.9
+
+
+def test_pre_probe_era_record_stamps_null_mem(tmp_path):
+    # records older than the mem instrument entirely: no reading
+    # anywhere -> null attribution, never a KeyError or a refusal
+    src = _write(tmp_path, _detail(value=30.5))
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["section_mem_gbps"]["headline"] is None
 
 
 def test_quiet_mem_voting_record_is_stamped_with_mem_recorded(tmp_path):

@@ -46,6 +46,21 @@ Q10_R01_SEC = 0.602
 PRE_FIELD_STEAL_MAX_PCT = 5.0
 
 
+def _mem_of(gate: dict):
+    """Picked attempt's bandwidth reading, wherever the writing era put
+    it: gate-level ``mem_gbps`` (r19 vote), else inside the picked
+    attempt's canary_post/canary_pre dicts (r18 record-only era — the
+    burn ran in both probes then; post is the fresher read), else None
+    (pre-probe records)."""
+    if gate.get("mem_gbps") is not None:
+        return gate["mem_gbps"]
+    for side in ("canary_post", "canary_pre"):
+        probe = gate.get(side)
+        if isinstance(probe, dict) and probe.get("mem_gbps") is not None:
+            return probe["mem_gbps"]
+    return None
+
+
 def main(argv: list[str]) -> int:
     band = DEFAULT_BAND_SEC
     paths = []
@@ -108,8 +123,10 @@ def main(argv: list[str]) -> int:
     # r19 memory-bandwidth vote, same defensive shape: the vote already
     # lands section_loaded inside the gate, so a below-floor picked
     # reading with loaded=false can only mean the gate is broken.
-    # Pre-vote records carry mem_gbps as record-only attribution (or
-    # not at all) and a null mem_min_gbps — no invariant to check.
+    # Pre-vote (r18) records carry mem_gbps as record-only attribution
+    # INSIDE canary_pre/canary_post (or not at all) and no gate-level
+    # floor — no invariant to check there, attribution still stamped
+    # via _mem_of below.
     hl_mem = hg.get("mem_gbps")
     mem_floor = hg.get("mem_min_gbps")
     if hl_mem is not None and mem_floor is not None and hl_mem < mem_floor:
@@ -142,7 +159,7 @@ def main(argv: list[str]) -> int:
         "section_steal_pct": {
             s: gates[s].get("steal_pct") for s in required},
         "section_mem_gbps": {
-            s: gates[s].get("mem_gbps") for s in required},
+            s: _mem_of(gates[s]) for s in required},
         "suite_steal_pct": suite_steal,
     }
     # written next to the source record: repo root in real use (the
