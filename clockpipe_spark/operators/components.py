@@ -49,6 +49,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     labels = (
         vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
         .localCheckpoint(eager=True)
@@ -60,22 +62,43 @@ def connected_components(
             .agg(F.min("lbl").alias("nbr_lbl"))
             .withColumnRenamed("s", "id")
         )
+        # the changed-label count rides the checkpoint's materialization
+        # as an Observation (r20): the round's plan has both the old and
+        # the new label in hand, so counting lbl-decreases there removes
+        # the separate labels-rejoin + count() job each round ran before
+        # (same quantity: new lbl only ever decreases below old).
+        obs = Observation()
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
+                F.col("lbl").alias("__old_lbl"),
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("lbl") < F.col("__old_lbl")).cast("long")),
+                    F.lit(0),
+                ).alias("c"),
+            )
+            .select("id", "lbl")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .count()
-        )
+        try:
+            changed = obs.get["c"]
+        except Exception:
+            # AQE's empty-relation propagation prunes CollectMetrics on
+            # an empty label set — fall back to the legacy rejoin count
+            # (only reachable for empty/degenerate vertex sets)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lbl") < F.col("o.lbl"))
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break
@@ -153,6 +176,8 @@ def connected_components_star(
     them); the flag only moves redundant bytes off the wire, so it is
     safe even if a caller's guarantee is approximate.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
@@ -161,14 +186,39 @@ def connected_components_star(
     e = e.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # the fixed-point signature rides the checkpoint's own
+        # materialization as an Observation (r20): one job per round
+        # instead of two — the separate agg action re-read the
+        # checkpointed edge set purely to compute 2 scalars the
+        # checkpoint job already had in hand.
         # bit_xor: order-insensitive set signature that can't overflow
         # under ANSI mode (sum of int64 hashes can)
-        sig = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).first()
-        sig = (sig["n"], sig["h"])
+        obs = Observation()
+        e = (
+            _small_star(_large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias(
+                    "h"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        try:
+            row = obs.get
+        except Exception:
+            # AQE's empty-relation propagation prunes CollectMetrics
+            # when the round's edge set goes empty, so the metric never
+            # arrives — fall back to the explicit agg (trivially cheap:
+            # it only happens on an empty/near-empty edge set)
+            row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias(
+                    "h"
+                ),
+            ).first()
+        sig = (row["n"], row["h"])
         if sig == prev_sig:
             break
         prev_sig = sig

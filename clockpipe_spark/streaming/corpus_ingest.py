@@ -163,8 +163,11 @@ class CorpusIngestPipeline:
             # history instead of scanning a corpus-sized id column per
             # batch.
             rng = obs_arrived.get
+            # distinct=False (r20): a left_anti join is duplicate-
+            # insensitive on its right side, so the redelivery filter
+            # skips admitted_ids' dedup exchange inside this write job
             already = self.neardup.admitted_ids(
-                id_range=(rng["lo"], rng["hi"])
+                id_range=(rng["lo"], rng["hi"]), distinct=False
             ).withColumnRenamed("id", id_col)
             new_rows = admitted_df.join(already, id_col, "left_anti").observe(
                 obs_admitted, F.count(F.lit(1)).alias("n")

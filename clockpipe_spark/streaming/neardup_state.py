@@ -400,6 +400,22 @@ class StreamingNearDup:
                 print(f"# nd-trace {label}: {now - _t0:.3f}s", flush=True)
             _t0 = now
 
+        from pyspark.sql import Observation
+
+        # The batch's doc count rides the stats job as an Observation
+        # (r20): with the signature count derived from the same job's
+        # band-row count (below), their difference is the short-doc
+        # count — which previously cost a separate limit(1).count()
+        # probe job on the cached shorts frame and, when zero (the
+        # common case for a gated corpus), now lets the whole shorts
+        # subplan (history read, window, unions) drop out of the
+        # all_dup checkpoint. CAVEAT (measured): when the signature set
+        # is EMPTY, AQE's empty-relation propagation prunes the
+        # CollectMetrics node out of the re-optimized plan and the
+        # metric never arrives — obs_docs.get then raises, and the
+        # reader below falls back to the legacy probe path.
+        obs_docs = Observation()
+        docs = docs.observe(obs_docs, F.count(F.lit(1)).alias("n"))
         sig = minhash_signatures(docs, id_col, text_col, self.n_hashes).cache()
         bands = band_hashes(sig, self.n_hashes, self.n_bands).cache()
 
@@ -418,8 +434,13 @@ class StreamingNearDup:
             ).alias("bb"),
             F.min("id").alias("lo"),
             F.max("id").alias("hi"),
+            # band rows are exactly n_bands per signature row, so the
+            # signature count rides this same action (r20) — no extra
+            # job, no observation fragility
+            F.count(F.lit(1)).alias("nb"),
         ).first()
         probe_buckets, id_lo, id_hi = stats["bb"], stats["lo"], stats["hi"]
+        n_sig = stats["nb"] // self.n_bands
         _mark("stats_collect")
         hist_bands = self._history_df(self._band_files(probe_buckets), _BANDS_SCHEMA)
 
@@ -485,37 +506,53 @@ class StreamingNearDup:
             .withColumn("est", minhash_est_jaccard(F.col("mn"), F.col("mo"), self.n_hashes))
             .filter(F.col("est") >= self.threshold)
         )
-        dup_ids = scored.select(F.col("new_id").alias("id")).distinct()
+        dup_ids = scored.select(F.col("new_id").alias("id"))
 
         # Docs too short to shingle (< 3 tokens) have NO signature row —
         # they cannot near-duplicate anything, so they route through an
         # EXACT dedup on the normalized text hash instead (shorts log).
-        shorts = (
-            docs.select(
-                F.col(id_col).alias("id"),
-                F.xxhash64(F.lower(F.trim(F.col(text_col)))).alias("text_hash"),
+        # n_short = observed doc count minus the stats job's signature
+        # count (r20) — zero extra jobs — and when the batch has no
+        # short docs the whole shorts subplan is elided from this
+        # batch's plans. n_short None = observation pruned (empty-sig
+        # batch, see above): build the shorts subplan and fall back to
+        # the legacy probe, which is exactly the pre-r20 behavior.
+        try:
+            n_short = obs_docs.get["n"] - n_sig
+        except Exception:
+            n_short = None
+        shorts = None
+        admitted_shorts = None
+        dup_short_parts = []
+        if n_short is None or n_short > 0:
+            shorts = (
+                docs.select(
+                    F.col(id_col).alias("id"),
+                    F.xxhash64(F.lower(F.trim(F.col(text_col)))).alias(
+                        "text_hash"
+                    ),
+                )
+                .join(sig.select("id"), "id", "left_anti")
+                .cache()
             )
-            .join(sig.select("id"), "id", "left_anti")
-            .cache()
-        )
-        hist_shorts = self._history(self.shorts_dir, _SHORTS_SCHEMA)
-        short_vs_hist = (
-            shorts.alias("n")
-            .join(
-                hist_shorts.alias("h"),
-                (F.col("n.text_hash") == F.col("h.text_hash"))
-                # replay safety, as for bands
-                & (F.col("n.id") != F.col("h.id")),
+            hist_shorts = self._history(self.shorts_dir, _SHORTS_SCHEMA)
+            short_vs_hist = (
+                shorts.alias("n")
+                .join(
+                    hist_shorts.alias("h"),
+                    (F.col("n.text_hash") == F.col("h.text_hash"))
+                    # replay safety, as for bands
+                    & (F.col("n.id") != F.col("h.id")),
+                )
+                .select(F.col("n.id").alias("id"))
             )
-            .select(F.col("n.id").alias("id"))
-        )
-        w = Window.partitionBy("text_hash").orderBy("id")
-        short_intra = (
-            shorts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > 1)
-            .select("id")
-        )
-        dup_short_ids = short_vs_hist.unionByName(short_intra).distinct()
+            w = Window.partitionBy("text_hash").orderBy("id")
+            short_intra = (
+                shorts.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > 1)
+                .select("id")
+            )
+            dup_short_parts = [short_vs_hist, short_intra]
 
         # intra-batch chains (A~B, B~C): admission is transitive by id
         # order only at threshold collisions within the same band family;
@@ -527,12 +564,14 @@ class StreamingNearDup:
         # anti-join), and before the checkpoint the candidate joins
         # re-executed per consumer — the profile showed the band/est
         # joins running twice per batch. It is a tiny id set (bounded by
-        # batch size), so the eager localCheckpoint is cheap.
-        all_dup = (
-            dup_ids.unionByName(dup_short_ids)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        # batch size), so the eager localCheckpoint is cheap. ONE
+        # distinct over the unioned id parts (r20) — the three chained
+        # distinct exchanges (dup_ids, dup_short_ids, the union) were
+        # set-algebra no-ops over the final one.
+        all_dup = dup_ids
+        for part in dup_short_parts:
+            all_dup = all_dup.unionByName(part)
+        all_dup = all_dup.distinct().localCheckpoint(eager=True)
         _mark("all_dup_ckpt")
         # Replay safety (at-least-once foreachBatch): a re-delivered batch
         # must not re-append state rows for ids already admitted — the
@@ -553,9 +592,10 @@ class StreamingNearDup:
             .join(hist_sig_ids, "id", "left_anti")
             .cache()
         )
-        admitted_shorts = shorts.join(all_dup, "id", "left_anti").join(
-            hist_shorts.select("id"), "id", "left_anti"
-        )
+        if shorts is not None:
+            admitted_shorts = shorts.join(all_dup, "id", "left_anti").join(
+                hist_shorts.select("id"), "id", "left_anti"
+            )
 
         # State-append discipline (r12, LSM): every log appends as a
         # handful of PLAIN top-level files — the hive partitionBy append
@@ -654,9 +694,16 @@ class StreamingNearDup:
         _mark("bands_and_pre_commit")
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_out = pool.submit(w_out)  # not a state write — overlaps commits
-            # cached-frame probe (~0.1 s) skips the empty append job
-            # (~0.4 s of commit protocol) for all-long-doc batches
-            if shorts.limit(1).count():
+            # n_short from the stats job (r20) skips the empty append
+            # job (~0.4 s of commit protocol) for all-long-doc batches
+            # with no probe job at all (was a ~0.1 s limit(1).count()
+            # on the cached shorts frame); the legacy probe remains the
+            # fallback when the observation was pruned (empty-sig batch)
+            if (
+                n_short > 0
+                if n_short is not None
+                else shorts.limit(1).count()
+            ):
                 w_shorts()  # only after downstream stores are durable
             w_sigs()  # commit marker: only after every other write landed
             f_out.result()
@@ -666,7 +713,8 @@ class StreamingNearDup:
         self.compact_sigs()
         _mark("compact_checks")
         admitted_sig.unpersist()
-        shorts.unpersist()
+        if shorts is not None:
+            shorts.unpersist()
         sig.unpersist()
         bands.unpersist()
         return out_holder["out"]
@@ -747,13 +795,21 @@ class StreamingNearDup:
             os.remove(f)
         return len(loose)
 
-    def admitted_ids(self, id_range: tuple | None = None) -> DataFrame:
+    def admitted_ids(
+        self, id_range: tuple | None = None, distinct: bool = True
+    ) -> DataFrame:
         """Ids admitted so far. ``id_range=(lo, hi)`` (r13) restricts
         the listing to that id interval — correct ONLY for membership
         checks against ids known to lie inside it (the corpus append's
         redelivery filter); pass None for a complete listing. The range
         predicate pushes into both log scans, where row-group id stats
-        skip clustered history."""
+        skip clustered history.
+
+        ``distinct=False`` (r20) skips the dedup exchange for consumers
+        whose semantics are duplicate-insensitive — an anti-join's
+        result is identical against a multiset right side, so the
+        corpus append's redelivery filter saves one aggregate exchange
+        per batch. Listing consumers keep the default."""
         # distinct() guards against duplicate state rows from any history
         # written before the replay-idempotence anti-join existed
         sig_ids = self._history(self.sigs_dir, _SIGS_SCHEMA).select("id")
@@ -763,4 +819,4 @@ class StreamingNearDup:
             ids = ids.filter(
                 (F.col("id") >= id_range[0]) & (F.col("id") <= id_range[1])
             )
-        return ids.distinct()
+        return ids.distinct() if distinct else ids
