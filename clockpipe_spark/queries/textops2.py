@@ -347,6 +347,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
     # 1-row total via broadcast cross join (same pattern as relational2)
+    # (r20: a freq localCheckpoint was tried here — the vocab table
+    # feeds both the total and the scoring join — and measured WORSE
+    # at bench scale on a quiet window (min 1.94 s -> 2.66 s): the
+    # eager checkpoint's serialized job wall exceeds one re-run of the
+    # token groupBy at sf0.1. Left recomputed; the 100 TB fix is the
+    # persisted-model split, as in build_bigram_lm.)
     total = freq.agg(F.sum("c").alias("n"))
     # no broadcast hint on freq: the vocab of a web-scale corpus is
     # heavy-tailed (typos/noise push unique tokens toward 1e9 at
@@ -442,7 +448,20 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    bg_freq = grams.groupBy("bg").agg(F.sum("cnt").alias("cbg"))
+    # r20: checkpoint the bigram count table too — it feeds three
+    # branches (the scoring join, ctx_freq, and vocab via ctx_freq) and
+    # no ReusedExchange fires across them (verified in the final AQE
+    # plan: 0 ReusedExchange), so the bg groupBy over the gram stream
+    # ran three times. One materialization of the vocab-sized table
+    # replaces them; interleaved A/B at sf0.1: min 2.19 s vs 2.30 s
+    # with a visibly tighter spread (2.19-3.12 vs 2.30-9.62 under the
+    # same host noise). This is also the 100 TB shape: the count table
+    # IS the persisted model artifact (docstring above).
+    bg_freq = (
+        grams.groupBy("bg")
+        .agg(F.sum("cnt").alias("cbg"))
+        .localCheckpoint(eager=True)
+    )
     ctx_freq = bg_freq.groupBy(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
     ).agg(F.sum("cbg").alias("cctx"))
