@@ -216,3 +216,56 @@ def test_q10_absent_reports_none(tmp_path):
     assert band_record.main([src]) == 0
     rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
     assert rec["q10_vs_r01"] is None and rec["q10_returned_items_sec"] is None
+
+
+def test_mem_warn_band_annotates_intermediate_bus_stamp(tmp_path):
+    # ADVICE r19 #1: a picked reading in [floor, 31) GB/s qualifies but
+    # is visibly flagged so a band-miss attributes to bus contention
+    g = _gate()
+    g["mem_gbps"] = 25.6
+    g["mem_min_gbps"] = 24.0
+    src = _write(tmp_path, _detail(headline=g))
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["mem_warn_band_gbps"] == band_record.MEM_WARN_BAND_GBPS
+    assert rec["section_mem_warn"]["headline"] is True
+    assert rec["section_mem_warn"]["iso"] is False  # no reading -> no flag
+
+
+def test_quiet_bus_stamp_carries_no_mem_warn(tmp_path):
+    g = _gate()
+    g["mem_gbps"] = 37.8
+    g["mem_min_gbps"] = 24.0
+    src = _write(tmp_path, _detail(headline=g))
+    assert band_record.main([src]) == 0
+    rec = json.loads((tmp_path / "BENCH_BAND.json").read_text())
+    assert rec["section_mem_warn"]["headline"] is False
+
+
+def test_loosened_budget_record_warns_at_stamp_time(tmp_path, capsys):
+    # ADVICE r19 #2: a record whose self-declared budgets drift from the
+    # live bench constants must not SILENTLY self-certify — the stamp
+    # still succeeds (re-stamping old records after a documented budget
+    # change stays possible) but the drift is printed
+    g = _gate()
+    g["steal_pct"] = 4.0
+    g["steal_max_pct"] = 50.0  # loosened vs bench.SECTION_STEAL_MAX_PCT
+    g["mem_gbps"] = 37.0
+    g["mem_min_gbps"] = 1.0  # loosened vs bench.MEM_CANARY_MIN_GBPS
+    src = _write(tmp_path, _detail(headline=g))
+    assert band_record.main([src]) == 0
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "steal budget" in err and "mem floor" in err
+
+
+def test_matching_budgets_stamp_without_warning(tmp_path, capsys):
+    import bench
+
+    g = _gate()
+    g["steal_pct"] = 4.0
+    g["steal_max_pct"] = bench.SECTION_STEAL_MAX_PCT
+    g["mem_gbps"] = 37.0
+    g["mem_min_gbps"] = bench.MEM_CANARY_MIN_GBPS
+    src = _write(tmp_path, _detail(headline=g))
+    assert band_record.main([src]) == 0
+    assert "WARNING" not in capsys.readouterr().err

@@ -45,6 +45,45 @@ Q10_R01_SEC = 0.602
 # bench.SECTION_STEAL_MAX_PCT value they were gated with.
 PRE_FIELD_STEAL_MAX_PCT = 5.0
 
+# Memory-bandwidth warn band (ADVICE r19 #1): the gate floor (24 GB/s)
+# deliberately admits the 24-31 GB/s intermediate-bus band, and the
+# r18/r19 paired readings show such windows can inflate timings
+# (PLANS.md "the memory-bandwidth vote": quiet cluster ≥31.2 GB/s
+# across two days; a fully-gated 25.6 GB/s window read +19% vs the
+# clean-bus run). Stamps whose picked readings fall in the band are
+# ANNOTATED — visibly flagged, not refused — so a band-miss on an
+# intermediate-bus window attributes itself.
+MEM_WARN_BAND_GBPS = 31.0
+
+
+def _budget_drift_warnings(hg: dict) -> list[str]:
+    """ADVICE r19 #2: the gate-invariant checks judge the record
+    against thresholds the record itself declares, so a bench build
+    with a silently loosened budget would self-certify. Compare the
+    recorded budgets against the live bench constants and warn on
+    mismatch — the loosened-budget record is then visible at stamp
+    time. Warn (not refuse): re-stamping an OLD record after a
+    deliberate, documented budget change must stay possible."""
+    warnings = []
+    try:
+        sys.path.insert(0, HERE)
+        import bench
+    except Exception as ex:  # bench must stay importable; never crash a stamp
+        return [f"budget cross-check skipped (bench import failed: {ex})"]
+    rec_steal = hg.get("steal_max_pct")
+    if rec_steal is not None and rec_steal != bench.SECTION_STEAL_MAX_PCT:
+        warnings.append(
+            f"record's steal budget {rec_steal}% != live "
+            f"bench.SECTION_STEAL_MAX_PCT {bench.SECTION_STEAL_MAX_PCT}%"
+        )
+    rec_mem = hg.get("mem_min_gbps")
+    if rec_mem is not None and rec_mem != bench.MEM_CANARY_MIN_GBPS:
+        warnings.append(
+            f"record's mem floor {rec_mem} GB/s != live "
+            f"bench.MEM_CANARY_MIN_GBPS {bench.MEM_CANARY_MIN_GBPS} GB/s"
+        )
+    return warnings
+
 
 def _mem_of(gate: dict):
     """Picked attempt's bandwidth reading, wherever the writing era put
@@ -136,8 +175,12 @@ def main(argv: list[str]) -> int:
               file=sys.stderr)
         return 2
 
+    for w in _budget_drift_warnings(hg):
+        print(f"band_record: WARNING — {w}", file=sys.stderr)
+
     value = detail["value"]
     q10 = (detail.get("queries") or {}).get("q10_returned_items")
+    mem_by_section = {s: _mem_of(gates[s]) for s in required}
     record = {
         "stamped_from": os.path.basename(src),
         "metric": detail.get("metric"),
@@ -158,8 +201,16 @@ def main(argv: list[str]) -> int:
             s: gates[s]["picked_attempt"] for s in required},
         "section_steal_pct": {
             s: gates[s].get("steal_pct") for s in required},
-        "section_mem_gbps": {
-            s: _mem_of(gates[s]) for s in required},
+        "section_mem_gbps": mem_by_section,
+        # ADVICE r19 #1: intermediate-bus annotation — readings in
+        # [gate floor, 31) GB/s passed the vote but sit below the
+        # quiet-window cluster; a band-miss on such a stamp reads as
+        # bus contention first, regression second
+        "mem_warn_band_gbps": MEM_WARN_BAND_GBPS,
+        "section_mem_warn": {
+            s: (m is not None and m < MEM_WARN_BAND_GBPS)
+            for s, m in mem_by_section.items()
+        },
         "suite_steal_pct": suite_steal,
     }
     # written next to the source record: repo root in real use (the
