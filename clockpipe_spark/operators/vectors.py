@@ -69,13 +69,23 @@ def hyperplane_lsh_bucketizer(dim: int, n_planes: int = 16, seed: int = 42):
     return bucket
 
 
-def ivf_assigner(centroids: np.ndarray, nprobe: int = 1):
+def ivf_assigner(centroids: np.ndarray, nprobe: int = 1, deterministic: bool = True):
     """IVF coarse quantizer: pandas UDF mapping a vector to its `nprobe`
     nearest centroid ids (by cosine). One matmul per Arrow batch.
 
     `centroids` is a (K, dim) matrix — at scale it comes from a k-means
     sample pass; the caller owns that choice (the operator is agnostic).
-    """
+
+    ``deterministic=False`` (r20, guide §4.4): the function is in fact
+    deterministic, but when its output feeds an equi-join key the
+    optimizer infers ``isnotnull(element_at(assign(...), 1))`` from the
+    join and pushes it below the fan-out exchange — duplicating the
+    whole K-centroid matmul over every corpus row (a second
+    ArrowEvalPython node whose output is projected away immediately).
+    Marking the UDF non-deterministic forbids that copy; results are
+    unchanged. Only opt in for Project-context calls — a
+    non-deterministic expression under ``explode`` (the nprobe>1 query
+    side) is rejected at analysis."""
     norms = np.linalg.norm(centroids, axis=1)
     normed = centroids / np.maximum(norms[:, None], 1e-12)
 
@@ -87,7 +97,7 @@ def ivf_assigner(centroids: np.ndarray, nprobe: int = 1):
         idx = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(idx))
 
-    return assign
+    return assign if deterministic else assign.asNondeterministic()
 
 
 def kmeans_lite(sample: np.ndarray, k: int, n_iter: int = 5, seed: int = 42) -> np.ndarray:

@@ -328,7 +328,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _train_centroids(emb, sf_dir)
 
-    assign1 = ivf_assigner(centroids, nprobe=1)
+    # deterministic=False (r20): "cell" is this join's equi-key, and the
+    # inferred isnotnull(cell) otherwise pushes below the fan-out
+    # exchange, re-running the corpus-side matmul UDF per row (two
+    # ArrowEvalPython nodes in the r19 plan; see ivf_assigner)
+    assign1 = ivf_assigner(centroids, nprobe=1, deterministic=False)
     # same fan-out guard as ann_lsh_topk: candidate volume is smaller
     # here (corpus/K per probe) but the parallelism floor must still be
     # operator-owned, not inherited from input file count
@@ -589,7 +593,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_codebooks(sample, n_subspaces=8, n_centroids=32)
     encode, decode = pq_encoder(books), pq_decoder(books)
 
-    assign1 = ivf_assigner(centroids, nprobe=1)
+    # deterministic=False (r20): same join-key isnotnull duplication as
+    # ann_ivf_topk — see ivf_assigner
+    assign1 = ivf_assigner(centroids, nprobe=1, deterministic=False)
     emb = fanout_repartition(emb)
     corpus = (
         emb.select(
