@@ -192,16 +192,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("qn2"),
         "bucket",
     )
-    cand = (
+    # score BEFORE the candidate dedup (r20, guide §2.3 — shuffle fewer
+    # bytes): the broadcast join leaves both vectors in hand with no
+    # exchange, so computing the cosine here and deduping on
+    # (query_id, neighbor_id, cos-only rows) shrinks the dropDuplicates
+    # exchange from 2x64 doubles/row (~1 KB) to 24 B/row AND turns the
+    # first()-on-arrays SortAggregate pair into a codegen HashAggregate.
+    # Duplicate candidates (same pair colliding in several tables) pay
+    # one extra codegen dot product each, but their cos is bit-identical
+    # (same inputs, same sequential fold), so the surviving row is the
+    # same as the old dedup-then-score result. Same pattern as
+    # ann_ivf_topk. Plan evidence: plans/r20/ann_lsh_topk_{before,after}.
+    scored = (
         flat.join(F.broadcast(queries), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "qe", "qn2", "e", "n2")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine_prenormed(F.col("qe"), F.col("e"), F.col("qn2"), F.col("n2")).alias("cos"),
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("qe"), F.col("e"), F.col("qn2"), F.col("n2")
+            ).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
