@@ -13,6 +13,7 @@ reference's multi-column PK rendering, pipes/postgres.rs:789-802).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,6 +46,23 @@ PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-session memo of table PLAN HANDLES (r20, guide §1.2 driver fixed
+# costs): every load_table call paid a fresh spark.read.parquet —
+# footer/schema resolution plus a new FileIndex — ~0.1-0.15 s of
+# driver-side metadata work per call, several calls per query, every
+# bench trial. The memo returns the same immutable DataFrame (a lazy
+# plan over the parquet files, NOT data or results: every execution
+# still scans parquet), which is what a real engine's catalog reference
+# does — the reference mirrors source catalogs once, it does not
+# re-introspect per query. Keyed by session (weak, so a stopped
+# session's plans are collectable) + absolute path + table; the tables
+# this module serves are the immutable testdata datasets (streaming
+# state tables use their own readers), and test fixtures write each
+# generated dataset to a fresh tmp dir, so a key is never re-written.
+_TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one named table. Column pruning + predicate pushdown reach the
@@ -68,6 +86,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # relative to the (naive) values every other engine reads
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    per_session = _TABLE_PLANS.get(spark)
+    if per_session is None:
+        per_session = {}
+        _TABLE_PLANS[spark] = per_session
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
@@ -78,6 +104,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NTZ naive wall-clock -> LTZ at UTC: identical instant,
             # watermark-compatible type
             df = df.withColumn("ts", F.to_timestamp(F.col("ts")))
+    per_session[key] = df
     return df
 
 

@@ -186,8 +186,15 @@ def minhash_signatures(
     # this (0.96 s vs 0.93 s sig-only, within noise); the projection
     # form also drops the shingle string before the partial agg.
     sh = sh.select("id", portable_hash32(F.col("shingle")).alias("h32"))
+    # F.expr strings, not Column composition (r20): each Column operator
+    # is a py4j round trip, and building these 32 aggregates
+    # operator-by-operator measured 1.2 s of socket wait per plan build
+    # (the bench times build+execute, and the streaming ingest rebuilds
+    # this plan every micro-batch). One parse call per aggregate yields
+    # the bit-identical expression tree (verified: optimizedPlan strings
+    # match modulo expr ids).
     mins = [
-        F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(_P32)).alias(f"m{i}")
+        F.expr(f"min((h32 * {a}L + {b}L) % {_P32}L) AS m{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = sh.groupBy("id").agg(*mins)
@@ -202,29 +209,23 @@ def band_hashes(sig: DataFrame, n_hashes: int = 32, n_bands: int = 8) -> DataFra
     cross-batch streaming filter. Payload-free: only the 3 columns
     travel through the candidate join."""
     rows_per_band = n_hashes // n_bands
+    # one F.expr parse instead of ~n_hashes*4 py4j round trips (r20, same
+    # rationale as the minhash_signatures aggregates — this builder also
+    # runs per micro-batch in the streaming ingest). The string renders
+    # exactly the old Column tree: struct(band_idx, portable_hash60(
+    # concat_ws(',', CAST(element_at(minhash, i) AS STRING)...))).
+    bands_sql = ", ".join(
+        "struct({b} AS band_idx, CAST(conv(substring(md5(concat_ws(',', {cols})), 1, 15), 16, 10) AS BIGINT) AS band_hash)".format(
+            b=band,
+            cols=", ".join(
+                f"CAST(element_at(minhash, {band * rows_per_band + r + 1}) AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for band in range(n_bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_idx"),
-                        portable_hash60(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        "minhash", band * rows_per_band + r + 1
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("b"),
+        "id", F.expr(f"explode(array({bands_sql}))").alias("b")
     ).select("id", "b.band_idx", "b.band_hash")
 
 

@@ -246,8 +246,25 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("anc"),
         F.lit(0).alias("depth"),
     )
+    # round count computed up front, not probed per round (r20, guide
+    # §1.2/§5 — no driver loops of eager actions): round k's frontier is
+    # nodes with doc_id div 10^(k-1) > 0, so it is non-empty iff
+    # max(doc_id) >= 10^(k-1) — the exact depth is the digit count of
+    # max(doc_id). The old per-round stepped.isEmpty() ran one job per
+    # level, each re-executing the whole un-checkpointed join lineage
+    # (O(depth²) joins driver-side); one scalar max() replaces them all
+    # and the closure is row-identical (the loop unions exactly the
+    # non-empty rounds either way; oracle-pinned vs WITH RECURSIVE).
+    max_id = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    depth = 0
+    while max_id is not None and 10**depth <= max_id:
+        depth += 1
+    if depth > _HIER_MAX_DEPTH:
+        raise RuntimeError(
+            f"hierarchy deeper than {_HIER_MAX_DEPTH} — guard tripped"
+        )
     frontier = closure
-    for _ in range(_HIER_MAX_DEPTH):
+    for _ in range(depth):
         stepped = (
             frontier.join(
                 edges.select(
@@ -262,14 +279,8 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("depth") + 1).alias("depth"),
             )
         )
-        if stepped.isEmpty():
-            break
         closure = closure.unionByName(stepped)
         frontier = stepped
-    else:
-        raise RuntimeError(
-            f"hierarchy deeper than {_HIER_MAX_DEPTH} — guard tripped"
-        )
     rolled = (
         closure.join(docs, closure.node == docs.doc_id)
         .groupBy("anc")

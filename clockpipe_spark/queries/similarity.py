@@ -608,6 +608,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic=False (r20): same join-key isnotnull duplication as
     # ann_ivf_topk — see ivf_assigner
     assign1 = ivf_assigner(centroids, nprobe=1, deterministic=False)
+    emb_raw = emb  # pre-fanout: the 10-row qvecs probe needs no repartition
     emb = fanout_repartition(emb)
     corpus = (
         emb.select(
@@ -632,11 +633,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = corpus.join(F.broadcast(queries), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # the ADC stage moves ids+scores only (r20, guide §2.3): qe/qn2 are
+    # DROPPED before the candidate dedup, so neither the dropDuplicates
+    # exchange nor the shortlist window drags a 64-double query vector
+    # per candidate row — that would defeat the whole PQ design, whose
+    # point is that full-precision vectors are touched per shortlist
+    # row, not per candidate. The query vectors re-attach to the ≤50-
+    # row-per-query shortlist below via a broadcast of the 10-row query
+    # frame; same expressions over the same rows, so qe/qn2 are
+    # bit-identical and the refined cosine is unchanged.
     pq_scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        "qe",
-        "qn2",
         cosine_prenormed(
             F.col("qe"), F.col("recon"), F.col("qn2"), F.col("rn2")
         ).alias("pq_cos"),
@@ -647,12 +655,22 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srnk") <= _PQ_SHORTLIST)
         .drop("srnk", "pq_cos")
     )
+    qvecs = (
+        emb_raw.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array(F.col("embedding")).alias("qe"),
+        )
+        .withColumn("qn2", l2_norm_sq(F.col("qe")))
+    )
     # exact re-rank: join the TRUE vectors back for shortlist rows only
     true_vecs = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         as_double_array(F.col("embedding")).alias("ne"),
     ).withColumn("nn2", l2_norm_sq(F.col("ne")))
-    refined = shortlist.join(true_vecs, "neighbor_id").select(
+    refined = shortlist.join(F.broadcast(qvecs), "query_id").join(
+        true_vecs, "neighbor_id"
+    ).select(
         "query_id",
         "neighbor_id",
         cosine_prenormed(F.col("qe"), F.col("ne"), F.col("qn2"), F.col("nn2")).alias(
