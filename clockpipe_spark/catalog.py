@@ -54,19 +54,45 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # plan over the parquet files, NOT data or results: every execution
 # still scans parquet), which is what a real engine's catalog reference
 # does — the reference mirrors source catalogs once, it does not
-# re-introspect per query. Keyed by session (weak, so a stopped
-# session's plans are collectable) + absolute path + table; the tables
-# this module serves are the immutable testdata datasets (streaming
-# state tables use their own readers), and test fixtures write each
-# generated dataset to a fresh tmp dir, so a key is never re-written.
+# re-introspect per query. Keyed by session + absolute path + table;
+# the tables this module serves are the immutable testdata datasets
+# (streaming state tables use their own readers), and test fixtures
+# write each generated dataset to a fresh tmp dir, so a key is never
+# re-written. The weak keying alone cannot collect a stopped session's
+# entry (ADVICE r20: the cached DataFrames strongly reference their
+# session, pinning the weak key), so _purge_stopped drops dead-session
+# entries explicitly whenever a new session first appears.
 _TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _purge_stopped() -> None:
+    """Drop memo entries whose session has been stopped: their cached
+    DataFrames pin the session object, so weak keys never fire for them
+    (a stopped SparkContext has _jsc = None — pyspark sets it in stop())."""
+    dead = [
+        s
+        for s in list(_TABLE_PLANS)
+        if getattr(s.sparkContext, "_jsc", None) is None
+    ]
+    for s in dead:
+        _TABLE_PLANS.pop(s, None)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Read one named table. Column pruning + predicate pushdown reach the
     parquet scan because this stays a plain declarative read.
+
+    IMMUTABLE-DATASET CONTRACT (ADVICE r20): the returned handle is
+    memoized per (session, path, table) — including its eager file
+    listing — so a caller that overwrites or appends at the same path
+    in-session would read stale file lists. The datasets this module
+    serves never change in-session (testdata + fresh-tmp-dir fixtures);
+    a caller whose path may change must pass ``refresh=True`` to bypass
+    and replace the memo entry.
 
     ``events.ts`` has shipped in two parquet encodings across driver
     rounds: TIMESTAMP(NANOS), which Spark reads only as a raw long
@@ -88,10 +114,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     per_session = _TABLE_PLANS.get(spark)
     if per_session is None:
+        _purge_stopped()
         per_session = {}
         _TABLE_PLANS[spark] = per_session
     key = (os.path.abspath(sf_dir), name)
-    cached = per_session.get(key)
+    cached = None if refresh else per_session.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

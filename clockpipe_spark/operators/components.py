@@ -112,10 +112,22 @@ def connected_components(
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
-    # no distinct: duplicate edges are harmless to the groupBy-min and
-    # join that consume this — the round's single distinct runs at the
-    # end of _small_star. One exchange per round instead of four.
-    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # no distinct: duplicate edges are harmless to the window-min that
+    # consumes this — the round's single distinct runs at the end of
+    # _small_star. Single-reference explode (r21) instead of the
+    # 2-branch self-union: the input subtree appears ONCE in the plan,
+    # which is load-bearing now that two contraction rounds share one
+    # materialization (the inner round is not checkpointed, and
+    # exchange reuse does not reliably dedup repeated references —
+    # measured 0 ReusedExchange on this repo's identical-subtree plans).
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("uv")
+    ).select("uv.u", "uv.v")
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -156,18 +168,28 @@ def _small_star(e: DataFrame) -> DataFrame:
     several when duplicate (u, m) edges exist, where the old
     groupBy-min emitted one — but both branches feed the round's
     closing distinct, so the round's OUTPUT SET is identical (proven
-    set-equal on the live pair graph before the swap)."""
+    set-equal on the live pair graph before the swap).
+
+    Single-reference emit (r21): per window row, explode a conditional
+    array — always (v, m), plus (u, m) when v hits the group min —
+    instead of the old 2-branch union over the window output, so the
+    window (and everything below it) appears once in the plan. Set-
+    identical: a v==m row's (v, m) element is (m, m), removed by the
+    closing u!=v filter exactly as the old branch-1 copy was."""
     oriented = e.select(
         F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
     ).select(F.col("gu").alias("u"), F.col("gv").alias("v"))
     mw = oriented.select(
         "u", "v", F.min("v").over(Window.partitionBy("u")).alias("m")
     )
-    out = mw.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
-        mw.filter(F.col("v") == F.col("m")).select(
-            "u", F.col("m").alias("v")
-        )
-    )
+    pair_vm = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
+    pair_um = F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
+    out = mw.select(
+        F.explode(
+            F.when(F.col("v") == F.col("m"), F.array(pair_vm, pair_um))
+            .otherwise(F.array(pair_vm))
+        ).alias("uv")
+    ).select("uv.u", "uv.v")
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
@@ -206,27 +228,16 @@ def connected_components_star(
     if not edges_distinct:
         e = e.distinct()
     e = e.localCheckpoint(eager=True)
-    prev_sig = None
-    for _ in range(max_iter):
-        # the fixed-point signature rides the checkpoint's own
-        # materialization as an Observation (r20): one job per round
-        # instead of two — the separate agg action re-read the
-        # checkpointed edge set purely to compute 2 scalars the
-        # checkpoint job already had in hand.
+
+    def _sig_cols():
         # bit_xor: order-insensitive set signature that can't overflow
         # under ANSI mode (sum of int64 hashes can)
-        obs = Observation()
-        e = (
-            _small_star(_large_star(e))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias(
-                    "h"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         )
+
+    def _sig_of(frame, obs):
         try:
             row = obs.get
         except Exception:
@@ -234,19 +245,42 @@ def connected_components_star(
             # when the round's edge set goes empty, so the metric never
             # arrives — fall back to the explicit agg (trivially cheap:
             # it only happens on an empty/near-empty edge set)
-            row = e.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias(
-                    "h"
-                ),
-            ).first()
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
+            row = frame.agg(*_sig_cols()).first()
+        return (row["n"], row["h"])
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # TWO contraction rounds per materialization (r21, guide §1.2 —
+        # halve the per-round fixed costs: one checkpoint job, one
+        # driver wall, one intermediate-edge-set write per two rounds
+        # instead of per round). Fixed-point detection stays exactly
+        # per-round: each round's (count, bit_xor) signature rides the
+        # SAME checkpoint job as its own Observation (CollectMetrics is
+        # a mid-plan node; both metrics arrive from the one
+        # materialization, r20's one-job-per-round trick applied twice
+        # in one plan). sig1==prev_sig or sig2==sig1 ⇒ that round's
+        # input set equals its output set ⇒ it is AT the fixed point,
+        # and contraction rounds are idempotent on a fixed point (every
+        # edge already points at its component min; large-star and
+        # small-star both re-emit exactly those edges), so `e` holds the
+        # fixed point whichever comparison fired. Same per-round edge
+        # sets and shuffles as before — only the materialization
+        # boundary moved.
+        obs1, obs2 = Observation(), Observation()
+        mid = _small_star(_large_star(e)).observe(obs1, *_sig_cols())
+        e = (
+            _small_star(_large_star(mid))
+            .observe(obs2, *_sig_cols())
+            .localCheckpoint(eager=True)
+        )
+        sig1 = _sig_of(mid, obs1)
+        sig2 = _sig_of(e, obs2)
+        if sig1 == prev_sig or sig2 == sig1:
             break
-        prev_sig = sig
+        prev_sig = sig2
     else:
         raise ComponentsDidNotConverge(
-            f"star contraction not at fixed point after {max_iter} rounds"
+            f"star contraction not at fixed point after {2 * max_iter} rounds"
         )
     # at the fixed point every node that appears in an edge points at its
     # component min; vertices untouched by any edge are singletons

@@ -127,51 +127,79 @@ def kmeans_refine_distributed(
 ) -> np.ndarray:
     """Distributed Lloyd refinement rounds for spherical k-means.
 
-    Per round: one Arrow-matmul assignment pass (ivf_assigner) and a
-    posexplode re-centering — ``(cell, pos) -> avg`` runs with map-side
-    partial aggregation, so the shuffle carries K x dim partial sums per
-    map task, not n x dim rows. Only the K x dim centroid matrix is
-    collected to the driver (bounded regardless of corpus size) — the
-    same budget IVF index training has at any scale.
+    Per round: ONE shuffle-free mapInPandas pass (r21, guide §2.3/§4.5 —
+    the gram_matrix_distributed pattern). Each task assigns its batches
+    to cells with the same matmul+argsort ivf_assigner uses, accumulates
+    per-cell unit-vector sums and counts across its batches, and emits a
+    single K x (dim+1) partial row; the driver sums the partials and
+    re-normalizes. This replaces the r20 shape (separate Arrow
+    assignment UDF + a K-group hash aggregate with dim avg buffers),
+    which traded the old posexplode's 64x row amplification for a
+    64-column aggregate Catalyst had to analyze per round — the driver's
+    r20 bench read that trade as a 25% REGRESSION at sf0.1 where the
+    query is compile-bound. Now there is no aggregate to analyze and no
+    exchange at all: the only data movement is partitions x K x (dim+1)
+    doubles to the driver, independent of corpus size (the same budget
+    gram_matrix_distributed has; at extreme partition counts insert a
+    tree level, same as any partial-aggregation collect). Addends are
+    unchanged — assignment replicates ivf_assigner bit-for-bit (raw
+    dtype normalization, argsort tie-breaking) and the summed values are
+    the double-cast unit vectors the old avg consumed; only fp merge
+    order differs, which the 98%-agreement pin and rows-only gate
+    already tolerate.
+
+    Input contract: fixed-length vectors (dim must match ``centroids``);
+    np.vstack raises on ragged input rather than silently averaging the
+    positions present.
     """
-    from pyspark.sql import functions as F
+    import pandas as pd
 
     k, dim = centroids.shape
+    out_schema = "cnt array<long>, s array<double>"
     for _ in range(n_iter):
-        assign = ivf_assigner(centroids, nprobe=1)
-        # spherical: average the UNIT vectors (kmeans_lite normalizes its
-        # sample the same way), then re-normalize the mean
-        e = F.col(vec_col).cast("array<double>")
-        prepared = df.select(
-            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
-            e.alias("e"),
-        ).withColumn(
-            "nrm", F.greatest(F.sqrt(l2_norm_sq(F.col("e"))), F.lit(1e-12))
-        )
-        # per-position avg aggregates instead of posexplode (r20, guide
-        # §2.3 aggregate-before-shuffle taken to its limit): the old
-        # shape exploded dim× rows per vector just to group them back by
-        # (cell, pos) — measured ~1.4 s/round at sf0.1 on top of the
-        # 0.58 s assignment pass. One hash agg keyed by cell with dim
-        # avg buffers computes the same per-position means with no row
-        # amplification (same addends; only fp merge order can differ,
-        # which the 98%-agreement pin and rows-only gate already
-        # tolerate). F.expr strings keep the dim-wide build to one py4j
-        # call per position.
-        sums = prepared.groupBy("cell").agg(
-            *[
-                F.expr(f"avg(element_at(e, {i + 1}) / nrm) AS m{i}")
-                for i in range(dim)
-            ]
-        )
+        norms = np.linalg.norm(centroids, axis=1)
+        normed = centroids / np.maximum(norms[:, None], 1e-12)
+
+        def partial(batches, _normed=normed, _k=k, _dim=dim, _col=vec_col):
+            acc = np.zeros((_k, _dim))
+            cnt = np.zeros(_k, dtype=np.int64)
+            onehot_eye = np.eye(_k)
+            saw = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                saw = True
+                mat = np.vstack(pdf[_col].to_numpy())  # raw dtype, like ivf_assigner
+                matn = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1)[:, None], 1e-12
+                )
+                sims = matn @ _normed.T  # (b, K) float64
+                cells = np.argsort(-sims, axis=1)[:, 0]  # ivf_assigner's pick
+                # spherical: sum the double-cast UNIT vectors (what the
+                # old avg(element_at(e,i)/nrm) consumed)
+                md = mat.astype(np.float64)
+                unit = md / np.maximum(
+                    np.sqrt((md * md).sum(axis=1)), 1e-12
+                )[:, None]
+                onehot = onehot_eye[cells]  # (b, K)
+                acc += onehot.T @ unit
+                cnt += np.bincount(cells, minlength=_k)
+            if saw:
+                yield pd.DataFrame(
+                    {"cnt": [cnt.tolist()], "s": [acc.ravel().tolist()]}
+                )
+
+        rows = df.select(vec_col).mapInPandas(partial, out_schema).collect()
+        total_cnt = np.zeros(k, dtype=np.int64)
+        total_sum = np.zeros((k, dim))
+        for r in rows:
+            total_cnt += np.asarray(r["cnt"], dtype=np.int64)
+            total_sum += np.asarray(r["s"]).reshape(k, dim)
         new_c = centroids.copy()
-        seen = set()
-        for r in sums.collect():  # K rows x dim cols, bounded
-            new_c[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
-            seen.add(r["cell"])
-        # empty cells keep their previous centroid; others re-normalize
-        for j in seen:
-            new_c[j] = new_c[j] / max(np.linalg.norm(new_c[j]), 1e-12)
+        for j in np.nonzero(total_cnt)[0]:
+            m = total_sum[j] / total_cnt[j]
+            # empty cells keep their previous centroid; others re-normalize
+            new_c[j] = m / max(np.linalg.norm(m), 1e-12)
         centroids = new_c
     return centroids
 

@@ -247,14 +247,18 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("depth"),
     )
     # round count computed up front, not probed per round (r20, guide
-    # §1.2/§5 — no driver loops of eager actions): round k's frontier is
-    # nodes with doc_id div 10^(k-1) > 0, so it is non-empty iff
-    # max(doc_id) >= 10^(k-1) — the exact depth is the digit count of
-    # max(doc_id). The old per-round stepped.isEmpty() ran one job per
-    # level, each re-executing the whole un-checkpointed join lineage
-    # (O(depth²) joins driver-side); one scalar max() replaces them all
-    # and the closure is row-identical (the loop unions exactly the
-    # non-empty rounds either way; oracle-pinned vs WITH RECURSIVE).
+    # §1.2/§5 — no driver loops of eager actions): the digit count of
+    # max(doc_id) is an UPPER BOUND on the recursion depth (ADVICE r20:
+    # on sparse id sets chains stop at missing intermediate nodes, so
+    # actual chains can be shallower — extra rounds union empty frames,
+    # row-identical output either way). The old per-round
+    # stepped.isEmpty() ran one job per level, each re-executing the
+    # whole un-checkpointed join lineage (O(depth²) joins driver-side);
+    # one scalar max() replaces them all. NOTE the guard below is
+    # therefore stricter than the old probe: it trips on the BOUND
+    # (max(doc_id) >= 10^_HIER_MAX_DEPTH), even if real chains are
+    # shallow — deliberate, since a 10^12-wide id space with this
+    # derived parent rule is out of the operator's declared envelope.
     max_id = docs.agg(F.max("doc_id").alias("m")).first()["m"]
     depth = 0
     while max_id is not None and 10**depth <= max_id:

@@ -385,9 +385,9 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering of the embedding corpus: spherical k-means,
     trained end-to-end on the cluster — seeded driver-sample init
     (kmeans_lite) then two distributed Lloyd refinement rounds
-    (operators/vectors.kmeans_refine_distributed: Arrow-matmul
-    assignment, posexplode re-centering with map-side partial sums,
-    K x dim driver collect). The clusters are the IVF cell structure
+    (operators/vectors.kmeans_refine_distributed: one shuffle-free
+    mapInPandas partial-sum pass per round, bounded driver collect).
+    The clusters are the IVF cell structure
     made user-facing — the building block for semantic dedup and
     cluster-balanced data mixing in a training pipeline.
 

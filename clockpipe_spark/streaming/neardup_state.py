@@ -50,8 +50,10 @@ this operator is that state layer.
 
 from __future__ import annotations
 
+import logging
 import os
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -519,7 +521,17 @@ class StreamingNearDup:
         # the legacy probe, which is exactly the pre-r20 behavior.
         try:
             n_short = obs_docs.get["n"] - n_sig
-        except Exception:
+        except Py4JJavaError:
+            # narrowed from bare Exception (VERDICT r20 #8): the pruned-
+            # CollectMetrics failure surfaces as the JVM-side toPyRow
+            # call raising; anything else (e.g. a renamed metric would
+            # raise KeyError above) should propagate, not silently run
+            # the slow legacy path forever
+            logging.getLogger(__name__).warning(
+                "neardup_state: doc-count observation pruned "
+                "(empty-signature batch) — falling back to the legacy "
+                "shorts probe for this batch"
+            )
             n_short = None
         shorts = None
         admitted_shorts = None

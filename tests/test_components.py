@@ -153,3 +153,54 @@ def test_components_chain_query_vs_analytic(spark, sf_dir):
     )
     with pytest.raises(ComponentsDidNotConverge):
         connected_components(docs, edges, id_col="doc_id", src="src", dst="dst")
+
+
+def test_star_helpers_set_equal_to_union_reference(spark):
+    """r21 internals pin: the single-reference explode forms of
+    _large_star/_small_star must be SET-equal to the r20 two-branch
+    union formulations on a messy edge multiset (dupes, both
+    orientations, self-loops)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clockpipe_spark.operators.components import _large_star, _small_star
+
+    edges = [
+        (5, 1), (1, 5), (7, 7), (3, 2), (2, 3), (9, 2), (9, 8),
+        (8, 1), (4, 4), (6, 2), (2, 6), (10, 3), (10, 3), (12, 11),
+    ]
+    e = spark.createDataFrame(edges, "u long, v long").filter("u != v")
+
+    # r20 reference formulations, inlined
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mw = sym.select(
+        "u",
+        "v",
+        F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")).alias("m"),
+    )
+    ref_large = (
+        mw.filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    got_large = _large_star(e)
+    assert {(r["u"], r["v"]) for r in got_large.collect()} == {
+        (r["u"], r["v"]) for r in ref_large.collect()
+    }
+
+    oriented = e.select(
+        F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
+    ).select(F.col("gu").alias("u"), F.col("gv").alias("v"))
+    mw2 = oriented.select(
+        "u", "v", F.min("v").over(Window.partitionBy("u")).alias("m")
+    )
+    ref_small = (
+        mw2.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mw2.filter(F.col("v") == F.col("m")).select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    got_small = _small_star(e)
+    assert {(r["u"], r["v"]) for r in got_small.collect()} == {
+        (r["u"], r["v"]) for r in ref_small.collect()
+    }

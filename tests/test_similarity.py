@@ -294,3 +294,42 @@ def test_ivfpq_matches_ivf_recall(spark, sf_dir):
     # allow at most one shortlist-cut miss across all queries
     assert pq_recall >= ivf_recall - 1.0 / total
     assert pq_recall >= 0.3
+
+
+def test_kmeans_refine_distributed_matches_numpy(spark):
+    """r21 internals pin: the mapInPandas partial-sum refine rounds must
+    agree with a pure-numpy run of the same spherical Lloyd rounds on a
+    synthetic corpus (same init, same assignment rule) to fp tolerance."""
+    import numpy as np
+
+    from clockpipe_spark.operators.vectors import kmeans_refine_distributed
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 240, 8, 4
+    X = rng.randn(n, dim).astype(np.float32)
+    init = rng.randn(k, dim)
+    init = init / np.linalg.norm(init, axis=1)[:, None]
+
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+
+    got = kmeans_refine_distributed(df, init.copy(), n_iter=2)
+
+    # numpy reference of the same algorithm
+    c = init.copy()
+    for _ in range(2):
+        Xn32 = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+        sims = Xn32 @ (c / np.maximum(np.linalg.norm(c, axis=1)[:, None], 1e-12)).T
+        cells = np.argsort(-sims, axis=1)[:, 0]
+        Xd = X.astype(np.float64)
+        unit = Xd / np.maximum(np.sqrt((Xd * Xd).sum(axis=1)), 1e-12)[:, None]
+        new_c = c.copy()
+        for j in range(k):
+            members = unit[cells == j]
+            if len(members):
+                m = members.mean(axis=0)
+                new_c[j] = m / max(np.linalg.norm(m), 1e-12)
+        c = new_c
+    assert np.allclose(got, c, atol=1e-9), np.abs(got - c).max()
