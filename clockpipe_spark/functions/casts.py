@@ -275,3 +275,48 @@ def mongo_string_array(col: Column) -> Column:
     mongodb.rs:484-494) instead of substituting a placeholder — the one
     behavioral difference from the string-headed to_array arm."""
     return F.filter(col, lambda x: x.isNotNull())
+
+
+# ---- SQL-string twins (r21, guide §1.2 driver boundary) ----
+# The Column builders above issue dozens of py4j round trips per call
+# (~0.14 s each profiled on cdc_cast_matrix); these build the IDENTICAL
+# expression trees as SQL strings that parse JVM-side in one call
+# (plan_equiv-verified at the call sites). They share the regex
+# constants verbatim, so the two forms cannot drift.
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def rust_trim_sql(col_sql: str) -> str:
+    return f"regexp_replace({col_sql}, {_sql_lit(_RUST_TRIM_RE)}, '')"
+
+
+def pg_to_int_sql(col_sql: str) -> str:
+    s = rust_trim_sql(f"CAST({col_sql} AS STRING)")
+    return (
+        f"coalesce(CASE WHEN {s} RLIKE {_sql_lit(_INT_RE)}"
+        f" THEN try_cast({s} AS BIGINT) END, 0)"
+    )
+
+
+def pg_to_real_sql(col_sql: str) -> str:
+    s = rust_trim_sql(f"CAST({col_sql} AS STRING)")
+    return (
+        f"coalesce(CASE WHEN {s} RLIKE {_sql_lit(_NAN_RE)}"
+        f" THEN CAST('NaN' AS DOUBLE)"
+        f" WHEN {s} RLIKE {_sql_lit(_F64_RE)}"
+        f" THEN try_cast({s} AS DOUBLE) END, CAST(0.0 AS DOUBLE))"
+    )
+
+
+def pg_bool_parse_sql(col_sql: str) -> str:
+    return (
+        f"coalesce(lower(CAST({col_sql} AS STRING)) IN ('t', '1', 'true'),"
+        " false)"
+    )
+
+
+def pg_datetime_trunc_sql(col_sql: str) -> str:
+    return f"date_trunc('second', {col_sql})"

@@ -56,53 +56,77 @@ def asof_join(
     # so right sorts FIRST for backward (preceding frame) and LAST-but-
     # adjacent for forward (following frame) — i.e. left first.
     l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
-    on_type = right.schema[on].dataType
-    l_tagged = left.select(
-        *by,
-        F.col(on),
-        F.lit(l_side).alias("__side"),
-        F.lit(None).cast(on_type).alias("__r_on"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+    # selectExpr strings throughout (r21, guide §1.2 driver boundary):
+    # the Column-by-Column build issued ~800 py4j round trips per call
+    # (~1.2 s profiled, 80% of the 3 asof queries' build wall); the same
+    # trees parse JVM-side in a handful of calls. Equivalence pinned by
+    # tools/plan_equiv (optimizedPlan match modulo expr ids) in
+    # tests/test_asof.py.
+    q = "`{}`".format
+    on_sql = q(on)
+    on_type = right.schema[on].dataType.simpleString()
+    struct_sql = "struct({})".format(", ".join(q(c) for c in lcols))
+    l_tagged = left.selectExpr(
+        *[q(c) for c in by],
+        on_sql,
+        f"{l_side} AS __side",
+        f"CAST(NULL AS {on_type}) AS __r_on",
+        *[
+            f"CAST(NULL AS {right.schema[c].dataType.simpleString()}) AS `__r_{c}`"
+            for c in value_cols
+        ],
+        f"{struct_sql} AS __l",
     )
-    r_tagged = right.select(
-        *by,
-        F.col(on),
-        F.lit(r_side).alias("__side"),
-        F.col(on).alias("__r_on"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(
-            l_tagged.schema["__l"].dataType
-        ).alias("__l"),
+    l_struct_type = l_tagged.schema["__l"].dataType.simpleString()
+    r_tagged = right.selectExpr(
+        *[q(c) for c in by],
+        on_sql,
+        f"{r_side} AS __side",
+        f"{on_sql} AS __r_on",
+        *[f"{q(c)} AS `__r_{c}`" for c in value_cols],
+        f"CAST(NULL AS {l_struct_type}) AS __l",
     )
     unioned = l_tagged.unionByName(r_tagged)
-    base = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__side").asc())
-    if direction == "backward":
-        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-    else:
-        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    carried = unioned.select(
+    over = (
+        "OVER (PARTITION BY {p} ORDER BY {o} ASC, __side ASC "
+        "ROWS BETWEEN {f})".format(
+            p=", ".join(q(c) for c in by),
+            o=on_sql,
+            f=(
+                "UNBOUNDED PRECEDING AND CURRENT ROW"
+                if direction == "backward"
+                else "CURRENT ROW AND UNBOUNDED FOLLOWING"
+            ),
+        )
+    )
+    fn = "last" if direction == "backward" else "first"
+    carried = unioned.selectExpr(
         "__side",
         "__l",
-        carry("__r_on").alias("__r_on"),
-        *[carry(f"__r_{c}").alias(f"__r_{c}") for c in value_cols],
+        f"{fn}(__r_on, true) {over} AS __r_on",
+        *[
+            f"{fn}(`__r_{c}`, true) {over} AS `__r_{c}`"
+            for c in value_cols
+        ],
     )
     picked = carried.filter(F.col("__side") == F.lit(l_side))
     if tolerance_us is not None:
-        l_on = F.unix_micros(F.col("__l").getField(on))
-        r_on = F.unix_micros(F.col("__r_on"))
-        gap = (l_on - r_on) if direction == "backward" else (r_on - l_on)
-        in_tol = F.col("__r_on").isNotNull() & (gap <= F.lit(int(tolerance_us)))
-        picked = picked.select(
+        l_on = f"unix_micros(__l.{on_sql})"
+        r_on = "unix_micros(__r_on)"
+        gap = (
+            f"({l_on} - {r_on})"
+            if direction == "backward"
+            else f"({r_on} - {l_on})"
+        )
+        in_tol = f"(__r_on IS NOT NULL) AND ({gap} <= {int(tolerance_us)}L)"
+        picked = picked.selectExpr(
             "__l",
             *[
-                F.when(in_tol, F.col(f"__r_{c}")).alias(f"__r_{c}")
+                f"CASE WHEN {in_tol} THEN `__r_{c}` END AS `__r_{c}`"
                 for c in value_cols
             ],
         )
-    return picked.select(
-        *[F.col("__l").getField(c).alias(c) for c in lcols],
-        *[F.col(f"__r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    return picked.selectExpr(
+        *[f"__l.{q(c)} AS {q(c)}" for c in lcols],
+        *[f"`__r_{c}` AS {q(c + suffix)}" for c in value_cols],
     )

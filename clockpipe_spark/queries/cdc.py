@@ -281,22 +281,32 @@ def cdc_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (§1.3): zero-defaults on failed int/real parses, 't|1|true' bool parse,
     sub-second timestamp truncation. Inputs are strings derived
     deterministically from events."""
+    from clockpipe_spark.functions.casts import (
+        pg_bool_parse_sql,
+        pg_datetime_trunc_sql,
+        pg_to_int_sql,
+        pg_to_real_sql,
+    )
+
     events = load_table(spark, sf_dir, "events")
-    src = events.select(
+    # SQL-twin cast builders (r21, guide §1.2): the Column helpers cost
+    # ~620 py4j round trips here (~0.9 s profiled); same trees, one
+    # parse call each (plan_equiv-verified + oracle hash)
+    src = events.selectExpr(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),  # numeric string
-        F.col("event_type").alias("word_str"),  # non-numeric string
-        F.when(F.col("value") > 100, "t").otherwise("off").alias("bool_str"),
+        "get_json_object(props, '$.k') AS k_str",  # numeric string
+        "event_type AS word_str",  # non-numeric string
+        "CASE WHEN value > 100 THEN 't' ELSE 'off' END AS bool_str",
         "ts",
     )
-    return src.select(
+    return src.selectExpr(
         "event_id",
-        pg_to_int(F.col("k_str")).alias("k_int"),
-        pg_to_int(F.col("word_str")).alias("word_int"),  # -> 0 (quirk)
-        pg_to_real(F.col("k_str")).alias("k_real"),
-        pg_to_real(F.col("word_str")).alias("word_real"),  # -> 0.0 (quirk)
-        pg_bool_parse(F.col("bool_str")).alias("flag"),
-        pg_datetime_trunc(F.col("ts")).alias("ts_sec"),
+        f"{pg_to_int_sql('k_str')} AS k_int",
+        f"{pg_to_int_sql('word_str')} AS word_int",  # -> 0 (quirk)
+        f"{pg_to_real_sql('k_str')} AS k_real",
+        f"{pg_to_real_sql('word_str')} AS word_real",  # -> 0.0 (quirk)
+        f"{pg_bool_parse_sql('bool_str')} AS flag",
+        f"{pg_datetime_trunc_sql('ts')} AS ts_sec",
     )
 
 
@@ -579,39 +589,40 @@ def cdc_changestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clockpipe_spark.cdc.mongo_changestream import decode_change_events
 
     ev = load_table(spark, sf_dir, "events")
-    op_raw = (
-        F.when(F.col("event_type") == "signup", "insert")
-        .when(F.col("event_type") == "error", "delete")
-        .when(F.col("event_type") == "view", "replace")
-        .otherwise("update")
+    # expr strings for the envelope synth + final projection (r21,
+    # guide §1.2): the Column build issued ~900 py4j round trips
+    # (~0.45 s profiled); identical trees parse JVM-side in two calls
+    # (plan_equiv-verified + oracle hash). The decode operator itself
+    # keeps its Column form — it is the product surface under test.
+    op_raw_sql = (
+        "CASE WHEN event_type = 'signup' THEN 'insert'"
+        " WHEN event_type = 'error' THEN 'delete'"
+        " WHEN event_type = 'view' THEN 'replace'"
+        " ELSE 'update' END"
     )
-    coll = F.when(F.col("user_id") % 10 == 0, "audit").otherwise(
-        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string"))
+    coll_sql = (
+        "CASE WHEN user_id % 10 = 0 THEN 'audit'"
+        " ELSE concat('t', CAST(user_id % 4 AS STRING)) END"
     )
-    raw = ev.select(
-        F.col("event_id").alias("seq"),
-        F.to_json(
-            F.struct(
-                F.struct(F.lit("8262").alias("_data")).alias("_id"),
-                op_raw.alias("operationType"),
-                F.struct(F.lit("app").alias("db"), coll.alias("coll")).alias("ns"),
-                F.to_json(F.struct(F.col("user_id"))).alias("documentKey"),
-                F.to_json(F.struct(F.col("user_id"), F.col("value"))).alias(
-                    "fullDocument"
-                ),
-                F.col("event_id").alias("clusterTime"),
-            )
-        ).alias("event_json"),
+    raw = ev.selectExpr(
+        "event_id AS seq",
+        "to_json(struct("
+        "struct('8262' AS _data) AS _id,"
+        f"{op_raw_sql} AS operationType,"
+        f"struct('app' AS db, {coll_sql} AS coll) AS ns,"
+        "to_json(struct(user_id)) AS documentKey,"
+        "to_json(struct(user_id, value)) AS fullDocument,"
+        "event_id AS clusterTime"
+        ")) AS event_json",
     )
     decoded = decode_change_events(raw, ["t0", "t1", "t2", "t3"])
-    return decoded.select(
+    return decoded.selectExpr(
         "seq",
         "op",
         "collection",
-        F.get_json_object("key_json", "$.user_id").cast("bigint").alias("key_id"),
-        F.round(
-            F.get_json_object("doc_json", "$.value").cast("double"), 6
-        ).alias("doc_value"),
+        "CAST(get_json_object(key_json, '$.user_id') AS BIGINT) AS key_id",
+        "round(CAST(get_json_object(doc_json, '$.value') AS DOUBLE), 6)"
+        " AS doc_value",
     )
     # no final orderBy (r14): the gate hash-compares canonically
     # row-sorted frames, and a global sort's range-partitioner SAMPLING

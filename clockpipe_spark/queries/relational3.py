@@ -133,18 +133,18 @@ FROM part
 def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead / first_value / last_value / percent_rank in one pass over
     per-customer order history."""
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return orders.select(
+    # selectExpr strings (r21, guide §1.2 driver boundary): same trees,
+    # parsed JVM-side in one call (plan_equiv-verified + oracle hash)
+    w = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    wf = f"{w} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    return orders.selectExpr(
         "o_custkey",
         "o_orderkey",
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
-        F.first("o_orderkey").over(wf).alias("first_orderkey"),
-        F.last("o_orderkey").over(wf).alias("last_orderkey"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        f"lead(o_orderkey) OVER ({w}) AS next_orderkey",
+        f"first_value(o_orderkey) OVER ({wf}) AS first_orderkey",
+        f"last_value(o_orderkey) OVER ({wf}) AS last_orderkey",
+        f"round(percent_rank() OVER ({w}), 6) AS pct_rank",
     )
 
 
@@ -169,19 +169,19 @@ def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     between Spark and DuckDB at the 6th decimal and flips hashes on a
     handful of the 60k rows (round-1 driver failure)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
+    # selectExpr strings (r21, guide §1.2): same trees, one parse call
+    # (plan_equiv-verified + oracle hash)
+    return li.selectExpr(
         "l_orderkey",
         "l_linenumber",
-        F.floor(F.sqrt(F.abs(F.col("l_extendedprice"))) * 1e6).alias("sqrt_price"),
-        F.floor(F.log(F.col("l_quantity") + 1) * 1e6).alias("log_qty"),
-        F.floor(F.pow(F.col("l_discount"), 2) * 1e6).alias("disc_sq"),
-        F.ceil(F.col("l_quantity")).alias("qty_ceil"),
-        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
-        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
-        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
-        F.coalesce(
-            F.nullif(F.col("l_linestatus"), F.lit("O")), F.lit("open")
-        ).alias("status_label"),
+        "floor(sqrt(abs(l_extendedprice)) * 1.0E6) AS sqrt_price",
+        "floor(ln(l_quantity + 1) * 1.0E6) AS log_qty",
+        "floor(pow(l_discount, 2) * 1.0E6) AS disc_sq",
+        "ceil(l_quantity) AS qty_ceil",
+        "floor(l_tax * 100) AS tax_pct_floor",
+        "CAST(signum(l_quantity - 25) AS INT) AS qty_sign",
+        "nullif(l_returnflag, 'N') AS flag_or_null",
+        "coalesce(nullif(l_linestatus, 'O'), 'open') AS status_label",
     )
 
 

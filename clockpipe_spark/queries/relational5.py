@@ -111,19 +111,19 @@ def scalar_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely differ here (three-valued logic shortcuts), which is why
     the battery exists. Pure projection at scan speed."""
     events = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100).cast("long")
-    nv = F.when(F.col("event_id") % 7 != 0, cents)
-    return events.select(
+    # selectExpr strings (r21, guide §1.2): same trees, one parse call
+    # (plan_equiv-verified + oracle hash)
+    cents = "CAST(floor(value * 100) AS BIGINT)"
+    nv = f"CASE WHEN event_id % 7 != 0 THEN {cents} END"
+    return events.selectExpr(
         "event_id",
-        nv.isNull().cast("int").alias("is_null"),
-        F.coalesce(nv, F.lit(-1)).alias("coalesced"),
-        F.nullif(cents % 10, F.lit(0)).alias("nullif_zero_digit"),
-        nv.eqNullSafe(cents).cast("int").alias("nullsafe_eq_orig"),
-        nv.eqNullSafe(F.lit(None).cast("long")).cast("int").alias(
-            "nullsafe_eq_null"
-        ),
-        (nv + 1).alias("null_propagating_sum"),
-        F.when(nv.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("countable"),
+        f"CAST(({nv}) IS NULL AS INT) AS is_null",
+        f"coalesce({nv}, -1) AS coalesced",
+        f"nullif({cents} % 10, 0) AS nullif_zero_digit",
+        f"CAST(({nv}) <=> {cents} AS INT) AS nullsafe_eq_orig",
+        f"CAST(({nv}) <=> CAST(NULL AS BIGINT) AS INT) AS nullsafe_eq_null",
+        f"({nv}) + 1 AS null_propagating_sum",
+        f"CASE WHEN ({nv}) IS NOT NULL THEN 1 ELSE 0 END AS countable",
     )
 
 
@@ -164,29 +164,27 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (DuckDB's array_to_string yields NULL for [], hence the
     oracle-side coalesce)."""
     events = load_table(spark, sf_dir, "events")
-    with_arr = events.select(
+    with_arr = events.selectExpr(
         "event_id",
-        F.sequence(F.lit(1), (F.col("event_id") % 8 + 1).cast("int")).alias(
-            "arr"
-        ),
+        "sequence(1, CAST(event_id % 8 + 1 AS INT)) AS arr",
     )
-    squares = F.transform(F.col("arr"), lambda x: x * x)
-    j = lambda c: F.array_join(c.cast("array<string>"), ",")  # noqa: E731
-    return with_arr.select(
+    # selectExpr strings (r21, guide §1.2): the Column+lambda build
+    # issued ~590 py4j round trips (~0.9 s profiled); the identical
+    # trees parse JVM-side in two calls. Results hash-pinned by the
+    # DuckDB oracle (ARRAY_HOF_SQL).
+    j = "array_join(CAST({} AS array<string>), ',')".format
+    return with_arr.selectExpr(
         "event_id",
-        j(F.col("arr")).alias("arr"),
-        j(squares).alias("squares"),
-        j(F.filter(F.col("arr"), lambda x: x % 2 == 0)).alias("evens"),
-        F.aggregate(
-            F.col("arr"),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x * x,
-        ).alias("sum_squares"),
-        F.exists(F.col("arr"), lambda x: x > 6).cast("int").alias("has_gt6"),
-        j(F.reverse(F.col("arr"))).alias("reversed"),
-        j(F.slice(F.col("arr"), 2, 3)).alias("middle"),
-        F.array_contains(F.col("arr"), 5).cast("int").alias("contains_5"),
-        F.size(F.col("arr")).alias("n"),
+        f"{j('arr')} AS arr",
+        f"{j('transform(arr, x -> x * x)')} AS squares",
+        f"{j('filter(arr, x -> x % 2 = 0)')} AS evens",
+        "aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        " AS sum_squares",
+        "CAST(exists(arr, x -> x > 6) AS INT) AS has_gt6",
+        f"{j('reverse(arr)')} AS reversed",
+        f"{j('slice(arr, 2, 3)')} AS middle",
+        "CAST(array_contains(arr, 5) AS INT) AS contains_5",
+        "size(arr) AS n",
     )
 
 
@@ -387,38 +385,29 @@ def map_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     One keyed aggregation; the map column never leaves the executor
     un-canonicalized."""
     events = load_table(spark, sf_dir, "events")
+    # selectExpr strings (r21, guide §1.2): same trees, one parse call
+    # (plan_equiv-verified + oracle hash)
     per = events.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("n")
+        F.expr("count(*) AS n")
     )
     mapped = per.groupBy("user_id").agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("event_type", "n")))
-        ).alias("m")
+        F.expr(
+            "map_from_entries(sort_array(collect_list("
+            "struct(event_type, n)))) AS m"
+        )
     )
-    render = lambda m: F.array_join(  # noqa: E731
-        F.sort_array(
-            F.transform(
-                F.map_entries(m),
-                lambda e: F.concat_ws(
-                    ":", e["key"], e["value"].cast("string")
-                ),
-            )
-        ),
-        ",",
-    )
-    return mapped.select(
+    render = (
+        "array_join(sort_array(transform(map_entries({}),"
+        " e -> concat_ws(':', e.key, CAST(e.value AS STRING)))), ',')"
+    ).format
+    return mapped.selectExpr(
         "user_id",
-        F.size("m").alias("n_types"),
-        F.element_at("m", "purchase").alias("purchases"),
-        F.aggregate(
-            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("total_events"),
-        render(F.map_filter("m", lambda k, v: v >= 10)).alias(
-            "frequent_types"
-        ),
-        render(
-            F.transform_values("m", lambda k, v: v * 2)
-        ).alias("doubled"),
+        "size(m) AS n_types",
+        "element_at(m, 'purchase') AS purchases",
+        "aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        " AS total_events",
+        f"{render('map_filter(m, (k, v) -> v >= 10)')} AS frequent_types",
+        f"{render('transform_values(m, (k, v) -> v * 2)')} AS doubled",
     )
 
 

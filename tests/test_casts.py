@@ -204,3 +204,48 @@ def test_mongo_typed_arrays(spark):
     empty = F.array().cast("array<string>")
     assert _one(spark, mongo_array_int(empty)) == []
     assert _one(spark, mongo_string_array(empty)) == []
+
+
+def test_sql_twin_builders_match_column_builders(spark):
+    """r21 exprification pin: the SQL-string cast builders must produce
+    the same results as the Column builders on the quirk corpus (they
+    share the regex constants, so this pins the surrounding SQL)."""
+    from clockpipe_spark.functions.casts import (
+        pg_bool_parse,
+        pg_bool_parse_sql,
+        pg_datetime_trunc,
+        pg_datetime_trunc_sql,
+        pg_to_int,
+        pg_to_int_sql,
+        pg_to_real,
+        pg_to_real_sql,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("1",), ("-42",), ("+7",), (" 17 ",), ("\t1\n",), ("1_000",),
+        ("1.5",), ("12abc",), ("",), (None,), ("9223372036854775808",),
+        ("1e999",), ("-nan",), ("NaN",), ("inf",), ("-Infinity",),
+        ("t",), ("TRUE",), ("0",), ("1\x1f",), ("1.5d",),
+        ("2024-03-01 10:20:30.999999",),
+    ]
+    df = spark.createDataFrame(rows, "s string").withColumn(
+        "ts", F.lit("2024-03-01 10:20:30.999999").cast("timestamp")
+    )
+    col_form = df.select(
+        "s",
+        pg_to_int(F.col("s")).alias("i"),
+        pg_to_real(F.col("s")).alias("r"),
+        pg_bool_parse(F.col("s")).alias("b"),
+        pg_datetime_trunc(F.col("ts")).alias("t"),
+    )
+    sql_form = df.selectExpr(
+        "s",
+        f"{pg_to_int_sql('s')} AS i",
+        f"{pg_to_real_sql('s')} AS r",
+        f"{pg_bool_parse_sql('s')} AS b",
+        f"{pg_datetime_trunc_sql('ts')} AS t",
+    )
+    a = {r["s"]: (r["i"], str(r["r"]), r["b"], r["t"]) for r in col_form.collect()}
+    b = {r["s"]: (r["i"], str(r["r"]), r["b"], r["t"]) for r in sql_form.collect()}
+    assert a == b
