@@ -155,55 +155,56 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     remove its old value if it existed in the base, add its new value
     unless the last op is a delete; count moves by +/-1 only on true
     create/delete transitions."""
+    # expr strings throughout (r21, guide §1.2): the Column build issued
+    # ~1,200 py4j round trips (~0.5 s profiled on top of the inherent
+    # base-state checkpoint job); identical trees, plan_equiv-verified +
+    # oracle hash. The replica_state/keep_last_by_key operators keep
+    # their Column form — they are the product surface under test.
     clog = _changelog(spark, sf_dir).withColumn(
-        "cents", F.floor(F.col("value") * 100).cast("long")
+        "cents", F.expr("CAST(floor(value * 100) AS BIGINT)")
     )
-    bound = clog.agg(F.floor(F.max("seq") * 0.6).cast("long").alias("s0"))
+    # 0.6D: a bare 0.6 parses as DECIMAL in Spark SQL, while the Column
+    # form multiplied by a python-float double — the D suffix keeps the
+    # arithmetic (and the plan) identical
+    bound = clog.agg(F.expr("CAST(floor(max(seq) * 0.6D) AS BIGINT) AS s0"))
     clog = clog.crossJoin(F.broadcast(bound))
-    shard = (F.col("user_id") % 16).alias("shard")
 
     # a deployment READS the base state from the persisted view; the
     # self-contained query derives it once and materializes (it feeds
     # both the base aggregate and the touched-key old-value lookup —
     # without this the plan re-derives the full keep-last window twice)
     base_state = (
-        replica_state(clog.filter(F.col("seq") <= F.col("s0")), ["user_id"])
+        replica_state(clog.filter("seq <= s0"), ["user_id"])
         .select("user_id", "cents")
         .localCheckpoint(eager=True)
     )
-    base_agg = base_state.groupBy((F.col("user_id") % 16).alias("shard")).agg(
-        F.sum("cents").alias("sum_cents"), F.count("*").alias("n_keys")
+    base_agg = base_state.groupBy(
+        F.expr("user_id % 16").alias("shard")
+    ).agg(
+        F.expr("sum(cents) AS sum_cents"), F.expr("count(*) AS n_keys")
     )
 
     delta = keep_last_by_key(
-        clog.filter(F.col("seq") > F.col("s0")), ["user_id"]
+        clog.filter("seq > s0"), ["user_id"]
     ).select("user_id", "op", "cents")
-    old = base_state.select("user_id", F.col("cents").alias("old_cents"))
-    moves = delta.join(old, "user_id", "left").select(
-        shard,
-        (
-            F.when(F.col("op") != "D", F.col("cents")).otherwise(F.lit(0))
-            - F.coalesce(F.col("old_cents"), F.lit(0))
-        ).alias("d_sum"),
-        (
-            F.when(
-                (F.col("op") != "D") & F.col("old_cents").isNull(), 1
-            )
-            .when((F.col("op") == "D") & F.col("old_cents").isNotNull(), -1)
-            .otherwise(0)
-        ).alias("d_n"),
+    old = base_state.selectExpr("user_id", "cents AS old_cents")
+    moves = delta.join(old, "user_id", "left").selectExpr(
+        "user_id % 16 AS shard",
+        "(CASE WHEN op != 'D' THEN cents ELSE 0 END"
+        " - coalesce(old_cents, 0)) AS d_sum",
+        "CASE WHEN op != 'D' AND old_cents IS NULL THEN 1"
+        " WHEN op = 'D' AND old_cents IS NOT NULL THEN -1"
+        " ELSE 0 END AS d_n",
     )
     delta_agg = moves.groupBy("shard").agg(
-        F.sum("d_sum").alias("d_sum"), F.sum("d_n").alias("d_n")
+        F.expr("sum(d_sum) AS d_sum"), F.expr("sum(d_n) AS d_n")
     )
     return (
         base_agg.join(delta_agg, "shard", "outer")
-        .select(
+        .selectExpr(
             "shard",
-            (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_sum", F.lit(0)))
-            .alias("sum_cents"),
-            (F.coalesce("n_keys", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
-            .alias("n_keys"),
+            "(coalesce(sum_cents, 0) + coalesce(d_sum, 0)) AS sum_cents",
+            "(coalesce(n_keys, 0) + coalesce(d_n, 0)) AS n_keys",
         )
         .filter(F.col("n_keys") > 0)
         .orderBy("shard")

@@ -83,39 +83,40 @@ FROM g
 """
 
 
-def _token_hashes(toks):
-    """Karp-Rabin char fold per token (base B1 mod P), as a pure
-    column expression over the token array."""
-    return F.transform(
-        toks,
-        lambda t: F.aggregate(
-            F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, c: (acc * _B1 + c) % _P,
-        ),
+def _token_hashes_sql(toks_sql: str) -> str:
+    """Karp-Rabin char fold per token (base B1 mod P), as an expr
+    string over the token-array expression (r21, guide §1.2: the
+    Column+lambda form issued hundreds of py4j round trips; the string
+    parses the identical tree JVM-side — plan_equiv-verified)."""
+    return (
+        f"transform({toks_sql},"
+        " t -> aggregate(transform(split(t, ''),"
+        " ch -> CAST(ascii(ch) AS BIGINT)),"
+        " CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * {_B1} + c) % {_P}))"
     )
 
 
-def _gram_hash_pairs(th):
+def _gram_hash_pairs_sql(th_sql: str) -> str:
     """(h1, h2) per 5-gram by folding the 5 TOKEN hashes with two
     independent bases — each char is hashed once per token, not once
-    per containing gram (a 5x saving over hashing gram strings)."""
-    n = F.size(th)
-    idx = F.when(n >= _GRAM_N, F.sequence(F.lit(1), n - (_GRAM_N - 1))).otherwise(
-        F.array().cast("array<int>")
+    per containing gram (a 5x saving over hashing gram strings).
+    Expr-string twin of the r20 Column form (plan_equiv-verified)."""
+    idx = (
+        f"CASE WHEN size({th_sql}) >= {_GRAM_N}"
+        f" THEN sequence(1, size({th_sql}) - {_GRAM_N - 1})"
+        " ELSE CAST(array() AS array<int>) END"
     )
 
-    def fold(base):
-        def gram(i):
-            acc = F.lit(0).cast("bigint")
-            for j in range(_GRAM_N):
-                acc = (acc * base + F.element_at(th, i + j)) % _P
-            return acc
+    def fold(base: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for j in range(_GRAM_N):
+            acc = f"(({acc} * {base} + element_at({th_sql}, i + {j})) % {_P})"
+        return acc
 
-        return gram
-
-    return F.transform(
-        idx, lambda i: F.struct(fold(_B1)(i).alias("h1"), fold(_B2)(i).alias("h2"))
+    return (
+        f"transform({idx},"
+        f" i -> struct({fold(_B1)} AS h1, {fold(_B2)} AS h2))"
     )
 
 
@@ -143,14 +144,15 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every element_at — measured 522 s at sf0.1 vs 3.5 s with the
     # array staged (the O(grams x tokens x chars) trap this repo's
     # other n-gram paths already avoid)
-    hashed = docs.select(
+    toks_sql = "split(trim(lower(text)), '\\\\s+')"
+    hashed = docs.selectExpr(
         "doc_id",
-        (F.col("doc_id") % 50 == 0).alias("is_bench"),
-        _token_hashes(F.split(F.trim(F.lower("text")), r"\s+")).alias("th"),
-    ).select(
+        "(doc_id % 50 = 0) AS is_bench",
+        f"{_token_hashes_sql(toks_sql)} AS th",
+    ).selectExpr(
         "doc_id",
         "is_bench",
-        F.array_distinct(_gram_hash_pairs(F.col("th"))).alias("hp"),
+        f"array_distinct({_gram_hash_pairs_sql('th')}) AS hp",
     )
     # explode_OUTER, not explode: for plain explode the optimizer
     # infers `size(hp) > 0` (InferFiltersFromGenerate) and pushes that
@@ -159,48 +161,46 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 522 s at sf0.1 vs ~4 s without the inferred filter. The outer
     # variant admits no such inference; the null row from an empty
     # array drops right after, against the cheap generated column.
-    probes = hashed.select(
+    probes = hashed.selectExpr(
         "doc_id",
         "is_bench",
-        F.explode_outer("hp").alias("g"),
-    ).filter(F.col("g").isNotNull()).select(
+        "explode_outer(hp) AS g",
+    ).filter(F.col("g").isNotNull()).selectExpr(
         "doc_id",
         "is_bench",
-        F.col("g.h1").alias("h1"),
-        (F.col("g.h2") * 2 + 1).alias("h2o"),
+        "g.h1 AS h1",
+        "(g.h2 * 2 + 1) AS h2o",
     )
     ks = spark.range(_BLOOM_K).select(F.col("id").alias("i"))
     bits = (
         probes.filter("is_bench")
         .crossJoin(F.broadcast(ks))
-        .select(((F.col("h1") + F.col("i") * F.col("h2o")) % _BLOOM_M).alias("pos"))
+        .selectExpr(f"((h1 + i * h2o) % {_BLOOM_M}) AS pos")
         .distinct()
     )
     corpus_pos = (
         probes.filter(~F.col("is_bench"))
         .crossJoin(F.broadcast(ks))
-        .select(
+        .selectExpr(
             "doc_id",
             "h1",
             "h2o",
-            ((F.col("h1") + F.col("i") * F.col("h2o")) % _BLOOM_M).alias("pos"),
+            f"((h1 + i * h2o) % {_BLOOM_M}) AS pos",
         )
     )
     gram_hits = (
         corpus_pos.join(F.broadcast(bits), "pos")
         .groupBy("doc_id", "h1", "h2o")
-        .agg(F.count("*").alias("k_hit"))
+        .agg(F.expr("count(*) AS k_hit"))
         .filter(F.col("k_hit") == _BLOOM_K)
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_flagged_grams"))
+        .agg(F.expr("count(*) AS n_flagged_grams"))
     )
     corpus_docs = hashed.filter(~F.col("is_bench")).select("doc_id")
-    return corpus_docs.join(gram_hits, "doc_id", "left").select(
+    return corpus_docs.join(gram_hits, "doc_id", "left").selectExpr(
         "doc_id",
-        F.coalesce("n_flagged_grams", F.lit(0)).alias("n_flagged_grams"),
-        (F.coalesce("n_flagged_grams", F.lit(0)) > 0).cast("int").alias(
-            "contaminated"
-        ),
+        "coalesce(n_flagged_grams, 0) AS n_flagged_grams",
+        "CAST(coalesce(n_flagged_grams, 0) > 0 AS INT) AS contaminated",
     )
 
 

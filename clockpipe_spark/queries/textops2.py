@@ -189,18 +189,20 @@ def _token_windows(docs: DataFrame, w: int) -> DataFrame:
     fanout_repartition-ed per the round-5 rule."""
     from clockpipe_spark.operators.fanout import fanout_repartition
 
+    # expr strings (r21, guide §1.2): same trees, parsed JVM-side in
+    # two calls (plan_equiv-verified + oracle hash)
     toks = fanout_repartition(
-        docs.select(
-            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+        docs.selectExpr(
+            "doc_id", "split(lower(trim(text)), '\\\\s+') AS t"
         )
-    ).withColumn("n", F.size("t"))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.col("n") - w + 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, w)),
+    ).withColumn("n", F.expr("size(t)"))
+    wins = (
+        f"transform(sequence(1, n - {w} + 1),"
+        f" i -> concat_ws(' ', slice(t, i, {w})))"
     )
     return (
         toks.filter(F.col("n") >= w)  # sequence(1, n-w+1) needs n >= w
-        .select("doc_id", F.explode(wins).alias("win"))
+        .selectExpr("doc_id", f"explode({wins}) AS win")
     )
 
 
@@ -224,12 +226,12 @@ def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduped frame.
     wcnt = (
         wins.groupBy("doc_id", "win")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.expr("count(*) AS cnt"))
         .localCheckpoint(eager=True)
     )
     dup = (
         wcnt.groupBy("win")
-        .agg(F.count("*").alias("nd"))
+        .agg(F.expr("count(*) AS nd"))
         .filter(F.col("nd") >= 2)
         .select("win")
         .withColumn("is_dup", F.lit(1))
@@ -238,16 +240,17 @@ def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         wcnt.join(dup, "win", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("bigint").alias("n_windows"),
-            F.sum(
-                F.when(F.col("is_dup").isNotNull(), F.col("cnt")).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("dup_windows"),
+            F.expr("CAST(sum(cnt) AS BIGINT) AS n_windows"),
+            F.expr(
+                "CAST(sum(CASE WHEN is_dup IS NOT NULL THEN cnt ELSE 0 END)"
+                " AS BIGINT) AS dup_windows"
+            ),
         )
         .withColumn(
             "dup_frac",
-            F.floor(F.col("dup_windows") / F.col("n_windows") * 1e4).cast("bigint"),
+            F.expr(
+                "CAST(floor(dup_windows / n_windows * 1.0E4) AS BIGINT)"
+            ),
         )
     )
 
